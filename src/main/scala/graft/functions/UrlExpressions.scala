@@ -97,12 +97,32 @@ case class UrlPath(child: Expression)
     copy(child = newChild)
 }
 
+/** Scheme component (lowercased by parse, python semantics). */
+case class UrlScheme(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "url_scheme"
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(PyUrl.urlparse(input.asInstanceOf[UTF8String].toString).scheme)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.util.PyUrl.urlparse($c.toString(), \"\").scheme())")
+
+  override protected def withNewChildInternal(newChild: Expression): UrlScheme =
+    copy(child = newChild)
+}
+
 /** Column-API + SQL registration surface for the URL expressions. */
 object urlfns {
   def url_canonicalize(c: Column): Column = graftshim.toColumn(UrlCanonicalize(graftshim.toExpression(c)))
   def url_resolve(base: Column, href: Column): Column = graftshim.toColumn(UrlResolve(graftshim.toExpression(base), graftshim.toExpression(href)))
   def url_host(c: Column): Column = graftshim.toColumn(UrlHost(graftshim.toExpression(c)))
   def url_path(c: Column): Column = graftshim.toColumn(UrlPath(graftshim.toExpression(c)))
+  def url_scheme(c: Column): Column = graftshim.toColumn(UrlScheme(graftshim.toExpression(c)))
 
   /** Register `url_canonicalize` / `url_resolve` / `url_host` / `url_path`
     * for SQL use in this session. */
@@ -116,5 +136,7 @@ object urlfns {
       (es: Seq[Expression]) => UrlHost(es.head), "built-in")
     reg.createOrReplaceTempFunction("url_path",
       (es: Seq[Expression]) => UrlPath(es.head), "built-in")
+    reg.createOrReplaceTempFunction("url_scheme",
+      (es: Seq[Expression]) => UrlScheme(es.head), "built-in")
   }
 }

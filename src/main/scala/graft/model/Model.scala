@@ -1,0 +1,100 @@
+package graft.model
+
+/** Core data model of the engine — typed `Dataset[T]` row shapes (SURVEY.md
+  * §1 D1-D9). Schemas are fixed by these case classes via `Encoders.product`;
+  * no schema inference anywhere (determinism).
+  */
+
+/** D1 — URL frontier row. Hash-partitioned by host at rest; `state` is one of
+  * pending|fetched|failed|filtered. Reference analog: the ordered
+  * `urls: list[str]` work list + BFS `current_level`
+  * (`src/jobs/runner.py:255-342`, `src/crawler/discovery.py:163-224`). */
+final case class FrontierEntry(
+    url: String,
+    urlNorm: String,
+    host: String,
+    depth: Int,
+    priority: Long,
+    epoch: Int,
+    state: String)
+
+/** D2 — URL-seen set row (`visited` set, `discovery.py:163,188-191`). */
+final case class SeenEntry(urlNorm: String, epochAdded: Int)
+
+/** D4 — fetched row; payload is image+caption per the graft cell
+  * (`BASELINE.json.input_hint`), provenance from the fetch chain
+  * (reference `ScrapedPage`, `runner.py:921-931`). */
+final case class FetchedRow(
+    image_id: String,
+    bytes: Array[Byte],
+    w: Int,
+    h: Int,
+    fmt: String,
+    caption: String,
+    phash: Long,
+    url: String,
+    fetch_method: String,
+    load_ms: Long,
+    epoch: Int)
+
+/** D7 — one robots.txt rule row (broadcast-sized; host-scoped).
+  * kind ∈ allow|disallow. Reference: `src/crawler/robots.py:14-17`. */
+final case class RobotsRuleRow(
+    host: String,
+    kind: String,
+    pathPrefix: String,
+    prefixLen: Int)
+
+/** Per-host crawl-delay (seconds), from `Crawl-delay:` (`robots.py:53-58`). */
+final case class CrawlDelayRow(host: String, crawlDelaySec: Double)
+
+/** D6 — epoch ledger row: counters + lineage checkpointed per epoch commit
+  * (north rule: "per-partition lineage and counters checkpointed").
+  * Reference analog: `.job_state.json` (`src/jobs/state.py:35-62`). */
+final case class EpochLedgerEntry(
+    phase: String, // "discover" | "fetch"
+    epoch: Int,
+    rowsIn: Long,
+    rowsOut: Long,
+    counters: Map[String, Long])
+
+/** D3 — job configuration. Field defaults/ranges transcribed from the
+  * reference's `JobRequest` (`src/api/models.py:19-150`); validation via
+  * constructor `require` mirrors the Pydantic validators (F9). */
+final case class CrawlConfig(
+    seedUrls: Seq[String],
+    delayMs: Int = 500,
+    maxConcurrent: Int = 3,
+    maxDepth: Int = 3,
+    respectRobotsTxt: Boolean = true,
+    language: String = "en",
+    maxUrls: Int = 1000,
+    /** epoch length the politeness budget is computed against (W3):
+      * hostBudget = max(1, epochSeconds*1000 / effectiveDelayMs). */
+    epochSeconds: Int = 30,
+    /** shuffle/bucket count for host-hash partitioning (scale knob). */
+    numBuckets: Int = 32,
+    /** hosts with more pending URLs than this get salted repartitioning. */
+    skewThreshold: Long = 100000L,
+    /** Bloom filter sizing for the seen-set probe (A5). */
+    bloomExpectedItems: Long = 1000000L,
+    bloomFpp: Double = 1e-3) {
+  require(seedUrls.nonEmpty, "at least one seed URL")
+  require(delayMs >= 100 && delayMs <= 60000, "delay_ms in [100, 60000]") // models.py:27
+  require(maxConcurrent >= 1 && maxConcurrent <= 10, "max_concurrent in [1, 10]") // models.py:28
+  require(maxDepth >= 0 && maxDepth <= 10, "max_depth in [0, 10]")
+  require(maxUrls >= 1, "max_urls >= 1")
+  require(numBuckets >= 1, "numBuckets >= 1")
+  seedUrls.foreach { u =>
+    require(u.startsWith("http://") || u.startsWith("https://"), s"seed must be http(s): $u")
+  }
+
+  /** Effective per-host delay in ms: `max(delay_ms, crawl_delay*1000)`
+    * (reference `runner.py:205-228`). */
+  def effectiveDelayMs(crawlDelaySec: Option[Double]): Long =
+    math.max(delayMs.toLong, crawlDelaySec.map(d => (d * 1000).toLong).getOrElse(0L))
+
+  /** W3 politeness budget: URLs dequeued per host per fetch epoch. */
+  def hostBudget(crawlDelaySec: Option[Double]): Int =
+    math.max(1L, epochSeconds * 1000L / math.max(1L, effectiveDelayMs(crawlDelaySec))).toInt
+}

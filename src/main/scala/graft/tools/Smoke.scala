@@ -52,6 +52,34 @@ object Smoke {
       .select($"u", urlfns.url_canonicalize($"u").as("c"))
     probes.show(10, truncate = false)
 
+    // F2/F3/F5/F7 drive: filter a synthesized corpus, robots-admit, detect blocks
+    val corpus = docs.select(
+      concat(lit("https://site-0.test/docs/"),
+        when($"doc_id" % 7 === 0, lit("blog/")).otherwise(lit("")),
+        when($"doc_id" % 11 === 0, lit("es/")).otherwise(lit("")),
+        $"doc_id".cast("string"),
+        when($"doc_id" % 13 === 0, lit(".pdf")).otherwise(lit(""))).as("url"))
+    val filtered = graft.operators.UrlFilters.filterUrls(
+      corpus, $"url", "https://site-0.test/docs", "en")
+    println(s"SMOKE filter: ${corpus.count()} -> ${filtered.count()}")
+    filtered.show(4, truncate = false)
+
+    val policies = Map("site-0.test" ->
+      graft.operators.Robots.parse("User-agent: *\nDisallow: /docs/4\nAllow: /docs/42\nCrawl-delay: 1"))
+    val bc = graft.operators.Robots.broadcastPolicies(spark, policies)
+    val admitted = filtered
+      .withColumn("host", urlfns.url_host($"urlNorm"))
+      .withColumn("path", urlfns.url_path($"urlNorm"))
+      .where(graft.operators.Robots.allowedUdf(bc)($"host", $"path"))
+    println(s"SMOKE robots: ${filtered.count()} -> ${admitted.count()}")
+
+    val blocked = docs.select($"doc_id",
+      graft.operators.UrlFilters.isBlockedResponse(
+        concat($"text", when($"doc_id" % 50 === 0,
+          lit(" checking your browser ... cloudflare ray id")).otherwise(lit("")))).as("b"))
+      .where($"b").count()
+    println(s"SMOKE blocked detected: $blocked")
+
     val n = canon.where($"canon".startsWith("https://site-")).count()
     println(s"SMOKE_OK canonicalized=$n of ${urls.count()}")
     spark.stop()
