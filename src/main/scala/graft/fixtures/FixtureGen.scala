@@ -1,0 +1,188 @@
+package graft.fixtures
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.ImageOps
+
+/** Deterministic synthetic-web + image/caption fixtures (FIXTURES.md).
+  * Everything is a pure function of (params, indices) — fixed seed, no wall
+  * clock, no network — so the Spark generators and the pure-Scala reference
+  * simulator (graft.sim.ReferenceSim) see the *same* world.
+  *
+  * Models the reference's test inputs: page/link shapes from
+  * `tests/conftest.py:18-75` + BFS semantics `src/crawler/discovery.py:131-230`;
+  * noise links from `discovery.py:110-114`; blocked pages from
+  * `src/scraper/detection.py:10-21`; plus the image+caption payload mandated
+  * by `BASELINE.json.input_hint`.
+  */
+object FixtureGen {
+
+  final case class Params(
+      hosts: Int = 3,
+      pagesPerHost: Int = 60,
+      /** host 0 gets `skew ×` pages — the deliberately skewed domain. */
+      skew: Int = 4,
+      branching: Int = 3)
+
+  def hostName(h: Int): String = s"site-$h.test"
+  def seedUrl(h: Int): String = s"https://${hostName(h)}/docs"
+  def pageCount(p: Params, h: Int): Int =
+    if (h == 0) p.pagesPerHost * p.skew else p.pagesPerHost
+
+  def hostOffsets(p: Params): Array[Long] = {
+    val off = new Array[Long](p.hosts + 1)
+    var acc = 0L
+    (0 until p.hosts).foreach { h => off(h) = acc; acc += pageCount(p, h) }
+    off(p.hosts) = acc
+    off
+  }
+  def totalPages(p: Params): Long = hostOffsets(p)(p.hosts)
+  def totalImages(p: Params): Long = 2L * totalPages(p)
+
+  // ---- page classes (deterministic by page index j) ----
+  // j%31 == 11 → 404;  == 13 → non-HTML;  == 17 → blocked content;
+  // == 19 → duplicate content of j-1;  == 23 → robots-disallowed /private/;
+  // == 3 → /es/ path (language-filtered);  == 5 → /blog/ (pattern-filtered);
+  // == 7 → .pdf (extension-filtered)
+
+  def pagePath(j: Int): String =
+    if (j == 0) "/docs"
+    else (j % 31) match {
+      case 3  => s"/docs/es/p$j"
+      case 5  => s"/docs/blog/p$j"
+      case 7  => s"/docs/f$j.pdf"
+      case 23 => s"/docs/private/p$j"
+      case _  => s"/docs/p$j"
+    }
+
+  def pageUrl(h: Int, j: Int): String = s"https://${hostName(h)}${pagePath(j)}"
+
+  final case class Page(
+      url: String,
+      status: Int,
+      contentType: String,
+      content: String,
+      links: Seq[String],
+      imageRefs: Seq[String],
+      fetchMethod: String,
+      loadMs: Long)
+
+  def imageId(n: Long): String = f"img-$n%08d"
+
+  /** The synthetic page for (host h, page j). */
+  def page(p: Params, h: Int, j: Int): Page = {
+    val url = pageUrl(h, j)
+    val n = pageCount(p, h)
+    val status = if (j % 31 == 11) 404 else 200
+    val contentType = if (j % 31 == 13) "application/pdf" else "text/html"
+    val content = (j % 31) match {
+      case 17 => s"Just a moment... checking your browser. Cloudflare Ray ID: $h-$j"
+      case 19 => s"Shared   body\ttext of ${hostName(h)} page ${j - 1}\nparagraph."
+      case _  => s"Shared   body\ttext of ${hostName(h)} page $j\nparagraph."
+    }
+    // tree links: children B*j+1 .. B*j+B, href shape varies by child index
+    val children = (1 to p.branching).map(k => p.branching * j + k).filter(_ < n)
+    val childLinks = children.map { c =>
+      val cu = pageUrl(h, c)
+      if (j == 0) cu
+      else (c % 4) match {
+        case 0 => cu                                     // absolute
+        case 1 => pagePath(c)                            // path-absolute
+        case 2 => cu.substring(cu.lastIndexOf('/') + 1) match { // relative
+          case last => last
+        }
+        case _ => cu + "/"                               // trailing slash
+      }
+    }
+    val noise = Seq(
+      s"$url#section",            // contains '#' → extractor skips
+      "mailto:team@example.test", // skipped
+      "javascript:void(0)",       // skipped
+      "tel:+1234",                // skipped
+      "https://other-domain.test/elsewhere", // other domain → dropped
+      s"HTTPS://${hostName(h).toUpperCase}/docs" // case variant of seed → dedup
+    )
+    val ok = status == 200 && contentType == "text/html" && (j % 31 != 17)
+    val globalIdx = hostOffsets(p)(h) + j
+    val refs =
+      if (ok) Seq(imageId(2 * globalIdx), imageId(2 * globalIdx + 1)) else Seq.empty
+    val method = Seq("cache", "native", "proxy", "http", "playwright")(j % 5)
+    Page(url, status, contentType, content, childLinks ++ noise, refs,
+      method, 50L + (j % 7) * 10L)
+  }
+
+  /** robots.txt per host: /docs/private/ disallowed with an /ok carve-out;
+    * host 1 gets a crawl-delay (politeness-budget variation). */
+  def robotsTxt(h: Int): String = {
+    val base =
+      """User-agent: *
+        |Disallow: /docs/private/
+        |Allow: /docs/private/ok
+        |""".stripMargin
+    if (h == 1) base + "Crawl-delay: 2\n" else base
+  }
+
+  def seeds(p: Params): Seq[String] = (0 until p.hosts).map(seedUrl)
+
+  // ---- image payload (input_hint schema) ----
+
+  def imageDims(i: Long): (Int, Int) =
+    (Seq(32, 64, 128, 256)((i % 4).toInt), Seq(32, 48, 96, 192)((i % 4).toInt))
+
+  def imageFmt(i: Long): String = if (i % 2 == 0) "png" else "jpg"
+
+  def caption(i: Long): String = {
+    val toks = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val t1 = toks((i % 6).toInt); val t2 = toks(((i / 6) % 6).toInt)
+    val uni = if (i % 13 == 0) " – café 图片" else ""
+    s"caption $i: $t1 $t2$uni"
+  }
+
+  final case class ImageRow(
+      image_id: String, bytes: Array[Byte], w: Int, h: Int, fmt: String,
+      caption: String, phash: Long)
+
+  /** Deterministic image row for global image index i (encode once; phash
+    * computed from the ENCODED bytes so lossy round-trips agree). */
+  def imageRow(i: Long): ImageRow = {
+    val (w, h) = imageDims(i)
+    val img = ImageOps.toImage(ImageOps.syntheticPixels(i, w, h), w, h)
+    val bytes = ImageOps.encode(img, imageFmt(i))
+    ImageRow(imageId(i), bytes, w, h, imageFmt(i), caption(i),
+      ImageOps.phash64(bytes))
+  }
+
+  // ---- Spark generators (distributed; parallelism scales with cluster) ----
+
+  def imagesDF(spark: SparkSession, p: Params): DataFrame = {
+    import spark.implicits._
+    spark.range(totalImages(p)).as[Long].map(imageRow).toDF()
+  }
+
+  /** images table of an arbitrary row count (bench scale). */
+  def imagesDF(spark: SparkSession, count: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(count).as[Long].map(imageRow).toDF()
+  }
+
+  final case class PageRow(
+      url: String, host: String, status: Int, contentType: String,
+      content: String, links: Seq[String], imageRefs: Seq[String],
+      fetchMethod: String, loadMs: Long)
+
+  def webGraphDF(spark: SparkSession, p: Params): DataFrame = {
+    import spark.implicits._
+    val offsets = hostOffsets(p)
+    spark.range(totalPages(p)).as[Long].map { g =>
+      var h = 0
+      while (h + 1 <= p.hosts - 1 && g >= offsets(h + 1)) h += 1
+      val j = (g - offsets(h)).toInt
+      val pg = page(p, h, j)
+      PageRow(pg.url, hostName(h), pg.status, pg.contentType, pg.content,
+        pg.links, pg.imageRefs, pg.fetchMethod, pg.loadMs)
+    }.toDF()
+  }
+
+  def robotsMap(p: Params): Map[String, graft.operators.Robots.Policy] =
+    (0 until p.hosts).map(h => hostName(h) -> graft.operators.Robots.parse(robotsTxt(h))).toMap
+}

@@ -1,0 +1,216 @@
+package graft.functions
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions.udf
+
+/** C11 — image payload functions for the graft cell
+  * (`BASELINE.json.input_hint`: decoded-pixel allclose, PSNR≥40dB for lossy
+  * formats, 64-bit phash). Pure-JVM via `javax.imageio` (PNG lossless, JPEG
+  * lossy) — no external deps; deterministic within a JDK (fixtures pin
+  * digests, SURVEY §7 hard part #5).
+  */
+object ImageOps {
+
+  private def mix(z0: Long): Long = { // splitmix64 finalizer
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic RGB pixel pattern for image id `i`: a 4×4 grid of
+    * id-keyed color blocks (distinct phash signatures per id) with smooth
+    * in-block gradients and low-amplitude noise (no value wrap-around, so
+    * JPEG round-trips stay above the 40dB gate). */
+  def syntheticPixels(i: Long, w: Int, h: Int): Array[Int] = {
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val by = y * 4 / h
+      var x = 0
+      while (x < w) {
+        val bx = x * 4 / w
+        val bs = mix(i * 16 + by * 4 + bx)
+        // blocks vary mainly in LUMA (JPEG keeps luma at full resolution);
+        // chroma tint stays small so 4:2:0 subsampling can't break the gate
+        val lum = ((bs & 0xff) * 170 / 255).toInt + 20
+        val tintR = (((bs >>> 8) & 0xf) - 8).toInt
+        val tintB = (((bs >>> 12) & 0xf) - 8).toInt
+        val n = mix(i ^ (y.toLong << 20) ^ x.toLong)
+        val r = math.max(0, math.min(255, lum + tintR + x * 40 / w + (n & 0x7).toInt))
+        val g = math.max(0, math.min(255, lum + y * 40 / h + ((n >>> 3) & 0x7).toInt))
+        val b = math.max(0, math.min(255, lum + tintB + (x + y) * 20 / (w + h) + ((n >>> 6) & 0x7).toInt))
+        px(y * w + x) = (r << 16) | (g << 8) | b
+        x += 1
+      }
+      y += 1
+    }
+    px
+  }
+
+  def toImage(px: Array[Int], w: Int, h: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, w, h, px, 0, w)
+    img
+  }
+
+  /** Encode to `fmt` ("png" lossless | "jpg" lossy, fixed quality 0.95 so
+    * the lossy round-trip clears the 40dB PSNR gate deterministically). */
+  def encode(img: BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    if (fmt == "jpg" || fmt == "jpeg") {
+      val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+      val param = writer.getDefaultWriteParam
+      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionQuality(0.95f)
+      val ios = ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      writer.dispose()
+      ios.close()
+    } else {
+      val ok = ImageIO.write(img, fmt, bos)
+      require(ok, s"no imageio writer for $fmt")
+    }
+    bos.toByteArray
+  }
+
+  def decode(bytes: Array[Byte]): BufferedImage =
+    ImageIO.read(new ByteArrayInputStream(bytes))
+
+  private def rgb(img: BufferedImage): Array[Int] =
+    img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
+
+  /** PSNR in dB between two images' RGB channels; identical → capped 999.0
+    * (stands in for +inf so the column stays a plain double). */
+  def psnrDb(aBytes: Array[Byte], bBytes: Array[Byte]): Double = {
+    val a = decode(aBytes); val b = decode(bBytes)
+    psnrImages(a, b)
+  }
+
+  def psnrImages(a: BufferedImage, b: BufferedImage): Double = {
+    if (a.getWidth != b.getWidth || a.getHeight != b.getHeight) return 0.0
+    val pa = rgb(a); val pb = rgb(b)
+    var se = 0.0
+    var i = 0
+    while (i < pa.length) {
+      val x = pa(i); val y = pb(i)
+      val dr = ((x >> 16) & 0xff) - ((y >> 16) & 0xff)
+      val dg = ((x >> 8) & 0xff) - ((y >> 8) & 0xff)
+      val db = (x & 0xff) - (y & 0xff)
+      se += dr * dr + dg * dg + db * db
+      i += 1
+    }
+    val mse = se / (pa.length * 3.0)
+    if (mse == 0.0) 999.0 else 10.0 * math.log10(255.0 * 255.0 / mse)
+  }
+
+  /** PSNR of decoded bytes vs the deterministic synthetic ground truth —
+    * the J7 per-row invariant without shipping reference pixels. */
+  def psnrVsSynthetic(bytes: Array[Byte], i: Long, w: Int, h: Int): Double = {
+    val truth = toImage(syntheticPixels(i, w, h), w, h)
+    psnrImages(decode(bytes), truth)
+  }
+
+  /** 64-bit average-hash perceptual hash: box-downsample to 8×8 luma
+    * (deterministic integer box average, no Graphics2D interpolation),
+    * threshold at mean, MSB-first row-major bit pack. */
+  def phash64(bytes: Array[Byte]): Long = {
+    val img = decode(bytes)
+    phashImage(img)
+  }
+
+  def phashImage(img: BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    val px = rgb(img)
+    val cells = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val cy = math.min(7, y * 8 / h)
+      var x = 0
+      while (x < w) {
+        val cx = math.min(7, x * 8 / w)
+        val p = px(y * w + x)
+        // integer luma (BT.601-ish, integer weights for determinism)
+        val lum = (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 + (p & 0xff) * 114) / 1000
+        cells(cy * 8 + cx) += lum
+        counts(cy * 8 + cx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val avgs = new Array[Long](64)
+    var i = 0
+    var total = 0L
+    while (i < 64) { avgs(i) = if (counts(i) == 0) 0 else cells(i) / counts(i); total += avgs(i); i += 1 }
+    val mean = total / 64
+    var hash = 0L
+    i = 0
+    while (i < 64) { if (avgs(i) > mean) hash |= (1L << (63 - i)); i += 1 }
+    hash
+  }
+
+  /** Hamming distance between two 64-bit hashes (near-dup metric). */
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Deterministic box-average resize (multimodal transform plumbing;
+    * real implementation — decode→pool→encode). */
+  def resizeBox(bytes: Array[Byte], tw: Int, th: Int, fmt: String): Array[Byte] = {
+    val img = decode(bytes)
+    val w = img.getWidth; val h = img.getHeight
+    val px = rgb(img)
+    val out = new BufferedImage(tw, th, BufferedImage.TYPE_INT_RGB)
+    var cy = 0
+    while (cy < th) {
+      val y0 = cy * h / th; val y1 = math.max(y0 + 1, (cy + 1) * h / th)
+      var cx = 0
+      while (cx < tw) {
+        val x0 = cx * w / tw; val x1 = math.max(x0 + 1, (cx + 1) * w / tw)
+        var r = 0L; var g = 0L; var b = 0L; var n = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val p = px(y * w + x)
+            r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff; n += 1
+            x += 1
+          }
+          y += 1
+        }
+        out.setRGB(cx, cy, (((r / n) << 16) | ((g / n) << 8) | (b / n)).toInt)
+        cx += 1
+      }
+      cy += 1
+    }
+    encode(out, fmt)
+  }
+
+  /** Video frame-sampling STUB — no video codec ships in this container.
+    * The Spark-side plumbing (binary column in, array<binary> frames out,
+    * batched per partition) is real; the decode itself is a deterministic
+    * fake that derives `n` "frames" by re-encoding shifted crops. */
+  def sampleFramesStub(bytes: Array[Byte], n: Int): Seq[Array[Byte]] = {
+    val img = decode(bytes)
+    val w = img.getWidth; val h = img.getHeight
+    (0 until n).map { k =>
+      val crop = img.getSubimage(k * w / (2 * math.max(1, n)), 0, w - w / 2, h)
+      encode(crop, "png")
+    }
+  }
+
+  // ---- UDF surface (binary payloads can't be native codegen expressions
+  //      without custom types; scalar UDFs are the right tool here) ----
+
+  val psnrUdf: UserDefinedFunction = udf(psnrDb _)
+  val psnrVsSyntheticUdf: UserDefinedFunction = udf(psnrVsSynthetic _)
+  val phashUdf: UserDefinedFunction = udf(phash64 _)
+  val hammingUdf: UserDefinedFunction = udf(hamming64 _)
+  val widthUdf: UserDefinedFunction = udf((b: Array[Byte]) => decode(b).getWidth)
+  val heightUdf: UserDefinedFunction = udf((b: Array[Byte]) => decode(b).getHeight)
+  val resizeUdf: UserDefinedFunction = udf(resizeBox _)
+}
