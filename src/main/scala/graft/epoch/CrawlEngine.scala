@@ -1,0 +1,280 @@
+package graft.epoch
+
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{Hashing, ImageOps, urlfns}
+import graft.model.CrawlConfig
+import graft.operators.{Frontier, Robots, Seen, UrlFilters}
+import graft.sources.{Fetcher, TableIO}
+
+/** The crawl engine: typed-DataFrame epoch loops over snapshot tables
+  * (SURVEY §3 E1 — the Spark re-expression of `run_job`,
+  * `src/jobs/runner.py:113-877`).
+  *
+  * Two phases, both resumable from any committed epoch (E2):
+  *
+  *  - '''discover''' — BFS by depth level (`discovery.py:131-230`): admit a
+  *    level through Bloom-prune + exact anti-join vs the seen set, cap
+  *    per-host at maxUrls, fetch, extract links (S4), canonicalize, next
+  *    level. One epoch per depth.
+  *  - '''fetch''' — the reference's scrape loop (`runner.py:781`) re-keyed
+  *    by host: deterministic filter (F2) + robots admission (F7) build a
+  *    prioritized frontier (priority = per-host lexicographic rank, W1);
+  *    each epoch dequeues ≤ politeness-budget URLs per host (W3), fetches,
+  *    classifies disposition (failed/blocked/skipped/ok — F5, J2), emits
+  *    validated image+caption rows (J7), appends the dispatch-order log.
+  *
+  * Determinism contract (golden-replay gate, §5.2-3): per host, the
+  * concatenated dequeue order over all fetch epochs equals the reference's
+  * dispatch order, and the final seen/fetched sets match the pure-Scala
+  * reference simulator exactly.
+  */
+final class CrawlEngine(
+    spark: SparkSession,
+    cfg: CrawlConfig,
+    fetcher: Fetcher,
+    images: DataFrame,
+    io: TableIO,
+    policies: Map[String, Robots.Policy]) {
+
+  import spark.implicits._
+
+  private val seedByHost: Map[String, String] =
+    cfg.seedUrls.map(u => graft.util.PyUrl.host(
+      graft.util.PyUrl.canonicalize(u)) -> u).toMap
+
+  private def emptyDf(schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  private val seenSchema = StructType(Seq(
+    StructField("urlNorm", StringType), StructField("host", StringType),
+    StructField("depth", IntegerType)))
+
+  // ------------------------------------------------------------------
+  // phase 1: discovery BFS
+  // ------------------------------------------------------------------
+
+  private def seedLevel: DataFrame =
+    cfg.seedUrls.toDF("url")
+      .select(urlfns.url_canonicalize($"url").as("urlNorm"))
+      .select($"urlNorm", urlfns.url_host($"urlNorm").as("host"))
+      .distinct()
+
+  /** One BFS epoch per depth; commits (seen, level_next) atomically. */
+  private def discoverFrom(startDepth: Int, startLevel: DataFrame,
+      stopAfterDepth: Option[Int] = None): Boolean = {
+    var depth = startDepth
+    var level = startLevel
+    var continue = true
+    while (continue) {
+      val seen = io.read("seen").getOrElse(emptyDf(seenSchema))
+      // Bloom-prune + exact anti-join (J1). Bloom rebuilt from the committed
+      // seen snapshot each epoch via treeAggregate (A5).
+      val fresh0 =
+        if (depth == 0) level
+        else {
+          val bloom = Seen.buildBloom(seen, cfg.bloomExpectedItems, cfg.bloomFpp)
+          Seen.admitPartitioned(level, seen, spark.sparkContext.broadcast(bloom))
+        }
+      // per-host cap (A4): deterministic lexicographic cap, NOT arbitrary
+      // limit. (Reference caps in set-iteration order, which is
+      // PYTHONHASHSEED-dependent — we fix the ambiguity; fixtures stay
+      // under the cap so golden replay is unaffected.)
+      val seenCounts = seen.groupBy("host").agg(count("*").as("seenCnt"))
+      val admitted = fresh0
+        .join(seenCounts, Seq("host"), "left")
+        .na.fill(0L, Seq("seenCnt"))
+        .withColumn("rn", row_number().over(Window.partitionBy("host").orderBy("urlNorm")))
+        .where($"rn" <= lit(cfg.maxUrls.toLong) - $"seenCnt")
+        .select($"urlNorm", $"host", lit(depth).as("depth"))
+        .cache()
+      val admittedCount = admitted.count()
+
+      val nextLevel =
+        if (admittedCount == 0 || depth >= cfg.maxDepth) emptyDf(
+          StructType(seenSchema.fields.take(2)))
+        else {
+          val pages = fetcher.fetchPages(admitted)
+          pages
+            .where($"status" === 200 && $"contentType".contains("text/html"))
+            .select($"urlNorm".as("pageUrl"), $"host", explode($"links").as("href"))
+            .select($"host",
+              urlfns.url_extract_clean($"pageUrl", $"href", $"host").as("clean"))
+            .where($"clean" =!= "")
+            .select(urlfns.url_canonicalize($"clean").as("urlNorm"), $"host")
+            .distinct()
+        }
+      io.commit("discover", depth,
+        tables = Map("level_next" -> nextLevel),
+        appends = Map("seen" -> admitted),
+        counters = Map("admitted" -> admittedCount, "depth" -> depth.toLong))
+      admitted.unpersist()
+      if (stopAfterDepth.contains(depth)) return false // paused (ST2)
+      val nxt = io.read("level_next").get
+      if (nxt.isEmpty) continue = false
+      else { level = nxt; depth += 1 }
+    }
+    true
+  }
+
+  // ------------------------------------------------------------------
+  // phase 2: filter + prioritized politeness fetch
+  // ------------------------------------------------------------------
+
+  private val robotsBc = Robots.broadcastPolicies(spark, policies)
+
+  /** Host budgets: floor(epochMs / max(delayMs, crawlDelay·1000)) (W3). */
+  private def budgetsDf: DataFrame =
+    policies.toSeq.sortBy(_._1).map { case (h, p) =>
+      (h, cfg.hostBudget(p.crawlDelaySec))
+    }.toDF("host", "budget")
+
+  private def fetchInit(): Unit = {
+    val discovered = io.read("seen").getOrElse(emptyDf(seenSchema))
+    // F2 deterministic filter (per-seed base facts) …
+    val filtered = UrlFilters.filterUrlsMulti(discovered, seedByHost, cfg.language)
+    // … then robots admission (F7), mirroring runner.py:284,297-309 order.
+    val admitted =
+      if (cfg.respectRobotsTxt)
+        filtered.where(Robots.allowedUdf(robotsBc)(
+          $"host", urlfns.url_path($"urlNorm")))
+      else filtered
+    val pending = Frontier.prioritize(admitted)
+    io.commit("fetch", 0, tables = Map("pending" -> pending),
+      counters = Map("pending" -> pending.count()))
+  }
+
+  private def fetchEpoch(epoch: Int): Long = {
+    val pending = io.read("pending").get
+    val deq = Frontier.dequeue(pending, budgetsDf,
+      cfg.hostBudget(None), saltCount = 16).cache()
+    val deqCount = deq.count()
+    if (deqCount == 0) { deq.unpersist(); return 0L }
+
+    val obs = Observation(s"fetch_epoch_$epoch")
+    val pages0 = fetcher.fetchPages(deq.select("urlNorm", "host"))
+      .join(deq.select("urlNorm", "priority"), Seq("urlNorm"))
+    val isHtmlOk = $"status" === 200 && $"contentType".contains("text/html")
+    val pages = pages0
+      .withColumn("blocked", UrlFilters.isBlockedResponse($"content"))
+      .withColumn("contentHash",
+        when(isHtmlOk, Hashing.contentHash($"content")).otherwise(lit(null)))
+      .cache()
+
+    // J2 content dedup, host-scoped, priority order decides the keeper:
+    // within-batch winner per (host, hash) + anti-join vs prior epochs.
+    val seenContent = io.read("seen_content").getOrElse(emptyDf(StructType(Seq(
+      StructField("host", StringType), StructField("contentHash", StringType)))))
+    val winners = pages
+      .where(isHtmlOk && !$"blocked")
+      .withColumn("dupRank", row_number().over(
+        Window.partitionBy($"host", $"contentHash").orderBy($"priority")))
+    val okRows = winners
+      .where($"dupRank" === 1)
+      .join(seenContent, Seq("host", "contentHash"), "left_anti")
+      .select($"urlNorm").withColumn("disp_ok", lit(true))
+
+    val classified = pages
+      .join(okRows, Seq("urlNorm"), "left_outer")
+      .withColumn("disposition",
+        when(!isHtmlOk, lit("failed"))
+          .when($"blocked", lit("blocked"))
+          .when($"disp_ok".isNotNull, lit("ok"))
+          .otherwise(lit("skipped")))
+      .observe(obs,
+        count(when($"disposition" === "ok", 1)).as("pages_ok"),
+        count(when($"disposition" === "failed", 1)).as("pages_failed"),
+        count(when($"disposition" === "blocked", 1)).as("pages_blocked"),
+        count(when($"disposition" === "skipped", 1)).as("pages_skipped"))
+      .cache()
+
+    val orderLogNew = classified.select(
+      $"host", $"priority", $"urlNorm", $"disposition",
+      $"fetchMethod".as("fetchMethod"), lit(epoch).as("epoch"))
+
+    // J7 — explode image refs, join the image table, validate per-row
+    val okPages = classified.where($"disposition" === "ok")
+    val refs = okPages.select($"urlNorm", $"fetchMethod", $"loadMs",
+      explode($"imageRefs").as("image_id"))
+    val idNum = regexp_extract($"image_id", "(\\d+)", 1).cast("long")
+    val fetchedNew = refs
+      .join(images, Seq("image_id"))
+      .withColumn("psnr", ImageOps.psnrVsSyntheticUdf($"bytes", idNum, $"w", $"h"))
+      .withColumn("validPixels",
+        ($"fmt" === "png" && $"psnr" === 999.0) || ($"fmt" =!= "png" && $"psnr" >= 40.0))
+      .withColumn("validCaption",
+        $"caption" === graft.fixtures.CaptionCheck.expectedCaption(idNum))
+      .select($"image_id", $"bytes", $"w", $"h", $"fmt", $"caption", $"phash",
+        $"urlNorm".as("url"), $"fetchMethod".as("fetch_method"),
+        $"loadMs".as("load_ms"), lit(epoch).as("epoch"),
+        $"validPixels", $"validCaption")
+      .cache()
+    val invalid = fetchedNew.where(!$"validPixels" || !$"validCaption").count()
+
+    val methodCounts = classified.groupBy("fetchMethod").count()
+      .as[(String, Long)].collect().toMap
+    val pendingNext = pending.join(deq.select("urlNorm"), Seq("urlNorm"), "left_anti")
+
+    val obsCounters: Map[String, Long] =
+      try obs.get.map { case (k, v) => k -> v.asInstanceOf[Long] }
+      catch { case _: Exception => Map.empty }
+    io.commit("fetch", epoch,
+      tables = Map("pending" -> pendingNext),
+      appends = Map(
+        "order_log" -> orderLogNew,
+        "seen_content" -> okPages.select($"host", $"contentHash"),
+        "fetched" -> fetchedNew.drop("validPixels", "validCaption")),
+      counters = obsCounters ++
+        methodCounts.map { case (k, v) => s"method_$k" -> v } ++
+        Map("dequeued" -> deqCount, "images" -> fetchedNew.count(),
+          "invalid_rows" -> invalid))
+    deq.unpersist(); pages.unpersist(); classified.unpersist(); fetchedNew.unpersist()
+    deqCount
+  }
+
+  private def fetchFrom(startEpoch: Int, stopAfterEpoch: Option[Int]): Unit = {
+    var epoch = startEpoch
+    var continue = true
+    while (continue) {
+      val n = fetchEpoch(epoch)
+      if (n == 0) continue = false
+      else if (stopAfterEpoch.contains(epoch)) continue = false
+      else epoch += 1
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // driver API: run / resume (ST2/ST3 — stop between epochs, resume from
+  // the last committed snapshot; mid-epoch kills re-run identically since
+  // uncommitted work is unreferenced)
+  // ------------------------------------------------------------------
+
+  def run(stopAfterFetchEpoch: Option[Int] = None,
+      stopAfterDiscoverDepth: Option[Int] = None): Unit = {
+    io.lastCommitted match {
+      case None =>
+        if (discoverFrom(0, seedLevel, stopAfterDiscoverDepth)) {
+          fetchInit()
+          fetchFrom(1, stopAfterFetchEpoch)
+        }
+      case Some(("discover", d)) =>
+        val nxt = io.read("level_next").get
+        val done = if (!nxt.isEmpty) discoverFrom(d + 1, nxt, stopAfterDiscoverDepth) else true
+        if (done) {
+          fetchInit()
+          fetchFrom(1, stopAfterFetchEpoch)
+        }
+      case Some(("fetch", e)) =>
+        fetchFrom(e + 1, stopAfterFetchEpoch)
+      case Some((other, _)) =>
+        throw new IllegalStateException(s"unknown phase $other")
+    }
+  }
+
+  def orderLog: DataFrame = io.read("order_log").get
+  def seen: DataFrame = io.read("seen").get
+  def fetched: DataFrame = io.read("fetched").get
+}

@@ -116,6 +116,33 @@ case class UrlScheme(child: Expression)
     copy(child = newChild)
 }
 
+/** S4 — the reference link-extractor's per-href transform
+  * (`discovery.py:110-121`): skip hrefs containing #/javascript:/mailto:/tel:,
+  * absolutize against the page URL, keep same-domain http(s), rebuild as
+  * scheme://netloc+path(+?query). Returns "" for dropped hrefs (filter on
+  * nonempty). One parse instead of five chained expressions. */
+case class UrlExtractClean(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "url_extract_clean"
+
+  override def nullSafeEval(pageUrl: Any, href: Any, domain: Any): Any =
+    UTF8String.fromString(PyUrl.extractClean(
+      pageUrl.asInstanceOf[UTF8String].toString,
+      href.asInstanceOf[UTF8String].toString,
+      domain.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (p, h, d) =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.util.PyUrl.extractClean($p.toString(), $h.toString(), $d.toString()))")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): UrlExtractClean =
+    copy(first = f, second = s, third = t)
+}
+
 /** Column-API + SQL registration surface for the URL expressions. */
 object urlfns {
   def url_canonicalize(c: Column): Column = graftshim.toColumn(UrlCanonicalize(graftshim.toExpression(c)))
@@ -123,6 +150,9 @@ object urlfns {
   def url_host(c: Column): Column = graftshim.toColumn(UrlHost(graftshim.toExpression(c)))
   def url_path(c: Column): Column = graftshim.toColumn(UrlPath(graftshim.toExpression(c)))
   def url_scheme(c: Column): Column = graftshim.toColumn(UrlScheme(graftshim.toExpression(c)))
+  def url_extract_clean(pageUrl: Column, href: Column, domain: Column): Column =
+    graftshim.toColumn(UrlExtractClean(graftshim.toExpression(pageUrl),
+      graftshim.toExpression(href), graftshim.toExpression(domain)))
 
   /** Register `url_canonicalize` / `url_resolve` / `url_host` / `url_path`
     * for SQL use in this session. */

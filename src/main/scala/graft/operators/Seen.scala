@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** D2/A5/J1 — the URL-seen set: broadcast Bloom probe + exact anti-join.
+  *
+  * The Bloom filter is rebuilt per epoch via `treeAggregate` (north rule)
+  * and only PRUNES candidate links before the authoritative anti-join —
+  * Bloom has no false negatives, so `prune ∘ confirm ≡ confirm`; the probe
+  * just keeps the shuffled side small at 10^10 scale. Reference analog:
+  * `norm not in visited` (`src/crawler/discovery.py:188,221`).
+  */
+object Seen {
+
+  /** Build the seen-set Bloom via treeAggregate (depth 2 avoids a driver
+    * merge fan-in at scale; the single sanctioned RDD use, SURVEY §4.2). */
+  def buildBloom(seen: DataFrame, expectedItems: Long, fpp: Double): BloomFilter = {
+    val spark = seen.sparkSession
+    import spark.implicits._
+    val zero = BloomFilter.create(math.max(64L, expectedItems), fpp)
+    seen.select("urlNorm").as[String].rdd.treeAggregate(zero)(
+      seqOp = (bf, s) => { bf.putString(s); bf },
+      combOp = (a, b) => { a.mergeInPlace(b); a },
+      depth = 2)
+  }
+
+  /** J1 — exact anti-join admission (authoritative). `candidates` must
+    * carry `urlNorm`. */
+  def admit(candidates: DataFrame, seen: DataFrame): DataFrame =
+    candidates.join(seen.select("urlNorm"), Seq("urlNorm"), "left_anti")
+
+  /** Scale-path admission: candidates the Bloom says are definitely-unseen
+    * skip the join entirely; only possible-hits join. Equivalent result,
+    * far smaller shuffle when the frontier ≫ new links. */
+  def admitPartitioned(candidates: DataFrame, seen: DataFrame,
+      bloom: Broadcast[BloomFilter]): DataFrame = {
+    val mightContain = udf((s: String) => bloom.value.mightContainString(s))
+    val flagged = candidates.withColumn("__maybe", mightContain(col("urlNorm")))
+    val definitelyNew = flagged.where(!col("__maybe")).drop("__maybe")
+    val possible = flagged.where(col("__maybe")).drop("__maybe")
+    val confirmed = possible.join(seen.select("urlNorm"), Seq("urlNorm"), "left_anti")
+    definitelyNew.unionByName(confirmed)
+  }
+}

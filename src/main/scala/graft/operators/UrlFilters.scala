@@ -98,6 +98,50 @@ object UrlFilters {
       .orderBy("urlNorm")
   }
 
+  /** F2 for a multi-seed crawl: same predicates, but base-URL facts
+    * (basePath, baseHasLanguage) come from a small broadcast `seeds` table
+    * joined on host instead of driver constants. Input must carry
+    * (`urlNorm`, `host`); output: (urlNorm, host) distinct.
+    * seeds: Map(host → baseUrl). */
+  def filterUrlsMulti(df: DataFrame, seeds: Map[String, String],
+      language: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val allLangPats = LanguagePatterns.valuesIterator.flatten.toSeq
+    val seedRows = seeds.toSeq.sortBy(_._1).map { case (host, baseUrl) =>
+      val bp = PyUrl.urlparse(baseUrl)
+      val basePath = { var p = bp.path; while (p.endsWith("/")) p = p.dropRight(1); p }
+      val baseHasLang = allLangPats.exists(
+        bp.path.toLowerCase(java.util.Locale.ROOT).contains)
+      (host, basePath, baseHasLang)
+    }
+    val seedsDf = broadcast(seedRows.toDF("host", "basePath", "baseHasLang"))
+
+    val path = rstripSlash(urlfns.url_path(col("urlNorm")))
+    val scheme = urlfns.url_scheme(col("urlNorm"))
+    val langPred = {
+      if (language == "all") lit(true)
+      else {
+        val pathLower = lower(col("path"))
+        val target = LanguagePatterns.getOrElse(language, Seq(s"/$language/"))
+        val others = (LanguagePatterns.keySet - language).toSeq.sorted
+          .flatMap(LanguagePatterns(_))
+        when(containsAny(pathLower, target), lit(true))
+          .when(containsAny(pathLower, others), lit(false))
+          .otherwise(!col("baseHasLang"))
+      }
+    }
+    df.select(col("urlNorm"), col("host"), path.as("path"), scheme.as("scheme"))
+      .join(seedsDf, Seq("host"), "inner") // host ∉ seeds → dropped (other domain)
+      .where(startswith(col("path"), col("basePath")))
+      .where(not(endsWithAny(lower(col("path")), ExcludedExtensions)))
+      .where(not(containsAny(lower(col("path")), ExcludedPatterns)))
+      .where(langPred)
+      .select(concat(col("scheme"), lit("://"), col("host"), col("path")).as("urlNorm"),
+        col("host"))
+      .distinct()
+  }
+
   /** The 8 blocked-response patterns (`detection.py:10-21`), as Spark
     * case-insensitive regexes. */
   val BlockedPatterns: Seq[String] = Seq(

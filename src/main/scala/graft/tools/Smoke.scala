@@ -80,6 +80,21 @@ object Smoke {
       .where($"b").count()
     println(s"SMOKE blocked detected: $blocked")
 
+    // full engine drive: crawl the synthetic web end-to-end
+    val params = graft.fixtures.FixtureGen.Params(hosts = 2, pagesPerHost = 40)
+    val cfg = graft.model.CrawlConfig(
+      seedUrls = graft.fixtures.FixtureGen.seeds(params), maxDepth = 6)
+    val io = new graft.sources.ParquetSnapshotTableIO(
+      spark, java.nio.file.Files.createTempDirectory("graft-smoke").toString)
+    val engine = new graft.epoch.CrawlEngine(spark, cfg,
+      new graft.sources.FixtureFetcher(graft.fixtures.FixtureGen.webGraphDF(spark, params)),
+      graft.fixtures.FixtureGen.imagesDF(spark, params), io,
+      graft.fixtures.FixtureGen.robotsMap(params))
+    engine.run()
+    println(s"SMOKE engine: seen=${engine.seen.count()} order=${engine.orderLog.count()} " +
+      s"fetched=${engine.fetched.count()} counters=${io.lastCounters}")
+    engine.orderLog.orderBy($"host", $"priority").show(8, truncate = false)
+
     val n = canon.where($"canon".startsWith("https://site-")).count()
     println(s"SMOKE_OK canonicalized=$n of ${urls.count()}")
     spark.stop()

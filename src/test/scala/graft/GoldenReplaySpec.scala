@@ -1,0 +1,134 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.epoch.CrawlEngine
+import graft.fixtures.FixtureGen
+import graft.functions.ImageOps
+import graft.model.CrawlConfig
+import graft.sim.ReferenceSim
+import graft.sources.{FixtureFetcher, ParquetSnapshotTableIO}
+
+/** THE north-rule gate (SURVEY §5.2-3): the Spark engine must reproduce the
+  * reference's crawl ordering and URL-seen set exactly, given the same seed
+  * list and politeness budget — verified against the pure-Scala reference
+  * simulator on the deterministic synthetic web; plus per-row image PSNR /
+  * caption validation (J7) and epoch-resume equality (ADR-010 semantics).
+  */
+class GoldenReplaySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val params = FixtureGen.Params(hosts = 3, pagesPerHost = 60, skew = 4)
+  private val cfg = CrawlConfig(
+    seedUrls = FixtureGen.seeds(params),
+    maxDepth = 7,
+    epochSeconds = 30) // default delay 500ms → budget 60; host 1 delay 2s → 15
+
+  private lazy val webGraph = FixtureGen.webGraphDF(spark, params).cache()
+  private lazy val images = FixtureGen.imagesDF(spark, params).cache()
+  private lazy val policies = FixtureGen.robotsMap(params)
+  private lazy val sim = ReferenceSim.crawlAll(params, cfg.maxDepth, cfg.language)
+
+  private def newEngine(dir: String) = new CrawlEngine(
+    spark, cfg, new FixtureFetcher(webGraph), images,
+    new ParquetSnapshotTableIO(spark, dir), policies)
+
+  private lazy val engine: CrawlEngine = {
+    val dir = Files.createTempDirectory("graft-golden").toString
+    val e = newEngine(dir)
+    e.run()
+    e
+  }
+
+  test("URL-seen set equality with the reference (per host)") {
+    val got = engine.seen.select("host", "urlNorm").as[(String, String)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    (0 until params.hosts).foreach { h =>
+      val host = FixtureGen.hostName(h)
+      assert(got.getOrElse(host, Set.empty) == sim(host).seen, s"seen mismatch for $host")
+    }
+  }
+
+  test("crawl (dispatch) ordering equality with the reference (per host)") {
+    val got = engine.orderLog
+      .select("host", "priority", "urlNorm")
+      .as[(String, Long, String)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    (0 until params.hosts).foreach { h =>
+      val host = FixtureGen.hostName(h)
+      assert(got.getOrElse(host, Seq.empty) == sim(host).order, s"order mismatch for $host")
+    }
+  }
+
+  test("dispositions match the reference (failed/blocked/skipped/ok)") {
+    val got = engine.orderLog
+      .select("host", "urlNorm", "disposition")
+      .as[(String, String, String)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    (0 until params.hosts).foreach { h =>
+      val host = FixtureGen.hostName(h)
+      assert(got.getOrElse(host, Map.empty) == sim(host).dispositions,
+        s"disposition mismatch for $host")
+    }
+  }
+
+  test("fetched image+caption rows match the reference and pass J7") {
+    val got = engine.fetched.select("url", "image_id").as[(String, String)]
+      .collect().toSet
+    val expected = sim.values.flatMap(_.fetchedImages).toSet
+    assert(got == expected)
+    // J7 re-validation on the committed table
+    val idNum = regexp_extract($"image_id", "(\\d+)", 1).cast("long")
+    val bad = engine.fetched
+      .withColumn("psnr", ImageOps.psnrVsSyntheticUdf($"bytes", idNum, $"w", $"h"))
+      .withColumn("cap2", graft.fixtures.CaptionCheck.expectedCaption(idNum))
+      .where(
+        ($"fmt" === "png" && $"psnr" =!= 999.0) ||
+        ($"fmt" === "jpg" && $"psnr" < 40.0) ||
+        ($"cap2" =!= $"caption")).count()
+    assert(bad == 0)
+  }
+
+  test("politeness budget shapes epochs: per-host per-epoch counts bounded") {
+    val perEpoch = engine.orderLog.groupBy("host", "epoch").count()
+      .as[(String, Int, Long)].collect()
+    perEpoch.foreach { case (host, _, n) =>
+      val budget = if (host == FixtureGen.hostName(1)) 15 else 60 // crawl-delay 2s vs 500ms
+      assert(n <= budget, s"$host epoch over budget: $n > $budget")
+    }
+    // the slow host takes more epochs than its size/defaultBudget would need
+    val host1Epochs = perEpoch.filter(_._1 == FixtureGen.hostName(1)).map(_._2).distinct
+    assert(host1Epochs.length >= 2, "crawl-delay host should span multiple epochs")
+  }
+
+  test("resume after pause (fetch epoch 1) reproduces the uninterrupted run") {
+    val dir = Files.createTempDirectory("graft-resume").toString
+    val e1 = newEngine(dir)
+    e1.run(stopAfterFetchEpoch = Some(1)) // pause between epochs (ST2)
+    val e2 = newEngine(dir)                // new engine, same tables
+    e2.run()                               // resumes from last committed epoch
+    val a = e2.orderLog.select("host", "priority", "urlNorm", "disposition")
+      .as[(String, Long, String, String)].collect().sortBy(t => (t._1, t._2)).toSeq
+    val b = engine.orderLog.select("host", "priority", "urlNorm", "disposition")
+      .as[(String, Long, String, String)].collect().sortBy(t => (t._1, t._2)).toSeq
+    assert(a == b, "resumed order log differs from uninterrupted run")
+    val fa = e2.fetched.select("image_id", "url").as[(String, String)].collect().toSet
+    val fb = engine.fetched.select("image_id", "url").as[(String, String)].collect().toSet
+    assert(fa == fb)
+  }
+
+  test("resume after pause mid-discovery reproduces the uninterrupted run") {
+    val dir = Files.createTempDirectory("graft-resume-disc").toString
+    val e1 = newEngine(dir)
+    e1.run(stopAfterDiscoverDepth = Some(2))
+    val e2 = newEngine(dir)
+    e2.run()
+    val a = e2.seen.select("host", "urlNorm").as[(String, String)].collect().toSet
+    val b = engine.seen.select("host", "urlNorm").as[(String, String)].collect().toSet
+    assert(a == b)
+  }
+}
