@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Deduplication family for training-data pipelines, built Spark-first:
+  *
+  *  - exact        — hash-groupBy (map-side partial agg, one shuffle)
+  *  - MinHash+LSH  — shingle → minhash signature → band → bucket join →
+  *                   exact-Jaccard verify (precision 1.0 by construction;
+  *                   recall from (bands, rowsPerBand) — classic S-curve)
+  *  - SimHash      — 64-bit token-weight hash, hamming-band candidates
+  *  - n-gram Jaccard — exact set similarity via array_intersect/union
+  *  - embedding-cosine near-dup — sign-LSH buckets + cosine verify
+  *
+  * All shuffles are keyed by hash-derived columns (uniform by construction,
+  * no skew); candidate generation never materializes the O(n²) pair space.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest id per normalized-content hash.
+    * One hash-aggregate shuffle; at 100 TB this is the cheapest possible
+    * exact formulation (no sort, no window over the full table). */
+  def exact(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    df.select(idCol.as("id"), Hashing.contentHash(textCol).as("contentHash"))
+      .groupBy("contentHash").agg(min("id").as("keep_id"), count("*").as("dup_count"))
+
+  /** Distinct character k-shingles of a string, as a column expression
+    * (no UDF): substring sweep via transform(sequence(...)). */
+  def shingles(text: Column, k: Int): Column =
+    when(length(text) < k, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(1), length(text) - (k - 1)),
+          i => text.substr(i, lit(k)))))
+
+  /** MinHash signature: for seed s, min over shingles of xxhash64(s, shingle).
+    * numHashes independent permutation approximations, pure column expr. */
+  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)), s =>
+      array_min(transform(shinglesCol, sh => xxhash64(s, sh))))
+
+  /** LSH banding: (bandId, bandHash) pairs from a signature. */
+  def bands(signature: Column, numBands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(numBands - 1)), b =>
+      struct(b.as("band"),
+        xxhash64(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand))).as("bandHash")))
+
+  /** Exact Jaccard of two distinct-element arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    when(size(array_union(a, b)) === 0, lit(0.0))
+      .otherwise(size(array_intersect(a, b)).cast("double") /
+        size(array_union(a, b)).cast("double"))
+
+  /** MinHash+LSH near-dup pairs with exact-Jaccard verification.
+    * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    *
+    * Plan shape (scale notes):
+    *  1. one pass: shingle + signature per row        (narrow, codegen)
+    *  2. explode bands → shuffle on (band, bandHash)  (uniform keys)
+    *  3. self-join within buckets → candidate pairs   (bucket sizes ≈ dup
+    *     cluster sizes, not n — LSH keeps this sparse)
+    *  4. dedup candidates, join back both sides' shingles, verify exactly.
+    */
+  def minhashPairs(df: DataFrame, idCol: Column, textCol: Column,
+      shingleK: Int = 5, numBands: Int = 16, rowsPerBand: Int = 2,
+      threshold: Double = 0.8): DataFrame = {
+    val numHashes = numBands * rowsPerBand
+    val base = df.select(idCol.as("id"), textCol.as("text"))
+      .withColumn("sh", shingles(col("text"), shingleK))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val banded = base
+      .select(col("id"), explode(bands(col("sig"), numBands, rowsPerBand)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.bandHash").as("bandHash"))
+    val l = banded.as("l"); val r = banded.as("r")
+    val candidates = l.join(r,
+        col("l.band") === col("r.band") &&
+        col("l.bandHash") === col("r.bandHash") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    val sh = base.select(col("id"), col("sh"))
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash over whitespace tokens (xxhash64 per token, per-bit
+    * majority vote). UDF: per-bit voting isn't expressible as a compact
+    * column expression; the UDF runs fully distributed. */
+  val simhash64: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (tokens: Seq[String]) =>
+      val counts = new Array[Int](64)
+      tokens.foreach { t =>
+        // splitmix64 over the (spec-stable) String.hashCode
+        var z = t.hashCode.toLong + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        val h2 = z ^ (z >>> 31)
+        var b = 0
+        while (b < 64) { if (((h2 >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1; b += 1 }
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+      out
+    }
+
+  /** SimHash near-dup pairs: band the 64-bit hash into (maxHamming+1)
+    * equal-width keys (pigeonhole: any pair with hamming ≤ maxHamming
+    * shares at least one exact band), bucket-join, verify hamming. */
+  def simhashPairs(df: DataFrame, idCol: Column, textCol: Column,
+      maxHamming: Int = 3): DataFrame = {
+    val numBands = maxHamming + 1
+    require(64 % numBands == 0, s"maxHamming+1 must divide 64, got $numBands")
+    val bandBits = 64 / numBands
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    val hashed = df.select(idCol.as("id"),
+      simhash64(split(trim(textCol), "\\s+")).as("sim"))
+    val banded = hashed.select(col("id"), col("sim"),
+      explode(array((0 until numBands).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sim"), b * bandBits).bitwiseAND(lit(mask)).as("key"))): _*)).as("b"))
+      .select(col("id"), col("sim"), col("b.band"), col("b.key"))
+    val l = banded.as("l"); val r = banded.as("r")
+    val hamming = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
+    l.join(r,
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.sim").as("sim_a"), col("r.sim").as("sim_b"))
+      .distinct()
+      .withColumn("hamming", hamming(col("sim_a"), col("sim_b")))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Embedding near-dup via sign-LSH prefilter + exact cosine verify.
+    * planes: deterministic pseudo-random hyperplanes (seeded, broadcast
+    * as literals). Returns (id_a, id_b, cos) with cos ≥ threshold. */
+  def embeddingPairs(df: DataFrame, idCol: Column, vecCol: Column,
+      dim: Int, numPlanes: Int = 16, threshold: Double = 0.95): DataFrame = {
+    val keyed = df.select(idCol.as("id"), vecCol.cast("array<double>").as("v"))
+      .withColumn("bucket", Similarity.signBits(col("v"), dim, numPlanes))
+    val l = keyed.as("l"); val r = keyed.as("r")
+    l.join(r, col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        Similarity.cosine(col("l.v"), col("r.v")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+}

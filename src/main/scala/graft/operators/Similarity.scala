@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  *  - [[cosine]]        — pure column expression (zip_with + aggregate),
+  *                        double precision, sequential summation (matches
+  *                        the DuckDB oracle bit-for-bit)
+  *  - [[bruteForceTopK]] — exact baseline: broadcast the query set, scan
+  *                        the corpus once, per-query top-k via window
+  *  - [[lshTopK]]       — scale path: sign-LSH bucket candidates (multi-
+  *                        probe within hamming-1 of the query bucket),
+  *                        exact re-rank inside buckets
+  */
+object Similarity {
+
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
+    * ±1 from splitmix64 parity — cheap, seedable, identical everywhere. */
+  private def planeSign(p: Int, d: Int): Double = {
+    var z = (p.toLong << 32 | d.toLong) + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    if (((z ^ (z >>> 31)) & 1L) == 0L) 1.0 else -1.0
+  }
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+
+  /** Cosine similarity in double precision (cast float arrays first). */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = a.cast("array<double>"); val bd = b.cast("array<double>")
+    dot(ad, bd) / (norm(ad) * norm(bd))
+  }
+
+  /** Sign-LSH bucket id: numPlanes sign bits of ±1-hyperplane projections.
+    * Pure column expression — the planes unroll into the plan as literals
+    * (numPlanes × dim is small). */
+  def signBits(vec: Column, dim: Int, numPlanes: Int): Column = {
+    val v = vec.cast("array<double>")
+    val bits: Seq[Column] = (0 until numPlanes).map { p =>
+      val proj = (0 until dim).map { d =>
+        element_at(v, d + 1) * lit(planeSign(p, d))
+      }.reduce(_ + _)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Exact brute-force top-k neighbors for each query row.
+    * queries is expected to be small (broadcast); corpus is scanned once.
+    * Returns (qid, id, cos, rank ≤ k); self-matches excluded. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("id"), col("embedding").as("v"))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val scored = c.join(broadcast(q), col("id") =!= col("qid"))
+      .withColumn("cos", cosine(col("qv"), col("v")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("cos"), col("id"))))
+      .where(col("rank") <= k)
+      .select("qid", "id", "cos", "rank")
+  }
+
+  /** ANN top-k: candidates = corpus rows whose LSH bucket is within
+    * hamming-1 of the query's bucket (multi-probe), exact cosine re-rank.
+    * Trades recall for touching ~ (numPlanes+1)/2^numPlanes of the corpus
+    * per query — the 100 TB path where brute force is a full scan per
+    * query batch. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      dim: Int, numPlanes: Int = 12): DataFrame = {
+    val c = corpus.select(col("vec_id").as("id"), col("embedding").as("v"))
+      .withColumn("bucket", signBits(col("v"), dim, numPlanes))
+    val probes = (0 until numPlanes).map(p => lit(1L << p)) :+ lit(0L)
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .withColumn("qbucket", signBits(col("qv"), dim, numPlanes))
+      .withColumn("probe", explode(array(probes: _*)))
+      .withColumn("bucket", col("qbucket").bitwiseXOR(col("probe")))
+    c.join(broadcast(q.select("qid", "qv", "bucket")), Seq("bucket"))
+      .where(col("id") =!= col("qid"))
+      .withColumn("cos", cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("cos"), col("id"))))
+      .where(col("rank") <= k)
+      .select("qid", "id", "cos", "rank")
+  }
+}

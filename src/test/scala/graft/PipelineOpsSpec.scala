@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.fingerprintfns
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Training-data pipeline operators: text analysis, dedup family,
+  * similarity search. */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
+  lazy val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+  test("tokenCount: whitespace and BPE-ish") {
+    val got = Seq("one two  three", "", "   ", "don't stop!").toDF("t")
+      .select(TextAnalysis.tokenCount($"t"), TextAnalysis.tokenCountBpe($"t"))
+      .as[(Int, Int)].collect()
+    assert(got(0) == ((3, 3)))
+    assert(got(1)._1 == 0 && got(2)._1 == 0)
+    assert(got(3)._1 == 2)
+    assert(got(3)._2 == 4) // don | 't | _stop | !
+  }
+
+  test("langId heuristic") {
+    val got = Seq(
+      "the cat and the dog sat in the garden",
+      "el perro y la gata en los jardines de madrid",
+      "le chat et les chiens du jardin est un",
+      "der hund und die katze ist ein nicht zu",
+      "这 是 一个 中文 文档 的 例子",
+      "xyzzy qwerty 12345").toDF("t")
+      .select(TextAnalysis.langId($"t")).as[String].collect().toSeq
+    assert(got == Seq("en", "es", "fr", "de", "zh", "unknown"))
+  }
+
+  test("qualityScore integer gates") {
+    val good = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    val short = "hi"
+    val got = Seq(good, short).toDF("t")
+      .select(TextAnalysis.qualityScore($"t")).as[Int].collect()
+    assert(got(0) == 100, s"good text scored ${got(0)}")
+    assert(got(1) == 25) // only avg-word-length gate passes for "hi"
+  }
+
+  test("rolling fingerprint: deterministic, distinct, codegen path") {
+    fingerprintfns.register(spark)
+    val fps = docs.select(fingerprintfns.rolling_fingerprint($"text").as("fp"))
+      .as[Long].collect()
+    assert(fps.length == 500 && fps.toSet.size >= 499) // distinct texts → distinct fps
+    val twice = docs.select(fingerprintfns.rolling_fingerprint($"text").as("fp"))
+      .as[Long].collect()
+    assert(fps.toSeq == twice.toSeq)
+    val sql = docs.limit(5).createOrReplaceTempView("fp_docs")
+    val viaSql = spark.sql("SELECT rolling_fingerprint(text) FROM fp_docs").count()
+    assert(viaSql == 5)
+  }
+
+  test("shingles + jaccard") {
+    val got = Seq(("abcde", "bcdef")).toDF("a", "b")
+      .select(Dedup.shingles($"a", 3).as("sa"), Dedup.shingles($"b", 3).as("sb"))
+      .select($"sa", $"sb", Dedup.jaccard($"sa", $"sb").as("j"))
+      .as[(Seq[String], Seq[String], Double)].head()
+    assert(got._1 == Seq("abc", "bcd", "cde"))
+    assert(got._2 == Seq("bcd", "cde", "def"))
+    assert(math.abs(got._3 - 0.5) < 1e-12) // |{bcd,cde}| / |{abc,bcd,cde,def}|
+    val short = Seq("ab").toDF("a").select(Dedup.shingles($"a", 3)).as[Seq[String]].head()
+    assert(short.isEmpty)
+  }
+
+  test("exact dedup finds injected duplicates") {
+    val aug = docs.select($"doc_id", $"text")
+      .unionByName(docs.where($"doc_id" % 10 === 0)
+        .select(($"doc_id" + 1000000).as("doc_id"), $"text"))
+    val groups = Dedup.exact(aug, $"doc_id", $"text")
+    assert(groups.where($"dup_count" >= 2).count() == 50)
+    assert(groups.where($"dup_count" >= 2 && $"keep_id" >= 1000000).count() == 0)
+  }
+
+  test("minhash LSH finds near-duplicates with exact verification") {
+    // light mutation: new 7-char head — jaccard stays ≥0.8, so the 16×2
+    // S-curve gives P(miss) ≈ (1-0.8²)^16 ≈ 3e-8 per pair
+    val aug = docs.select($"doc_id", $"text")
+      .unionByName(docs.where($"doc_id" % 10 === 0).select(
+        ($"doc_id" + 1000000).as("doc_id"),
+        concat(lit("mutate "), expr("substring(text, 8)")).as("text")))
+    val pairs = Dedup.minhashPairs(aug, $"doc_id", $"text",
+      shingleK = 5, numBands = 16, rowsPerBand = 2, threshold = 0.6)
+      .as[(Long, Long, Double)].collect()
+    val injected = pairs.filter(p => p._2 == p._1 + 1000000)
+    assert(injected.length == 50, s"found ${injected.length}/50 injected near-dups")
+    assert(pairs.forall(_._3 >= 0.6)) // precision: every pair is verified
+  }
+
+  test("simhash finds near-duplicates") {
+    val aug = docs.select($"doc_id", $"text")
+      .unionByName(docs.where($"doc_id" % 10 === 0).select(
+        ($"doc_id" + 1000000).as("doc_id"),
+        concat($"text", lit(" tailword")).as("text")))
+    val pairs = Dedup.simhashPairs(aug, $"doc_id", $"text", maxHamming = 7)
+      .as[(Long, Long, Int)].collect()
+    val injected = pairs.filter(p => p._2 == p._1 + 1000000)
+    assert(injected.length >= 45, s"found ${injected.length}/50 injected near-dups")
+    assert(pairs.forall(_._3 <= 7))
+  }
+
+  test("brute-force cosine top-k: exact copy is rank 1") {
+    val aug = embs.unionByName(embs.where($"vec_id" < 5).select(
+      ($"vec_id" + 1000000).as("vec_id"), $"embedding", $"label"))
+    val queries = aug.where($"vec_id" >= 1000000)
+    val top = Similarity.bruteForceTopK(aug, queries, 3)
+      .where($"rank" === 1).select($"qid", $"id").as[(Long, Long)].collect().toMap
+    (0L until 5L).foreach { q =>
+      assert(top(q + 1000000) == q, s"top-1 of copy $q should be the original")
+    }
+  }
+
+  test("LSH ANN recall vs brute force") {
+    val queries = embs.where($"vec_id" < 10)
+    val brute = Similarity.bruteForceTopK(embs, queries, 5)
+      .select($"qid", $"id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.lshTopK(embs, queries, 5, dim = 64, numPlanes = 6)
+      .select($"qid", $"id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect ann).size.toDouble / brute.size
+    assert(recall >= 0.4, s"ANN recall $recall too low") // multi-probe hamming-1
+    assert(ann.size <= 50)
+  }
+
+  test("embedding near-dup pairs") {
+    val aug = embs.unionByName(embs.where($"vec_id" < 20).select(
+      ($"vec_id" + 1000000).as("vec_id"), $"embedding", $"label"))
+    val pairs = Dedup.embeddingPairs(aug, $"vec_id", $"embedding",
+      dim = 64, numPlanes = 8, threshold = 0.999)
+      .as[(Long, Long, Double)].collect()
+    val injected = pairs.filter(p => p._2 == p._1 + 1000000)
+    assert(injected.length == 20, s"found ${injected.length}/20 exact-copy pairs")
+  }
+}
