@@ -13,7 +13,14 @@ import org.apache.spark.sql.functions.udf
   * lossy) — no external deps; deterministic within a JDK (fixtures pin
   * digests, SURVEY §7 hard part #5).
   */
+final case class ValidationResult(psnr: Double, phash: Long)
+
 object ImageOps {
+
+  // ImageIO's default stream cache writes a temp FILE per encode/decode —
+  // measured 32-thread scaling collapse (efficiency 0.3) came from that fs
+  // contention. In-memory streams only.
+  ImageIO.setUseCache(false)
 
   private def mix(z0: Long): Long = { // splitmix64 finalizer
     var z = z0 + 0x9e3779b97f4a7c15L
@@ -58,15 +65,17 @@ object ImageOps {
     img
   }
 
-  /** Encode to `fmt` ("png" lossless | "jpg" lossy, fixed quality 0.95 so
-    * the lossy round-trip clears the 40dB PSNR gate deterministically). */
+  /** Encode to `fmt` ("png" lossless | "jpg" lossy, fixed quality 0.97 —
+    * 0.95 left the 64×48 class at 39.8-40.0dB where the 4×4 color-block
+    * grid misaligns with JPEG's 8×8 DCT blocks; 0.97 clears the 40dB gate
+    * with margin on every size class). */
   def encode(img: BufferedImage, fmt: String): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     if (fmt == "jpg" || fmt == "jpeg") {
       val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
       val param = writer.getDefaultWriteParam
       param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-      param.setCompressionQuality(0.95f)
+      param.setCompressionQuality(0.97f)
       val ios = ImageIO.createImageOutputStream(bos)
       writer.setOutput(ios)
       writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
@@ -205,6 +214,19 @@ object ImageOps {
 
   // ---- UDF surface (binary payloads can't be native codegen expressions
   //      without custom types; scalar UDFs are the right tool here) ----
+
+  /** One-decode validation: (psnr vs synthetic truth, phash) — the hot
+    * fetch+verify path decodes once instead of twice. */
+  def validate(bytes: Array[Byte], i: Long, w: Int, h: Int): (Double, Long) = {
+    val img = decode(bytes)
+    val truth = toImage(syntheticPixels(i, w, h), w, h)
+    (psnrImages(img, truth), phashImage(img))
+  }
+
+  val validateUdf: UserDefinedFunction = udf((b: Array[Byte], i: Long, w: Int, h: Int) => {
+    val (p, ph) = validate(b, i, w, h)
+    ValidationResult(p, ph)
+  })
 
   val psnrUdf: UserDefinedFunction = udf(psnrDb _)
   val psnrVsSyntheticUdf: UserDefinedFunction = udf(psnrVsSynthetic _)
