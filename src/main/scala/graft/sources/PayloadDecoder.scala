@@ -1,0 +1,62 @@
+package graft.sources
+
+import java.awt.image.BufferedImage
+
+import graft.functions.ImageOps
+
+/** X1 — payload decoder plugin registry (the reference's converter plugin
+  * system, `src/converters/base.py:10-27` + `__init__.py:15-52`, with the
+  * payload swapped from markdown converters to image decoders per the
+  * graft cell). Decoders run per-row inside the fetch/validate operators.
+  */
+trait PayloadDecoder extends Serializable {
+  def fmt: String
+  def lossless: Boolean
+  def decode(bytes: Array[Byte]): BufferedImage
+  def encode(img: BufferedImage): Array[Byte]
+
+  /** Per-row J7 invariant for this format: exact pixels if lossless,
+    * PSNR ≥ 40 dB otherwise. */
+  def valid(psnrDb: Double): Boolean =
+    if (lossless) psnrDb == 999.0 else psnrDb >= 40.0
+}
+
+final class PngDecoder extends PayloadDecoder {
+  override val fmt = "png"
+  override val lossless = true
+  override def decode(bytes: Array[Byte]): BufferedImage = ImageOps.decode(bytes)
+  override def encode(img: BufferedImage): Array[Byte] = ImageOps.encode(img, "png")
+}
+
+final class JpgDecoder extends PayloadDecoder {
+  override val fmt = "jpg"
+  override val lossless = false
+  override def decode(bytes: Array[Byte]): BufferedImage = ImageOps.decode(bytes)
+  override def encode(img: BufferedImage): Array[Byte] = ImageOps.encode(img, "jpg")
+}
+
+/** Audio/video payloads: the codec libraries don't ship in this container,
+  * so decode is STUBBED (clearly marked); the registry/dispatch plumbing,
+  * schema and batch shape are real and tested. */
+final class VideoFrameDecoderStub extends PayloadDecoder {
+  override val fmt = "video"
+  override val lossless = false
+  override def decode(bytes: Array[Byte]): BufferedImage =
+    ImageOps.decode(ImageOps.sampleFramesStub(bytes, 1).head) // deterministic fake
+  override def encode(img: BufferedImage): Array[Byte] = ImageOps.encode(img, "png")
+}
+
+/** Registry (reference `register_converter`/`get_converter` semantics:
+  * last registration wins, unknown fmt → error). */
+object DecoderRegistry {
+  @volatile private var decoders: Map[String, PayloadDecoder] = Map(
+    "png" -> new PngDecoder,
+    "jpg" -> new JpgDecoder,
+    "jpeg" -> new JpgDecoder,
+    "video" -> new VideoFrameDecoderStub)
+
+  def register(d: PayloadDecoder): Unit = synchronized { decoders += (d.fmt -> d) }
+  def get(fmt: String): PayloadDecoder =
+    decoders.getOrElse(fmt, throw new IllegalArgumentException(s"no decoder for $fmt"))
+  def supported: Set[String] = decoders.keySet
+}

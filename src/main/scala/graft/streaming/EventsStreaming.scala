@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** §2.8 — incremental semantics as Structured Streaming.
+  *
+  * The engine's epoch loop is the chosen incremental engine for the crawl
+  * itself (exact-replay determinism, SURVEY ST1), but the streaming-shaped
+  * mechanisms are provided as first-class Structured Streaming operators:
+  *
+  *  - [[hourlyCounts]] — event-time tumbling window + watermark (the
+  *    telemetry/metrics stream, D9/D10 analog)
+  *  - [[politenessThrottle]] — `flatMapGroupsWithState` keyed by host:
+  *    per-host token-bucket admission, the continuous-mode frontier
+  *    scheduler sketch (documented future work in SURVEY §2.8).
+  */
+object EventsStreaming {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampNTZType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-stream over an events DIRECTORY → watermarked hourly windows →
+    * memory sink (synchronous for tests via Trigger.AvailableNow). */
+  def hourlyCounts(spark: SparkSession, eventsDir: String, queryName: String): StreamingQuery = {
+    val stream = spark.readStream.schema(eventSchema).parquet(eventsDir)
+    val agg = stream
+      .withColumn("ts_ltz", col("ts").cast("timestamp"))
+      .withWatermark("ts_ltz", "1 hour")
+      .groupBy(window(col("ts_ltz"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")) * 100).cast("long").as("value_c"))
+    agg.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow()).start()
+  }
+
+  final case class FrontierReq(host: String, urlNorm: String, priority: Long)
+  final case class HostBudgetState(admittedTotal: Long)
+  final case class Admitted(host: String, urlNorm: String, admittedSeq: Long)
+
+  /** Per-host stateful admission: at most `budgetPerBatch` URLs per host per
+    * micro-batch, cumulative count kept in state — the W3 politeness window
+    * expressed as `flatMapGroupsWithState` for a continuously-arriving
+    * frontier. Deterministic: requests sorted by (priority, urlNorm) within
+    * the group before admission. */
+  def politenessThrottle(reqs: Dataset[FrontierReq], budgetPerBatch: Int): Dataset[Admitted] = {
+    import reqs.sparkSession.implicits._
+    reqs.groupByKey(_.host)
+      .flatMapGroupsWithState[HostBudgetState, Admitted](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (host: String, it: Iterator[FrontierReq], state: GroupState[HostBudgetState]) =>
+          val prev = state.getOption.getOrElse(HostBudgetState(0L))
+          val batch = it.toSeq.sortBy(r => (r.priority, r.urlNorm)).take(budgetPerBatch)
+          state.update(HostBudgetState(prev.admittedTotal + batch.size))
+          batch.zipWithIndex.iterator.map { case (r, i) =>
+            Admitted(host, r.urlNorm, prev.admittedTotal + i + 1)
+          }
+      }
+  }
+
+  /** Drive [[politenessThrottle]] over a rate-limited file stream of
+    * frontier requests (for tests/demo): returns the query writing to a
+    * memory sink. */
+  def throttleQuery(spark: SparkSession, frontierDir: String, queryName: String,
+      budgetPerBatch: Int): StreamingQuery = {
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("host", StringType), StructField("urlNorm", StringType),
+      StructField("priority", LongType)))
+    val reqs = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(frontierDir)
+      .as[FrontierReq]
+    politenessThrottle(reqs, budgetPerBatch)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow()).start()
+  }
+}

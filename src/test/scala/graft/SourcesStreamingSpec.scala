@@ -1,0 +1,152 @@
+package graft
+
+import java.util.zip.GZIPOutputStream
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DepthHeuristicScorer, IdentityScorer, Relevance, Ssrf}
+import graft.sources.{DecoderRegistry, Sitemaps}
+import graft.streaming.EventsStreaming
+
+/** S1 sitemap expansion, F6 SSRF, F8 relevance stage, X1 decoder registry,
+  * §2.8 streaming. */
+class SourcesStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def urlset(urls: String*): Array[Byte] =
+    (s"""<?xml version="1.0" encoding="UTF-8"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |${urls.map(u => s"<url><loc>$u</loc></url>").mkString("\n")}
+        |</urlset>""".stripMargin).getBytes("UTF-8")
+
+  private def index(children: String*): Array[Byte] =
+    (s"""<?xml version="1.0" encoding="UTF-8"?>
+        |<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |${children.map(u => s"<sitemap><loc>$u</loc></sitemap>").mkString("\n")}
+        |</sitemapindex>""".stripMargin).getBytes("UTF-8")
+
+  private def gz(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new GZIPOutputStream(bos); g.write(b); g.close()
+    bos.toByteArray
+  }
+
+  test("sitemap parse: urlset, index, gzip, invalid XML tolerance") {
+    val (u1, c1) = Sitemaps.parse(urlset("https://a.test/docs/x", "https://a.test/docs/y"), gzipped = false)
+    assert(u1 == Seq("https://a.test/docs/x", "https://a.test/docs/y") && c1.isEmpty)
+    val (u2, c2) = Sitemaps.parse(index("https://a.test/sm1.xml"), gzipped = false)
+    assert(u2.isEmpty && c2 == Seq("https://a.test/sm1.xml"))
+    val (u3, c3) = Sitemaps.parse(gz(urlset("https://a.test/docs/z")), gzipped = true)
+    assert(u3 == Seq("https://a.test/docs/z"))
+    val (u4, c4) = Sitemaps.parse("<not-xml!!<<".getBytes, gzipped = false)
+    assert(u4.isEmpty && c4.isEmpty)
+    // XXE: doctype rejected, not expanded
+    val evil = """<?xml version="1.0"?><!DOCTYPE x [<!ENTITY e SYSTEM "file:///etc/passwd">]>
+                 |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"><url><loc>&e;</loc></url></urlset>"""
+      .stripMargin.getBytes
+    val (u5, _) = Sitemaps.parse(evil, gzipped = false)
+    assert(u5.isEmpty)
+  }
+
+  test("sitemap expand: nested index + gzip + domain/path filter + canonicalize") {
+    val rows = Seq(
+      ("https://a.test/sitemap.xml", index("https://a.test/sm1.xml", "https://a.test/sm2.xml.gz"), false),
+      ("https://a.test/sm1.xml",
+        urlset("https://a.test/docs/P1/", "https://a.test/docs/p2#frag",
+          "https://OTHER.test/docs/p3", "https://a.test/outside/p4"), false),
+      ("https://a.test/sm2.xml.gz", gz(urlset("https://a.test/docs/p5")), true))
+      .toDF("sitemap_url", "body", "gzipped")
+    val got = Sitemaps.expand(rows, Seq("https://a.test/sitemap.xml"), "https://a.test/docs")
+      .orderBy("urlNorm").as[String].collect().toSeq
+    assert(got == Seq("https://a.test/docs/P1", "https://a.test/docs/p2", "https://a.test/docs/p5"))
+  }
+
+  test("SSRF: literal private IPs rejected, names pass without resolver") {
+    assert(Ssrf.isSsrf("http://127.0.0.1/x"))
+    assert(Ssrf.isSsrf("http://10.2.3.4/x"))
+    assert(Ssrf.isSsrf("http://192.168.1.1:8080/x"))
+    assert(Ssrf.isSsrf("http://169.254.1.1/x"))
+    assert(Ssrf.isSsrf("http://172.16.0.9/x"))
+    assert(Ssrf.isSsrf("http://[::1]/x"))
+    assert(Ssrf.isSsrf("http://[fc00::1]/x"))
+    assert(!Ssrf.isSsrf("http://93.184.216.34/x"))
+    assert(!Ssrf.isSsrf("https://example.com/x")) // no DNS in sandbox
+    // with a resolver fixture
+    val resolver = Map("evil.test" -> "10.0.0.1", "ok.test" -> "93.184.216.34")
+    def res(h: String) = resolver.get(h).map(java.net.InetAddress.getByName)
+    assert(Ssrf.isSsrf("https://evil.test/x", res))
+    assert(!Ssrf.isSsrf("https://ok.test/x", res))
+    val df = Seq("http://127.0.0.1/x", "https://fine.test/y").toDF("url")
+    assert(Ssrf.filter(df, $"url").count() == 1)
+  }
+
+  test("relevance stage: identity keeps lexicographic order; scorer output semi-joined") {
+    val cands = Seq(
+      ("https://a.test/b", "a.test"), ("https://a.test/a/deep/path", "a.test"),
+      ("https://a.test/c", "a.test")).toDF("urlNorm", "host")
+    val id = Relevance.prioritize(cands, IdentityScorer)
+      .orderBy("priority").select("urlNorm").as[String].collect().toSeq
+    assert(id == Seq("https://a.test/a/deep/path", "https://a.test/b", "https://a.test/c"))
+    val heur = Relevance.prioritize(cands, DepthHeuristicScorer)
+      .orderBy("priority").select("urlNorm").as[String].collect().toSeq
+    assert(heur == Seq("https://a.test/b", "https://a.test/c", "https://a.test/a/deep/path"))
+  }
+
+  test("decoder registry: dispatch, round-trip, stub plumbing") {
+    val png = DecoderRegistry.get("png"); val jpg = DecoderRegistry.get("jpeg")
+    assert(png.lossless && !jpg.lossless)
+    val r = graft.fixtures.FixtureGen.imageRow(10)
+    val img = DecoderRegistry.get(r.fmt).decode(r.bytes)
+    assert(img.getWidth == r.w && img.getHeight == r.h)
+    assert(png.valid(999.0) && !png.valid(55.0))
+    assert(jpg.valid(45.0) && !jpg.valid(39.0))
+    assert(DecoderRegistry.supported.contains("video"))
+    intercept[IllegalArgumentException](DecoderRegistry.get("gif"))
+  }
+
+  test("streaming: watermarked hourly window agg matches batch (q08 shape)") {
+    // file-stream sources need a directory; stage the single-file table
+    val evDir = java.nio.file.Files.createTempDirectory("graft-events").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(evDir, "events.parquet"))
+    val q = EventsStreaming.hourlyCounts(spark, evDir, "stream_hourly")
+    q.awaitTermination(60000)
+    val streamed = spark.sql(
+      "SELECT window.start AS hour, event_type, n, value_c FROM stream_hourly")
+    val batch = SparkEntry.queries("q08_events_hourly")(spark, "/root/testdata/sf0.001")
+      .withColumn("hour", $"hour".cast("timestamp"))
+    val a = streamed.select("hour", "event_type", "n", "value_c")
+      .as[(java.sql.Timestamp, String, Long, Long)].collect().toSet
+    val b = batch.select("hour", "event_type", "n", "value_c")
+      .as[(java.sql.Timestamp, String, Long, Long)].collect().toSet
+    assert(a == b)
+  }
+
+  test("streaming: flatMapGroupsWithState politeness throttle") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-throttle").toString
+    // two files → two micro-batches (maxFilesPerTrigger=1)
+    Seq(("h1.test", "https://h1.test/a", 1L), ("h1.test", "https://h1.test/b", 2L),
+      ("h1.test", "https://h1.test/c", 3L), ("h2.test", "https://h2.test/a", 1L))
+      .toDF("host", "urlNorm", "priority").coalesce(1).write.parquet(s"$dir/f1")
+    Seq(("h1.test", "https://h1.test/d", 4L))
+      .toDF("host", "urlNorm", "priority").coalesce(1).write.parquet(s"$dir/f2")
+    val files = new java.io.File(dir).listFiles().filter(_.isDirectory)
+    val flat = java.nio.file.Files.createTempDirectory("graft-throttle-flat").toString
+    files.zipWithIndex.foreach { case (f, i) =>
+      f.listFiles().filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach { case (p, j) =>
+        java.nio.file.Files.copy(p.toPath,
+          java.nio.file.Paths.get(flat, s"part-$i-$j.parquet"))
+      }
+    }
+    val q = EventsStreaming.throttleQuery(spark, flat, "stream_throttle", budgetPerBatch = 2)
+    q.awaitTermination(60000)
+    val got = spark.sql("SELECT host, urlNorm, admittedSeq FROM stream_throttle")
+      .as[(String, String, Long)].collect().toSet
+    // per micro-batch at most 2 per host; cumulative sequence continues
+    val h1 = got.filter(_._1 == "h1.test")
+    assert(h1.map(_._3).toSeq.sorted == h1.map(_._3).toSeq.sorted.distinct)
+    assert(h1.nonEmpty && h1.forall(_._3 <= 4))
+    assert(got.exists(_._1 == "h2.test"))
+  }
+}
