@@ -38,7 +38,14 @@ final class CrawlEngine(
     fetcher: Fetcher,
     images: DataFrame,
     io: TableIO,
-    policies: Map[String, Robots.Policy]) {
+    policies: Map[String, Robots.Policy],
+    /** sitemap bodies (sitemap_url, body, gzipped) for the discovery
+      * cascade (O1): hosts whose sitemap expansion yields URLs skip BFS
+      * entirely (`discovery.py:561-604`). */
+    sitemaps: Option[DataFrame] = None,
+    /** F8 relevance/priority stage; the default mirrors crawl_model=None
+      * (pure lexicographic order — golden-replay parity). */
+    scorer: graft.operators.RelevanceScorer = graft.operators.IdentityScorer) {
 
   import spark.implicits._
 
@@ -74,7 +81,7 @@ final class CrawlEngine(
       // Bloom-prune + exact anti-join (J1). Bloom rebuilt from the committed
       // seen snapshot each epoch via treeAggregate (A5).
       val fresh0 =
-        if (depth == 0) level
+        if (seen.isEmpty) level
         else {
           val bloom = Seen.buildBloom(seen, cfg.bloomExpectedItems, cfg.bloomFpp)
           Seen.admitPartitioned(level, seen, spark.sparkContext.broadcast(bloom))
@@ -142,7 +149,9 @@ final class CrawlEngine(
         filtered.where(Robots.allowedUdf(robotsBc)(
           $"host", urlfns.url_path($"urlNorm")))
       else filtered
-    val pending = Frontier.prioritize(admitted)
+    // F8 relevance stage (semi-join-validated scorer; Identity default
+    // reproduces the reference's sorted dispatch order exactly)
+    val pending = graft.operators.Relevance.prioritize(admitted, scorer)
     io.commit("fetch", 0, tables = Map("pending" -> pending),
       counters = Map("pending" -> pending.count()))
   }
@@ -252,11 +261,39 @@ final class CrawlEngine(
   // uncommitted work is unreferenced)
   // ------------------------------------------------------------------
 
+  /** Cascade step (O1): expand sitemaps; hosts with a non-empty expansion
+    * are fully discovered (committed to `seen`) and skip BFS. Returns the
+    * BFS seed level = seeds of hosts WITHOUT sitemap success. */
+  private def cascadeSitemaps(): DataFrame = {
+    sitemaps.foreach { sm =>
+      val expanded = graft.sources.Sitemaps.expandAll(sm, seedByHost)
+        .withColumn("depth", lit(0))
+      io.commit("sitemap", 0, tables = Map.empty,
+        appends = Map("seen" -> expanded),
+        counters = Map("sitemap_urls" -> expanded.count()))
+    }
+    bfsSeedLevel
+  }
+
+  /** Seeds of hosts not already discovered via sitemap (derived from the
+    * committed seen table, so resume recomputes it identically). */
+  private def bfsSeedLevel: DataFrame = {
+    val sitemapHosts = io.read("seen")
+      .map(_.select("host").distinct())
+      .getOrElse(emptyDf(StructType(Seq(StructField("host", StringType)))))
+    seedLevel.join(sitemapHosts, Seq("host"), "left_anti")
+  }
+
   def run(stopAfterFetchEpoch: Option[Int] = None,
       stopAfterDiscoverDepth: Option[Int] = None): Unit = {
     io.lastCommitted match {
       case None =>
-        if (discoverFrom(0, seedLevel, stopAfterDiscoverDepth)) {
+        if (discoverFrom(0, cascadeSitemaps(), stopAfterDiscoverDepth)) {
+          fetchInit()
+          fetchFrom(1, stopAfterFetchEpoch)
+        }
+      case Some(("sitemap", _)) =>
+        if (discoverFrom(0, bfsSeedLevel, stopAfterDiscoverDepth)) {
           fetchInit()
           fetchFrom(1, stopAfterFetchEpoch)
         }

@@ -124,6 +124,57 @@ object FixtureGen {
 
   def seeds(p: Params): Seq[String] = (0 until p.hosts).map(seedUrl)
 
+  // ---- sitemaps (S1 / cascade O1): every third host publishes one ----
+
+  def hasSitemap(h: Int): Boolean = h % 3 == 2
+
+  private def urlsetXml(urls: Seq[String]): Array[Byte] =
+    (s"""<?xml version="1.0" encoding="UTF-8"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |${urls.map(u => s"<url><loc>$u</loc></url>").mkString("\n")}
+        |</urlset>""".stripMargin).getBytes("UTF-8")
+
+  private def indexXml(children: Seq[String]): Array[Byte] =
+    (s"""<?xml version="1.0" encoding="UTF-8"?>
+        |<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |${children.map(u => s"<sitemap><loc>$u</loc></sitemap>").mkString("\n")}
+        |</sitemapindex>""".stripMargin).getBytes("UTF-8")
+
+  private def gzip(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos); g.write(b); g.close()
+    bos.toByteArray
+  }
+
+  /** Sitemap bodies for host h: a root index → one plain urlset + one
+    * gzipped urlset, listing the even-numbered pages plus noise entries
+    * (other domain, outside base path, uppercase-host and trailing-slash
+    * variants) exercising the reference's admission rules. */
+  def sitemapBodies(p: Params, h: Int): Map[String, (Array[Byte], Boolean)] =
+    if (!hasSitemap(h)) Map.empty
+    else {
+      val host = hostName(h)
+      val even = (0 until pageCount(p, h) by 2).map(j => pageUrl(h, j))
+      val (first, second) = even.splitAt(even.size / 2)
+      val noise = Seq(
+        "https://other-domain.test/docs/x",
+        s"https://$host/outside/page",
+        s"HTTPS://${host.toUpperCase}/docs/p2",
+        s"https://$host/docs/p2/")
+      Map(
+        s"https://$host/sitemap.xml" ->
+          (indexXml(Seq(s"https://$host/sm-1.xml", s"https://$host/sm-2.xml.gz")), false),
+        s"https://$host/sm-1.xml" -> (urlsetXml(first ++ noise), false),
+        s"https://$host/sm-2.xml.gz" -> (gzip(urlsetXml(second)), true))
+    }
+
+  def sitemapsDF(spark: SparkSession, p: Params): DataFrame = {
+    import spark.implicits._
+    (0 until p.hosts).flatMap(h => sitemapBodies(p, h).toSeq.map {
+      case (u, (b, gz)) => (u, b, gz)
+    }).toDF("sitemap_url", "body", "gzipped")
+  }
+
   // ---- image payload (input_hint schema) ----
 
   def imageDims(i: Long): (Int, Int) =

@@ -87,36 +87,44 @@ object ReferenceSim {
     val baseUrl = FixtureGen.seedUrl(h)
     val baseDomain = PyUrl.urlparse(baseUrl).netloc
 
-    // discovery.py:178-224 BFS (visited = normalized)
+    // cascade strategy 1 (discovery.py:548-566): sitemap — on success the
+    // BFS is skipped entirely
+    val sitemapUrls = graft.sources.Sitemaps.expandPure(
+      FixtureGen.sitemapBodies(p, h), FixtureGen.hostName(h), baseUrl)
+
     val visited = scala.collection.mutable.LinkedHashSet.empty[String]
-    var currentLevel: Seq[String] = Seq(baseUrl)
-    var depth = 0
-    var continue = true
-    while (continue && currentLevel.nonEmpty) {
-      val toFetch = scala.collection.mutable.ArrayBuffer.empty[String]
-      currentLevel.foreach { url =>
-        val norm = PyUrl.canonicalize(url)
-        if (!visited.contains(norm)) { visited += norm; toFetch += url }
-      }
-      if (depth >= maxDepth) continue = false
-      else {
-        val nextLevelSet = scala.collection.mutable.LinkedHashSet.empty[String]
-        toFetch.foreach { url =>
-          // _extract_links: only 200 text/html pages yield links
-          byUrl.get(PyUrl.canonicalize(url)).foreach { pg =>
-            if (pg.status == 200 && pg.contentType.contains("text/html")) {
-              pg.links.foreach { href =>
-                val clean = PyUrl.extractClean(pg.url, href, baseDomain)
-                if (clean.nonEmpty) {
-                  val norm = PyUrl.canonicalize(clean)
-                  if (!visited.contains(norm)) nextLevelSet += norm
+    if (sitemapUrls.nonEmpty) visited ++= sitemapUrls
+    else {
+      // strategy 3 (discovery.py:178-224) BFS (visited = normalized)
+      var currentLevel: Seq[String] = Seq(baseUrl)
+      var depth = 0
+      var continue = true
+      while (continue && currentLevel.nonEmpty) {
+        val toFetch = scala.collection.mutable.ArrayBuffer.empty[String]
+        currentLevel.foreach { url =>
+          val norm = PyUrl.canonicalize(url)
+          if (!visited.contains(norm)) { visited += norm; toFetch += url }
+        }
+        if (depth >= maxDepth) continue = false
+        else {
+          val nextLevelSet = scala.collection.mutable.LinkedHashSet.empty[String]
+          toFetch.foreach { url =>
+            // _extract_links: only 200 text/html pages yield links
+            byUrl.get(PyUrl.canonicalize(url)).foreach { pg =>
+              if (pg.status == 200 && pg.contentType.contains("text/html")) {
+                pg.links.foreach { href =>
+                  val clean = PyUrl.extractClean(pg.url, href, baseDomain)
+                  if (clean.nonEmpty) {
+                    val norm = PyUrl.canonicalize(clean)
+                    if (!visited.contains(norm)) nextLevelSet += norm
+                  }
                 }
               }
             }
           }
+          currentLevel = nextLevelSet.toSeq
+          depth += 1
         }
-        currentLevel = nextLevelSet.toSeq
-        depth += 1
       }
     }
 

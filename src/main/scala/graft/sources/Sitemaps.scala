@@ -52,15 +52,20 @@ object Sitemaps {
     } catch { case _: Exception => (Seq.empty, Seq.empty) }
   }
 
-  /** Expand a sitemap table fully: iterate the pending-sitemaps frontier
-    * until no sitemap-index children remain (the same bounded-loop shape as
-    * crawl epochs), then same-domain + base-path filter + canonicalize.
+  /** Multi-host distributed sitemap expansion: parse every sitemap body
+    * once (distributed map), iterate sitemap-index children until none
+    * remain (bounded join loop — the same epoch shape as the crawl), then
+    * apply the reference's per-URL admission (`discovery.py:459-465`):
+    * RAW netloc equality with the seed host (case-sensitive, pre-normalize),
+    * base-path prefix on the rstrip'd raw path (skipped when the base path
+    * is root), then `normalize_url`.
     *
-    * `sitemaps`: (sitemap_url string, body binary, gzipped boolean) — the
-    * fetch layer's responsibility; this operator is the parse/expand plan.
-    * Returns distinct page urlNorms under `baseUrl`'s domain and path.
+    * `sitemaps`: (sitemap_url, body binary, gzipped boolean);
+    * `seeds`: host → baseUrl. Roots tried per host: /sitemap.xml and
+    * /sitemap_index.xml (standard locations, `discovery.py:487-491`).
+    * Returns distinct (urlNorm, host).
     */
-  def expand(sitemaps: DataFrame, rootSitemapUrls: Seq[String], baseUrl: String,
+  def expandAll(sitemaps: DataFrame, seeds: Map[String, String],
       maxRounds: Int = 8): DataFrame = {
     val spark = sitemaps.sparkSession
     import spark.implicits._
@@ -69,26 +74,62 @@ object Sitemaps {
       .map { case (u, b, gz) => val (urls, children) = parse(b, gz); (u, urls, children) }
       .toDF("sitemap_url", "urls", "children")
       .cache()
-    var pending = rootSitemapUrls.toDF("sitemap_url")
-    var done = spark.emptyDataFrame.select() // placeholder
+    val seedRows = seeds.toSeq.sortBy(_._1).map { case (host, baseUrl) =>
+      val bp = graft.util.PyUrl.urlparse(baseUrl)
+      var basePath = bp.path; while (basePath.endsWith("/")) basePath = basePath.dropRight(1)
+      (host, basePath)
+    }
+    val seedsDf = broadcast(seedRows.toDF("host", "basePath"))
+    val roots = seeds.keys.toSeq.sorted.flatMap(h =>
+      Seq(s"https://$h/sitemap.xml", s"https://$h/sitemap_index.xml"))
+    var pending = roots.toDF("sitemap_url")
+    var visited = pending
     var collected = Seq.empty[DataFrame]
     var round = 0
     var continue = true
-    var visited = pending
     while (continue && round < maxRounds) {
-      val batch = pending.join(parsed, Seq("sitemap_url"))
+      val batch = pending.join(parsed, Seq("sitemap_url")).cache()
       collected :+= batch.select(explode($"urls").as("url"))
       val children = batch.select(explode($"children").as("sitemap_url")).distinct()
         .join(visited, Seq("sitemap_url"), "left_anti")
       if (children.isEmpty) continue = false
       else { visited = visited.unionByName(children); pending = children; round += 1 }
     }
-    val base = graft.util.PyUrl.urlparse(baseUrl)
-    val basePath = { var p = base.path; while (p.endsWith("/")) p = p.dropRight(1); p }
+    if (collected.isEmpty) return spark.emptyDataset[(String, String)].toDF("urlNorm", "host")
     val all = collected.reduce(_ unionByName _)
-    all.select(urlfns.url_canonicalize($"url").as("urlNorm"))
-      .where(urlfns.url_host($"urlNorm") === lit(base.netloc))
-      .where(startswith(urlfns.url_path($"urlNorm"), lit(basePath)))
+    all
+      .withColumn("host", urlfns.url_host($"url")) // RAW netloc, pre-normalize
+      .withColumn("rawPath", regexp_replace(urlfns.url_path($"url"), "/+$", ""))
+      .join(seedsDf, Seq("host"), "inner") // case-sensitive netloc equality
+      .where($"basePath" === "" || startswith($"rawPath", $"basePath"))
+      .select(urlfns.url_canonicalize($"url").as("urlNorm"), $"host")
       .distinct()
+  }
+
+  /** Pure single-host expansion (shared with the reference simulator —
+    * identical admission rules, driver-side recursion). */
+  def expandPure(bodies: Map[String, (Array[Byte], Boolean)], host: String,
+      baseUrl: String): Set[String] = {
+    val bp = graft.util.PyUrl.urlparse(baseUrl)
+    var basePath = bp.path; while (basePath.endsWith("/")) basePath = basePath.dropRight(1)
+    val out = scala.collection.mutable.HashSet.empty[String]
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    def walk(sitemapUrl: String): Unit =
+      if (!seen.contains(sitemapUrl)) {
+        seen += sitemapUrl
+        bodies.get(sitemapUrl).foreach { case (b, gz) =>
+          val (urls, children) = parse(b, gz)
+          urls.foreach { u =>
+            val p = graft.util.PyUrl.urlparse(u)
+            var rp = p.path; while (rp.endsWith("/")) rp = rp.dropRight(1)
+            if (p.netloc == host && (basePath.isEmpty || rp.startsWith(basePath)))
+              out += graft.util.PyUrl.canonicalize(u)
+          }
+          children.foreach(walk)
+        }
+      }
+    walk(s"https://$host/sitemap.xml")
+    walk(s"https://$host/sitemap_index.xml")
+    out.toSet
   }
 }

@@ -33,7 +33,8 @@ class GoldenReplaySpec extends SparkSpec {
 
   private def newEngine(dir: String) = new CrawlEngine(
     spark, cfg, new FixtureFetcher(webGraph), images,
-    new ParquetSnapshotTableIO(spark, dir), policies)
+    new ParquetSnapshotTableIO(spark, dir), policies,
+    sitemaps = Some(FixtureGen.sitemapsDF(spark, params)))
 
   private lazy val engine: CrawlEngine = {
     val dir = Files.createTempDirectory("graft-golden").toString
@@ -130,5 +131,20 @@ class GoldenReplaySpec extends SparkSpec {
     val a = e2.seen.select("host", "urlNorm").as[(String, String)].collect().toSet
     val b = engine.seen.select("host", "urlNorm").as[(String, String)].collect().toSet
     assert(a == b)
+  }
+
+  test("cascade: sitemap host skips BFS (seen = sitemap expansion only)") {
+    // host 2 publishes a sitemap (FixtureGen.hasSitemap) listing even pages
+    val host = FixtureGen.hostName(2)
+    assert(FixtureGen.hasSitemap(2))
+    val got = engine.seen.where($"host" === host)
+      .select("urlNorm").as[String].collect().toSet
+    val expected = graft.sources.Sitemaps.expandPure(
+      FixtureGen.sitemapBodies(params, 2), host, FixtureGen.seedUrl(2))
+    assert(got == expected)
+    // odd pages exist in the web graph but were never discovered
+    assert(!got.contains(FixtureGen.pageUrl(2, 1)))
+    // BFS hosts unaffected: depth>0 rows exist for host 0
+    assert(engine.seen.where($"host" === FixtureGen.hostName(0) && $"depth" > 0).count() > 0)
   }
 }

@@ -48,7 +48,7 @@ class SourcesStreamingSpec extends SparkSpec {
     assert(u5.isEmpty)
   }
 
-  test("sitemap expand: nested index + gzip + domain/path filter + canonicalize") {
+  test("sitemap expandAll: nested index + gzip + domain/path filter + canonicalize") {
     val rows = Seq(
       ("https://a.test/sitemap.xml", index("https://a.test/sm1.xml", "https://a.test/sm2.xml.gz"), false),
       ("https://a.test/sm1.xml",
@@ -56,9 +56,14 @@ class SourcesStreamingSpec extends SparkSpec {
           "https://OTHER.test/docs/p3", "https://a.test/outside/p4"), false),
       ("https://a.test/sm2.xml.gz", gz(urlset("https://a.test/docs/p5")), true))
       .toDF("sitemap_url", "body", "gzipped")
-    val got = Sitemaps.expand(rows, Seq("https://a.test/sitemap.xml"), "https://a.test/docs")
-      .orderBy("urlNorm").as[String].collect().toSeq
+    val seeds = Map("a.test" -> "https://a.test/docs")
+    val got = Sitemaps.expandAll(rows, seeds)
+      .orderBy("urlNorm").select("urlNorm").as[String].collect().toSeq
     assert(got == Seq("https://a.test/docs/P1", "https://a.test/docs/p2", "https://a.test/docs/p5"))
+    // pure traversal agrees (the simulator's path)
+    val bodies = rows.as[(String, Array[Byte], Boolean)].collect()
+      .map { case (u, b, g) => u -> (b, g) }.toMap
+    assert(Sitemaps.expandPure(bodies, "a.test", "https://a.test/docs") == got.toSet)
   }
 
   test("SSRF: literal private IPs rejected, names pass without resolver") {
