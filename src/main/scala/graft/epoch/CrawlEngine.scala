@@ -261,10 +261,10 @@ final class CrawlEngine(
   // uncommitted work is unreferenced)
   // ------------------------------------------------------------------
 
-  /** Cascade step (O1): expand sitemaps; hosts with a non-empty expansion
-    * are fully discovered (committed to `seen`) and skip BFS. Returns the
-    * BFS seed level = seeds of hosts WITHOUT sitemap success. */
-  private def cascadeSitemaps(): DataFrame = {
+  /** Cascade strategy 1 (O1): expand sitemaps; hosts with a non-empty
+    * expansion are fully discovered (committed to `seen`) and skip the
+    * later strategies. */
+  private def cascadeSitemaps(): Unit =
     sitemaps.foreach { sm =>
       val expanded = graft.sources.Sitemaps.expandAll(sm, seedByHost)
         .withColumn("depth", lit(0))
@@ -272,27 +272,58 @@ final class CrawlEngine(
         appends = Map("seen" -> expanded),
         counters = Map("sitemap_urls" -> expanded.count()))
     }
-    bfsSeedLevel
-  }
 
-  /** Seeds of hosts not already discovered via sitemap (derived from the
-    * committed seen table, so resume recomputes it identically). */
+  /** Seeds of hosts not already discovered via an earlier cascade strategy
+    * (derived from the committed seen table, so resume recomputes it
+    * identically). */
   private def bfsSeedLevel: DataFrame = {
-    val sitemapHosts = io.read("seen")
+    val discoveredHosts = io.read("seen")
       .map(_.select("host").distinct())
       .getOrElse(emptyDf(StructType(Seq(StructField("host", StringType)))))
-    seedLevel.join(sitemapHosts, Seq("host"), "left_anti")
+    seedLevel.join(discoveredHosts, Seq("host"), "left_anti")
+      .where(graft.operators.Ssrf.admitted($"urlNorm")) // F6 on seeds
+  }
+
+  /** Cascade strategy 2 (nav parse, `discovery.py:233-340,571-585`): for
+    * hosts the sitemap didn't cover, fetch the SEED page only and extract
+    * nav-scoped links (startswith-skip rules + normalize, 100-URL cap);
+    * hosts with ≥1 nav URL are fully discovered and skip BFS. */
+  private def cascadeNav(): Unit = {
+    val candidates = bfsSeedLevel
+    val pages = fetcher.fetchPages(candidates)
+    val nav = pages
+      .where($"status" === 200 && $"contentType".contains("text/html"))
+      .select($"urlNorm".as("pageUrl"), $"host", explode($"navLinks").as("href"))
+      .select($"host",
+        graft.functions.urlfns.url_nav_clean($"pageUrl", $"href", $"host").as("urlNorm"))
+      .where($"urlNorm" =!= "")
+      .distinct()
+      // deterministic 100-cap (reference caps in set order; fixtures stay under)
+      .withColumn("rn", row_number().over(Window.partitionBy("host").orderBy("urlNorm")))
+      .where($"rn" <= 100)
+      .select($"urlNorm", $"host", lit(0).as("depth"))
+    io.commit("nav", 0, tables = Map.empty,
+      appends = Map("seen" -> nav),
+      counters = Map("nav_urls" -> nav.count()))
   }
 
   def run(stopAfterFetchEpoch: Option[Int] = None,
       stopAfterDiscoverDepth: Option[Int] = None): Unit = {
     io.lastCommitted match {
       case None =>
-        if (discoverFrom(0, cascadeSitemaps(), stopAfterDiscoverDepth)) {
+        cascadeSitemaps()
+        cascadeNav()
+        if (discoverFrom(0, bfsSeedLevel, stopAfterDiscoverDepth)) {
           fetchInit()
           fetchFrom(1, stopAfterFetchEpoch)
         }
       case Some(("sitemap", _)) =>
+        cascadeNav()
+        if (discoverFrom(0, bfsSeedLevel, stopAfterDiscoverDepth)) {
+          fetchInit()
+          fetchFrom(1, stopAfterFetchEpoch)
+        }
+      case Some(("nav", _)) =>
         if (discoverFrom(0, bfsSeedLevel, stopAfterDiscoverDepth)) {
           fetchInit()
           fetchFrom(1, stopAfterFetchEpoch)

@@ -63,9 +63,15 @@ object FixtureGen {
       contentType: String,
       content: String,
       links: Seq[String],
+      navLinks: Seq[String],
       imageRefs: Seq[String],
       fetchMethod: String,
       loadMs: Long)
+
+  /** Cascade strategy assignment: every third host (offset 1) exposes nav
+    * links on its seed page; hasSitemap hosts publish sitemaps; the rest
+    * fall through to BFS — all three reference strategies exercised. */
+  def hasNav(h: Int): Boolean = h % 3 == 1
 
   def imageId(n: Long): String = f"img-$n%08d"
 
@@ -102,13 +108,23 @@ object FixtureGen {
       "https://other-domain.test/elsewhere", // other domain → dropped
       s"HTTPS://${hostName(h).toUpperCase}/docs" // case variant of seed → dedup
     )
+    // nav selector links on the seed page of nav hosts: a TOC of the first
+    // pages + noise hrefs exercising the startswith-skip rules
+    val navLinks =
+      if (j == 0 && hasNav(h)) {
+        val toc = (1 until math.min(n, 41)).map { c =>
+          if (c % 3 == 0) pagePath(c) else pageUrl(h, c)
+        }
+        toc ++ Seq("#top", "javascript:void(0)", "mailto:x@y.z",
+          "https://elsewhere.test/x", pageUrl(h, 1) + "/")
+      } else Seq.empty[String]
     val ok = status == 200 && contentType == "text/html" && (j % 31 != 17)
     val globalIdx = hostOffsets(p)(h) + j
     val refs =
       if (ok) Seq(imageId(2 * globalIdx), imageId(2 * globalIdx + 1)) else Seq.empty
     val method = Seq("cache", "native", "proxy", "http", "playwright")(j % 5)
-    Page(url, status, contentType, content, childLinks ++ noise, refs,
-      method, 50L + (j % 7) * 10L)
+    Page(url, status, contentType, content, childLinks ++ noise, navLinks,
+      refs, method, 50L + (j % 7) * 10L)
   }
 
   /** robots.txt per host: /docs/private/ disallowed with an /ok carve-out;
@@ -218,8 +234,8 @@ object FixtureGen {
 
   final case class PageRow(
       url: String, host: String, status: Int, contentType: String,
-      content: String, links: Seq[String], imageRefs: Seq[String],
-      fetchMethod: String, loadMs: Long)
+      content: String, links: Seq[String], navLinks: Seq[String],
+      imageRefs: Seq[String], fetchMethod: String, loadMs: Long)
 
   def webGraphDF(spark: SparkSession, p: Params): DataFrame = {
     import spark.implicits._
@@ -230,7 +246,7 @@ object FixtureGen {
       val j = (g - offsets(h)).toInt
       val pg = page(p, h, j)
       PageRow(pg.url, hostName(h), pg.status, pg.contentType, pg.content,
-        pg.links, pg.imageRefs, pg.fetchMethod, pg.loadMs)
+        pg.links, pg.navLinks, pg.imageRefs, pg.fetchMethod, pg.loadMs)
     }.toDF()
   }
 

@@ -143,6 +143,30 @@ case class UrlExtractClean(first: Expression, second: Expression, third: Express
     copy(first = f, second = s, third = t)
 }
 
+/** S2 — the nav-parse per-href transform (startswith-skip semantics +
+  * normalize; `discovery.py:305-325`). Returns "" for dropped hrefs. */
+case class UrlNavClean(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "url_nav_clean"
+
+  override def nullSafeEval(pageUrl: Any, href: Any, domain: Any): Any =
+    UTF8String.fromString(PyUrl.navClean(
+      pageUrl.asInstanceOf[UTF8String].toString,
+      href.asInstanceOf[UTF8String].toString,
+      domain.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (p, h, d) =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.util.PyUrl.navClean($p.toString(), $h.toString(), $d.toString()))")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): UrlNavClean =
+    copy(first = f, second = s, third = t)
+}
+
 /** Column-API + SQL registration surface for the URL expressions. */
 object urlfns {
   def url_canonicalize(c: Column): Column = graftshim.toColumn(UrlCanonicalize(graftshim.toExpression(c)))
@@ -152,6 +176,9 @@ object urlfns {
   def url_scheme(c: Column): Column = graftshim.toColumn(UrlScheme(graftshim.toExpression(c)))
   def url_extract_clean(pageUrl: Column, href: Column, domain: Column): Column =
     graftshim.toColumn(UrlExtractClean(graftshim.toExpression(pageUrl),
+      graftshim.toExpression(href), graftshim.toExpression(domain)))
+  def url_nav_clean(pageUrl: Column, href: Column, domain: Column): Column =
+    graftshim.toColumn(UrlNavClean(graftshim.toExpression(pageUrl),
       graftshim.toExpression(href), graftshim.toExpression(domain)))
 
   /** Register `url_canonicalize` / `url_resolve` / `url_host` / `url_path`

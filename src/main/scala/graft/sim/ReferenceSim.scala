@@ -92,8 +92,16 @@ object ReferenceSim {
     val sitemapUrls = graft.sources.Sitemaps.expandPure(
       FixtureGen.sitemapBodies(p, h), FixtureGen.hostName(h), baseUrl)
 
+    // cascade strategy 2 (discovery.py:233-340): nav links on the SEED page
+    def navUrls: Set[String] =
+      byUrl.get(PyUrl.canonicalize(baseUrl)).toSeq
+        .filter(pg => pg.status == 200 && pg.contentType.contains("text/html"))
+        .flatMap(pg => pg.navLinks.map(h => PyUrl.navClean(pg.url, h, baseDomain)))
+        .filter(_.nonEmpty).toSet
+
     val visited = scala.collection.mutable.LinkedHashSet.empty[String]
     if (sitemapUrls.nonEmpty) visited ++= sitemapUrls
+    else if (navUrls.nonEmpty) visited ++= navUrls
     else {
       // strategy 3 (discovery.py:178-224) BFS (visited = normalized)
       var currentLevel: Seq[String] = Seq(baseUrl)

@@ -11,7 +11,7 @@ import org.apache.spark.sql.types._
   * (urlNorm, host, status, contentType, content, links, imageRefs,
   * fetchMethod, loadMs). Missing pages → status 0.
   */
-trait Fetcher {
+trait Fetcher extends Serializable {
   def fetchPages(urls: DataFrame): DataFrame
 }
 
@@ -23,6 +23,7 @@ object Fetcher {
     StructField("contentType", StringType),
     StructField("content", StringType),
     StructField("links", ArrayType(StringType)),
+    StructField("navLinks", ArrayType(StringType)),
     StructField("imageRefs", ArrayType(StringType)),
     StructField("fetchMethod", StringType),
     StructField("loadMs", LongType)))
@@ -38,7 +39,7 @@ final class FixtureFetcher(webGraph: DataFrame) extends Fetcher {
   override def fetchPages(urls: DataFrame): DataFrame = {
     val pages = webGraph.select(
       col("url").as("__wg_url"), col("status"), col("contentType"),
-      col("content"), col("links"), col("imageRefs"),
+      col("content"), col("links"), col("navLinks"), col("imageRefs"),
       col("fetchMethod"), col("loadMs"))
     val in = urls.select("urlNorm", "host")
     in.join(pages, in("urlNorm") === pages("__wg_url"), "left_outer")
@@ -62,13 +63,14 @@ final class HttpFetcher(maxRetries: Int = 2, timeoutMs: Int = 8000) extends Fetc
   import Fetcher.pageObservationSchema
 
   override def fetchPages(urls: DataFrame): DataFrame = {
-    val spark = urls.sparkSession
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(pageObservationSchema)
+    val retries = maxRetries // locals only in the task closure (no `this`)
+    val tmoutMs = timeoutMs
     urls.select("urlNorm", "host").mapPartitions { it =>
       // lazy per-partition client (O11 pool analog)
       lazy val client = java.net.http.HttpClient.newBuilder()
-        .connectTimeout(java.time.Duration.ofMillis(timeoutMs.toLong))
+        .connectTimeout(java.time.Duration.ofMillis(tmoutMs.toLong))
         .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
         .build()
       val hrefRe = java.util.regex.Pattern.compile(
@@ -79,10 +81,10 @@ final class HttpFetcher(maxRetries: Int = 2, timeoutMs: Int = 8000) extends Fetc
         var status = 0; var ctype = ""; var body = ""
         var attempt = 0
         var done = false
-        while (!done && attempt <= maxRetries) {
+        while (!done && attempt <= retries) {
           try {
             val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
-              .timeout(java.time.Duration.ofMillis(timeoutMs.toLong)).GET().build()
+              .timeout(java.time.Duration.ofMillis(tmoutMs.toLong)).GET().build()
             val resp = client.send(req,
               java.net.http.HttpResponse.BodyHandlers.ofString())
             status = resp.statusCode()
@@ -94,13 +96,28 @@ final class HttpFetcher(maxRetries: Int = 2, timeoutMs: Int = 8000) extends Fetc
               attempt += 1 // backoff 2^attempt s on a live cluster; no sleep in tests
           }
         }
-        val links = if (status == 200 && ctype.contains("text/html")) {
+        val isHtml = status == 200 && ctype.contains("text/html")
+        val links = if (isHtml) {
           val m = hrefRe.matcher(body)
           val buf = scala.collection.mutable.ArrayBuffer.empty[String]
           while (m.find()) buf += m.group(1)
           buf.toSeq
         } else Seq.empty[String]
-        Row(url, host, status, ctype, body, links, Seq.empty[String],
+        // nav-scoped hrefs: anchors inside <nav>/<aside> blocks (the static
+        // approximation of the reference's 7 rendered nav selectors)
+        val navLinks = if (isHtml) {
+          val navRe = java.util.regex.Pattern.compile(
+            "<(nav|aside)\\b[^>]*>(.*?)</\\1>",
+            java.util.regex.Pattern.CASE_INSENSITIVE | java.util.regex.Pattern.DOTALL)
+          val nm = navRe.matcher(body)
+          val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (nm.find()) {
+            val inner = hrefRe.matcher(nm.group(2))
+            while (inner.find()) buf += inner.group(1)
+          }
+          buf.toSeq
+        } else Seq.empty[String]
+        Row(url, host, status, ctype, body, links, navLinks, Seq.empty[String],
           "http", (System.nanoTime() - t0) / 1000000L)
       }
     }(enc)

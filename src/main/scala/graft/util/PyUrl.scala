@@ -207,6 +207,21 @@ object PyUrl {
     * split; we mirror `urlparse`). */
   def path(url: String): String = urlparse(url).path
 
+  /** The nav-parse per-href transform (`discovery.py:305-325`): skip hrefs
+    * STARTING with '#' or 'javascript:' (unlike the BFS extractor's
+    * contains-check), absolutize, same-domain http(s) only, rebuild as
+    * scheme://netloc+path(+?query), then normalize. Empty if dropped. */
+  def navClean(pageUrl: String, href: String, baseDomain: String): String = {
+    if (href.isEmpty || href.startsWith("#") || href.startsWith("javascript:")) return ""
+    val abs = urljoin(pageUrl, href)
+    val p = urlparse(abs)
+    if (p.netloc != baseDomain || (p.scheme != "http" && p.scheme != "https")) return ""
+    val sb = new java.lang.StringBuilder
+    sb.append(p.scheme).append("://").append(p.netloc).append(p.path)
+    if (p.query.nonEmpty) sb.append('?').append(p.query)
+    canonicalize(sb.toString)
+  }
+
   /** The reference link-extractor's "clean URL": scheme://netloc+path
     * (+ ?query if present); params+fragment dropped
     * (`discovery.py:115-121`). Empty if not same-domain http(s). */

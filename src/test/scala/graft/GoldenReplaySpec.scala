@@ -133,6 +133,18 @@ class GoldenReplaySpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("cascade: nav host skips BFS (seen = seed-page nav links only)") {
+    val host = FixtureGen.hostName(1)
+    assert(FixtureGen.hasNav(1) && !FixtureGen.hasSitemap(1))
+    val got = engine.seen.where($"host" === host)
+      .select("urlNorm").as[String].collect().toSet
+    assert(got == sim(host).seen)
+    // nav set excludes the seed itself and is much smaller than the graph
+    assert(!got.contains(FixtureGen.seedUrl(1)))
+    assert(got.size < FixtureGen.pageCount(params, 1))
+    assert(engine.seen.where($"host" === host && $"depth" > 0).count() == 0)
+  }
+
   test("cascade: sitemap host skips BFS (seen = sitemap expansion only)") {
     // host 2 publishes a sitemap (FixtureGen.hasSitemap) listing even pages
     val host = FixtureGen.hostName(2)
