@@ -45,7 +45,14 @@ final class CrawlEngine(
     sitemaps: Option[DataFrame] = None,
     /** F8 relevance/priority stage; the default mirrors crawl_model=None
       * (pure lexicographic order — golden-replay parity). */
-    scorer: graft.operators.RelevanceScorer = graft.operators.IdentityScorer) {
+    scorer: graft.operators.RelevanceScorer = graft.operators.IdentityScorer,
+    /** D8/O8 — warm page cache from a prior crawl (the reference's 24h-TTL
+      * disk cache, `src/scraper/cache.py`): rows with the page-observation
+      * schema; cache hits skip the fetcher and surface fetchMethod="cache".
+      * Every run appends its ok pages to its own `page_cache` table, which
+      * a later run can pass here. TTL enforced by the caller as an epoch
+      * predicate on that table (deterministic analog of the 24h rule). */
+    warmCache: Option[DataFrame] = None) {
 
   import spark.implicits._
 
@@ -164,7 +171,21 @@ final class CrawlEngine(
     if (deqCount == 0) { deq.unpersist(); return 0L }
 
     val obs = Observation(s"fetch_epoch_$epoch")
-    val pages0 = fetcher.fetchPages(deq.select("urlNorm", "host"))
+    // J6/O8 — cache lookup before fetching: hits are served from the warm
+    // cache (fetchMethod="cache"), misses go to the transport. Blocked
+    // pages are never cached (runner.py:522-524) so a hit is always safe.
+    val fetchedPages = warmCache match {
+      case None => fetcher.fetchPages(deq.select("urlNorm", "host"))
+      case Some(cache) =>
+        val hits = deq.select("urlNorm", "host")
+          .join(cache.drop("host"), Seq("urlNorm"), "inner")
+          .withColumn("fetchMethod", lit("cache"))
+          .select(Fetcher.pageObservationSchema.fieldNames.map(col).toIndexedSeq: _*)
+        val misses = deq.select("urlNorm", "host")
+          .join(cache.select("urlNorm"), Seq("urlNorm"), "left_anti")
+        hits.unionByName(fetcher.fetchPages(misses))
+    }
+    val pages0 = fetchedPages
       .join(deq.select("urlNorm", "priority"), Seq("urlNorm"))
     val isHtmlOk = $"status" === 200 && $"contentType".contains("text/html")
     val pages = pages0
@@ -235,6 +256,10 @@ final class CrawlEngine(
       appends = Map(
         "order_log" -> orderLogNew,
         "seen_content" -> okPages.select($"host", $"contentHash"),
+        // S9 — page-cache sink: ok pages only (never blocked/failed),
+        // reusable as `warmCache` by a later crawl
+        "page_cache" -> okPages.select(
+          Fetcher.pageObservationSchema.fieldNames.map(col).toIndexedSeq: _*),
         "fetched" -> fetchedNew.drop("validPixels", "validCaption")),
       counters = obsCounters ++
         methodCounts.map { case (k, v) => s"method_$k" -> v } ++
@@ -345,4 +370,5 @@ final class CrawlEngine(
   def orderLog: DataFrame = io.read("order_log").get
   def seen: DataFrame = io.read("seen").get
   def fetched: DataFrame = io.read("fetched").get
+  def table(name: String): Option[DataFrame] = io.read(name)
 }

@@ -133,6 +133,30 @@ class GoldenReplaySpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("warm page cache: repeat crawl serves ok pages from cache, same results") {
+    val cache = engine.table("page_cache").get
+    val dir = Files.createTempDirectory("graft-warm").toString
+    val e2 = new CrawlEngine(
+      spark, cfg, new FixtureFetcher(webGraph), images,
+      new ParquetSnapshotTableIO(spark, dir), policies,
+      sitemaps = Some(FixtureGen.sitemapsDF(spark, params)),
+      warmCache = Some(cache))
+    e2.run()
+    // identical outcome …
+    val a = e2.orderLog.select("host", "priority", "urlNorm", "disposition")
+      .as[(String, Long, String, String)].collect().toSet
+    val b = engine.orderLog.select("host", "priority", "urlNorm", "disposition")
+      .as[(String, Long, String, String)].collect().toSet
+    assert(a == b)
+    // … but every previously-ok page is served from the cache (O8)
+    val methods = e2.orderLog.where($"disposition" === "ok")
+      .select("fetchMethod").as[String].collect()
+    assert(methods.nonEmpty && methods.forall(_ == "cache"))
+    // blocked pages were never cached → still classified via a real fetch
+    assert(e2.orderLog.where($"disposition" === "blocked").count() ==
+      engine.orderLog.where($"disposition" === "blocked").count())
+  }
+
   test("cascade: nav host skips BFS (seen = seed-page nav links only)") {
     val host = FixtureGen.hostName(1)
     assert(FixtureGen.hasNav(1) && !FixtureGen.hasSitemap(1))
