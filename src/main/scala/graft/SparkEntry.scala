@@ -264,6 +264,12 @@ object SparkEntry {
       Similarity.lshTopK(e, e.where(col("vec_id") < 8), 10, dim = 64, numPlanes = 6)
         .select("qid", "id", "rank").orderBy("qid", "rank")
     }),
+    "q30_ann_ivf" -> ((s, d) => {
+      val e = embs(s, d)
+      val model = graft.operators.Ivf.train(e, dim = 64, k = 8, iters = 3)
+      graft.operators.Ivf.topK(e, e.where(col("vec_id") < 8), model, 10, nProbe = 3)
+        .select("qid", "id", "rank").orderBy("qid", "rank")
+    }),
     "q26_simhash_neardup" -> ((s, d) => {
       val base = docs(s, d).select("doc_id", "text")
       val aug = base.unionByName(base.where(col("doc_id") % 10 === 0)

@@ -248,6 +248,15 @@ final class CrawlEngine(
       .as[(String, Long)].collect().toMap
     val pendingNext = pending.join(deq.select("urlNorm"), Seq("urlNorm"), "left_anti")
 
+    // per-partition lineage (north rule): rows in/ok per host bucket this
+    // epoch — the partition key the tables are bucketed by at rest
+    val lineage = classified
+      .groupBy(graft.functions.Hashing.hostBucket($"host", cfg.numBuckets).as("partitionId"))
+      .agg(count(lit(1)).as("rowsIn"),
+        count(when($"disposition" === "ok", 1)).as("rowsOk"))
+      .withColumn("epoch", lit(epoch))
+      .withColumn("phase", lit("fetch"))
+
     val obsCounters: Map[String, Long] =
       try obs.get.map { case (k, v) => k -> v.asInstanceOf[Long] }
       catch { case _: Exception => Map.empty }
@@ -260,6 +269,7 @@ final class CrawlEngine(
         // reusable as `warmCache` by a later crawl
         "page_cache" -> okPages.select(
           Fetcher.pageObservationSchema.fieldNames.map(col).toIndexedSeq: _*),
+        "ledger" -> lineage,
         "fetched" -> fetchedNew.drop("validPixels", "validCaption")),
       counters = obsCounters ++
         methodCounts.map { case (k, v) => s"method_$k" -> v } ++

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor — the second scale path
+  * next to sign-LSH: a coarse quantizer (k-means over the corpus, trained
+  * with DataFrame aggregations only) partitions vectors into k lists; a
+  * query probes the `nProbe` nearest lists and exact-reranks inside them.
+  *
+  * Deterministic end to end: initialization takes the first k vectors in
+  * vec_id order; assignment ties break on the lower centroid id; iteration
+  * count is fixed (no convergence-by-epsilon wall-clock dependence).
+  *
+  * Scale shape: training is `iters` passes of (assign → posexplode →
+  * groupBy(cluster, dim) avg) — all hash aggregations; the index assign is
+  * one narrow pass; queries touch ~nProbe/k of the corpus.
+  */
+object Ivf {
+
+  final case class Model(centroids: Array[Array[Double]]) {
+    def k: Int = centroids.length
+  }
+
+  private def sqDist(a: Seq[Double], c: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < c.length) { val d = a(i) - c(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Nearest-centroid id (ties → lower id) as a UDF over a broadcast model. */
+  private def assignUdf(model: Model) =
+    udf { (v: Seq[Double]) =>
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < model.centroids.length) {
+        val d = sqDist(v, model.centroids(c))
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+
+  /** Train the coarse quantizer. `corpus` needs (vec_id, embedding). */
+  def train(corpus: DataFrame, dim: Int, k: Int, iters: Int = 3): Model = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus.select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val init = vecs.orderBy("vec_id").limit(k).select("v")
+      .as[Seq[Double]].collect().map(_.toArray)
+    var model = Model(init)
+    (1 to iters).foreach { _ =>
+      val assigned = vecs.withColumn("cluster", assignUdf(model)($"v"))
+      val sums = assigned
+        .select($"cluster", posexplode($"v").as(Seq("pos", "x")))
+        .groupBy("cluster", "pos").agg(avg($"x").as("m"))
+        .as[(Int, Int, Double)].collect()
+      val next = model.centroids.map(_.clone())
+      sums.foreach { case (c, p, m) => next(c)(p) = m }
+      model = Model(next)
+    }
+    model
+  }
+
+  /** ANN top-k: probe the `nProbe` nearest lists, exact cosine re-rank.
+    * Returns (qid, id, cos, rank). */
+  def topK(corpus: DataFrame, queries: DataFrame, model: Model,
+      k: Int, nProbe: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val probesUdf = udf { (v: Seq[Double]) =>
+      model.centroids.zipWithIndex
+        .map { case (c, i) => (sqDist(v, c), i) }
+        .sortBy(t => (t._1, t._2)).take(nProbe).map(_._2)
+    }
+    val indexed = corpus
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+      .withColumn("cluster", assignUdf(model)($"v"))
+    val q = queries
+      .select($"vec_id".as("qid"), $"embedding".cast("array<double>").as("qv"))
+      .withColumn("cluster", explode(probesUdf($"qv")))
+    indexed.join(broadcast(q), Seq("cluster"))
+      .where($"id" =!= $"qid")
+      .withColumn("cos", Similarity.cosine($"qv", $"v"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("cos"), $"id")))
+      .where($"rank" <= k)
+      .select("qid", "id", "cos", "rank")
+  }
+}

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.fingerprintfns
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Ivf, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators: text analysis, dedup family,
   * similarity search. */
@@ -125,6 +125,20 @@ class PipelineOpsSpec extends SparkSpec {
     val recall = (brute intersect ann).size.toDouble / brute.size
     assert(recall >= 0.4, s"ANN recall $recall too low") // multi-probe hamming-1
     assert(ann.size <= 50)
+  }
+
+  test("IVF ANN: deterministic training, recall vs brute force") {
+    val queries = embs.where($"vec_id" < 10)
+    val model = Ivf.train(embs, dim = 64, k = 8, iters = 3)
+    val model2 = Ivf.train(embs, dim = 64, k = 8, iters = 3)
+    assert(model.centroids.map(_.toSeq).toSeq == model2.centroids.map(_.toSeq).toSeq)
+    val brute = Similarity.bruteForceTopK(embs, queries, 5)
+      .select($"qid", $"id").as[(Long, Long)].collect().toSet
+    val ivf = Ivf.topK(embs, queries, model, 5, nProbe = 3)
+      .select($"qid", $"id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall $recall too low")
+    assert(ivf.size <= 50)
   }
 
   test("embedding near-dup pairs") {
