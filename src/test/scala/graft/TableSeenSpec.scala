@@ -27,6 +27,28 @@ class TableSeenSpec extends SparkSpec {
     }
   }
 
+  test("property: two-phase salted dequeue ≡ naive per-host top-k") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(99)
+    val rows = (0 until 900).map { i =>
+      val h = s"site-${rnd.nextInt(5)}.test"
+      (s"https://$h/p$i", h)
+    }.distinct.toDF("urlNorm", "host")
+    val pending = graft.operators.Frontier.prioritize(rows)
+    val budgets = Seq(("site-0.test", 3), ("site-1.test", 10), ("site-2.test", 50))
+      .toDF("host", "budget")
+    val got = graft.operators.Frontier.dequeue(pending, budgets, defaultBudget = 7, saltCount = 8)
+      .select("host", "urlNorm").as[(String, String)].collect().toSet
+    val budgetMap = Map("site-0.test" -> 3, "site-1.test" -> 10, "site-2.test" -> 50)
+      .withDefaultValue(7)
+    val naive = pending
+      .withColumn("rn", row_number().over(Window.partitionBy("host").orderBy("priority")))
+      .as[(String, String, Long, Int)].collect()
+      .filter { case (_, host, _, rn) => rn <= budgetMap(host) }
+      .map(t => (t._2, t._1)).toSet
+    assert(got == naive)
+  }
+
   test("iceberg DDL strings for the cluster backend") {
     val ddl = TableIO.icebergDDL("crawl.frontier",
       "urlNorm string, host string, depth int, priority bigint, epoch int, state string",
