@@ -37,10 +37,62 @@ object Dedup {
           i => text.substr(i, lit(k)))))
 
   /** MinHash signature: for seed s, min over shingles of xxhash64(s, shingle).
-    * numHashes independent permutation approximations, pure column expr. */
+    * numHashes independent permutation approximations, pure column expr.
+    * NOTE: kept for SQL-surface illustration; the pipeline below uses
+    * [[minhashBands]] — Catalyst inlines this expression once per hash seed
+    * (no CSE on the interpreted higher-order path), which turned 32 hashes
+    * into 32 full shingle sweeps per row (observed 140 s for 5.5k docs). */
   def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)), s =>
       array_min(transform(shinglesCol, sh => xxhash64(s, sh))))
+
+  private def mix64(z0: Long): Long = { // splitmix64 finalizer
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Single-pass minhash banding: rolling polynomial hash over each char
+    * k-window (distinct via a hash set), numHashes per-seed mins updated in
+    * one sweep, then per-band hashes — O(len + distinct·numHashes) per row.
+    */
+  def minhashBands(text: String, k: Int, numBands: Int, rowsPerBand: Int): Array[Long] = {
+    val numHashes = numBands * rowsPerBand
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    if (text.length >= k) {
+      val seen = new java.util.HashSet[Long]()
+      val B = 1000003L
+      var pow = 1L
+      var i = 0
+      while (i < k - 1) { pow *= B; i += 1 }
+      var h = 0L
+      i = 0
+      while (i < text.length) {
+        h = h * B + text.charAt(i)
+        if (i >= k) h -= pow * B * text.charAt(i - k)
+        if (i >= k - 1 && seen.add(h)) {
+          var s = 0
+          while (s < numHashes) {
+            val v = mix64(h ^ (s.toLong * 0xa5a5a5a5a5a5a5a5L))
+            if (v < mins(s)) mins(s) = v
+            s += 1
+          }
+        }
+        i += 1
+      }
+    }
+    val out = new Array[Long](numBands)
+    var b = 0
+    while (b < numBands) {
+      var acc = 0L
+      var r = 0
+      while (r < rowsPerBand) { acc = mix64(acc ^ mins(b * rowsPerBand + r)); r += 1 }
+      out(b) = acc
+      b += 1
+    }
+    out
+  }
 
   /** LSH banding: (bandId, bandHash) pairs from a signature. */
   def bands(signature: Column, numBands: Int, rowsPerBand: Int): Column =
@@ -67,13 +119,10 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: Column, textCol: Column,
       shingleK: Int = 5, numBands: Int = 16, rowsPerBand: Int = 2,
       threshold: Double = 0.8): DataFrame = {
-    val numHashes = numBands * rowsPerBand
+    val bandsUdf = udf((t: String) => minhashBands(t, shingleK, numBands, rowsPerBand))
     val base = df.select(idCol.as("id"), textCol.as("text"))
-      .withColumn("sh", shingles(col("text"), shingleK))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
     val banded = base
-      .select(col("id"), explode(bands(col("sig"), numBands, rowsPerBand)).as("b"))
-      .select(col("id"), col("b.band").as("band"), col("b.bandHash").as("bandHash"))
+      .select(col("id"), posexplode(bandsUdf(col("text"))).as(Seq("band", "bandHash")))
     val l = banded.as("l"); val r = banded.as("r")
     val candidates = l.join(r,
         col("l.band") === col("r.band") &&
@@ -81,7 +130,7 @@ object Dedup {
         col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
-    val sh = base.select(col("id"), col("sh"))
+    val sh = base.select(col("id"), shingles(col("text"), shingleK).as("sh"))
     candidates
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
