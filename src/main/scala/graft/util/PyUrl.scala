@@ -98,11 +98,14 @@ object PyUrl {
     } else sp
   }
 
-  /** CPython `urlunsplit`. */
+  /** CPython (3.11) `urlunsplit`: '//' is emitted whenever netloc is
+    * non-empty OR the scheme is a uses_netloc scheme and the path doesn't
+    * already begin with '//'. */
   def urlunsplit(scheme: String, netloc: String, pathIn: String,
       query: String, fragment: String): String = {
     var url = pathIn
-    if (netloc.nonEmpty || (url.length >= 2 && url.startsWith("//"))) {
+    if (netloc.nonEmpty ||
+        (scheme.nonEmpty && usesNetloc.contains(scheme) && !url.startsWith("//"))) {
       if (url.nonEmpty && url.charAt(0) != '/') url = "/" + url
       url = "//" + netloc + url
     }

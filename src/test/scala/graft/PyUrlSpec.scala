@@ -107,7 +107,7 @@ class PyUrlSpec extends AnyFunSuite {
       "https://site-0.test/docs/b?x=1")
   }
 
-  test("CPython parity corpus: canonicalize (235 cases)") {
+  test("CPython parity corpus: canonicalize (262 cases)") {
     val src = scala.io.Source.fromInputStream(
       getClass.getResourceAsStream("/pyurl_canon_corpus.tsv"), "UTF-8")
     try src.getLines().foreach { line =>
@@ -116,7 +116,7 @@ class PyUrlSpec extends AnyFunSuite {
     } finally src.close()
   }
 
-  test("CPython parity corpus: urljoin (223 cases)") {
+  test("CPython parity corpus: urljoin (237 cases)") {
     val src = scala.io.Source.fromInputStream(
       getClass.getResourceAsStream("/pyurl_join_corpus.tsv"), "UTF-8")
     try src.getLines().foreach { line =>
