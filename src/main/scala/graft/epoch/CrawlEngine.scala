@@ -51,7 +51,9 @@ final class CrawlEngine(
       * schema; cache hits skip the fetcher and surface fetchMethod="cache".
       * Every run appends its ok pages to its own `page_cache` table, which
       * a later run can pass here. TTL enforced by the caller as an epoch
-      * predicate on that table (deterministic analog of the 24h rule). */
+      * predicate on that table (deterministic analog of the 24h rule).
+      * Contract: one row per urlNorm — a single run's page_cache satisfies
+      * this; dedupe (keep latest epoch) when unioning caches across runs. */
     warmCache: Option[DataFrame] = None) {
 
   import spark.implicits._
