@@ -11,9 +11,11 @@ import graft.operators.{Dedup, Frontier, Robots, Seen, Similarity, TextAnalysis,
   * SURVEY.md §2 (+ the training-data pipeline operators), each with an
   * equivalent DuckDB-runnable oracle in [[SparkEntry.oracleSql]] where the
   * semantics are ANSI-SQL-expressible. Column names and row order match the
-  * oracle exactly. Non-SQL-expressible ops (LSH ANN, simhash, fingerprint,
-  * image validation, the crawl engine itself) are rows-only checks; their
-  * correctness gates live in the test suites (GoldenReplaySpec etc.).
+  * oracle exactly. Ops that aren't hand-writable ANSI SQL (LSH/IVF ANN,
+  * simhash, fingerprint, image validation, the crawl engine itself) get
+  * GENERATED oracles from [[OracleGen]] — re-expressed DuckDB math,
+  * pure-Scala recomputation, or reference-simulator VALUES — so all 30
+  * queries are driver-checkable.
   */
 object SparkEntry {
 
@@ -139,6 +141,10 @@ object SparkEntry {
         .orderBy("hour", "event_type")
     }),
     "q09_sessionize" -> ((s, d) => {
+      // events.ts is TIMESTAMP_NTZ; the NTZ→LTZ cast below interprets the
+      // wall-clock in the session timezone, so pin it — otherwise start_us
+      // shifts by the harness's zone offset vs the DuckDB oracle's epoch_us.
+      s.conf.set("spark.sql.session.timeZone", "UTC")
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       events(s, d)
         .withColumn("prev_us", lag(unix_micros(col("ts").cast("timestamp")), 1).over(w))
@@ -354,7 +360,23 @@ object SparkEntry {
        WHEN $de > 0 THEN 'de' ELSE 'unknown' END"""
   }
 
-  def oracleSql: Map[String, String] = Map(
+  /** q26 augmentation, shared text between the Spark query and its oracle. */
+  private val augTailSql: String =
+    "SELECT doc_id, text FROM documents UNION ALL " +
+      "SELECT doc_id + 1000000 AS doc_id, text || ' tailword' AS text " +
+      "FROM documents WHERE doc_id % 10 = 0"
+
+  /** lazy: q28/q29 oracles recompute their expected tables (image fixture
+    * re-validation, reference-simulator crawl) at first access. */
+  lazy val oracleSql: Map[String, String] = Map(
+    "q25_ann_lsh" -> OracleGen.annLshOracle(dim = 64, numPlanes = 6, k = 10, maxQid = 8),
+    "q26_simhash_neardup" -> OracleGen.simhashOracle(augTailSql, maxHamming = 7),
+    "q27_fingerprint" -> OracleGen.fingerprintOracle,
+    "q28_image_validate" -> OracleGen.imageValidateOracle(200L),
+    "q29_crawl_order" -> OracleGen.crawlOrderOracle(
+      graft.fixtures.FixtureGen.Params(hosts = 2, pagesPerHost = 20), maxDepth = 5),
+    "q30_ann_ivf" -> OracleGen.annIvfOracle(
+      dim = 64, k = 8, iters = 3, topK = 10, nProbe = 3, maxQid = 8),
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(round(sum(l_quantity)*100) AS BIGINT) AS sum_qty_c,
@@ -425,11 +447,11 @@ object SparkEntry {
           WHERE path LIKE '/docs%'
             AND NOT regexp_matches(lower(path), '\\.(pdf|zip|tar|gz|rar|png|jpg|jpeg|gif|svg|ico|webp|mp4|mp3|wav|avi|mov|doc|docx|xls|xlsx|ppt|pptx|exe|dmg|deb|rpm)$$')
             AND NOT regexp_matches(lower(path), '(/blog/|/changelog/|/api-reference/|/releases/|/download/|/assets/)')
-            AND NOT (lower(path) LIKE '%/es/%' OR lower(path) LIKE '%/fr/%' OR lower(path) LIKE '%/de/%'
-                     OR lower(path) LIKE '%/ja/%' OR lower(path) LIKE '%/zh/%' OR lower(path) LIKE '%/pt/%'
-                     OR lower(path) LIKE '%/ru/%' OR lower(path) LIKE '%/ko/%' OR lower(path) LIKE '%/kr/%'
-                     OR lower(path) LIKE '%/jp/%')
-             OR lower(path) LIKE '%/en/%'
+            AND (lower(path) LIKE '%/en/%'
+                 OR NOT (lower(path) LIKE '%/es/%' OR lower(path) LIKE '%/fr/%' OR lower(path) LIKE '%/de/%'
+                         OR lower(path) LIKE '%/ja/%' OR lower(path) LIKE '%/zh/%' OR lower(path) LIKE '%/pt/%'
+                         OR lower(path) LIKE '%/ru/%' OR lower(path) LIKE '%/ko/%' OR lower(path) LIKE '%/kr/%'
+                         OR lower(path) LIKE '%/jp/%'))
           ORDER BY urlNorm""",
     "q12_robots_admission" ->
       s"""SELECT path FROM (SELECT $synthPath AS path FROM documents)

@@ -79,7 +79,17 @@ final class CrawlEngine(
       .select($"urlNorm", urlfns.url_host($"urlNorm").as("host"))
       .distinct()
 
-  /** One BFS epoch per depth; commits (seen, level_next) atomically. */
+  private val hostCountsSchema = StructType(Seq(
+    StructField("host", StringType), StructField("seenCnt", LongType)))
+
+  /** Carried across discovery epochs within one run: the seen-set Bloom is
+    * built from the committed snapshot ONCE per run/resume (treeAggregate),
+    * then each epoch folds only its admitted delta in via `mergeInPlace` —
+    * per-epoch probe-build cost is O(delta), not O(seen) (A5). */
+  private var seenBloom: org.apache.spark.util.sketch.BloomFilter = null
+
+  /** One BFS epoch per depth; commits (seen, level_next, host_counts)
+    * atomically. */
   private def discoverFrom(startDepth: Int, startLevel: DataFrame,
       stopAfterDepth: Option[Int] = None): Boolean = {
     var depth = startDepth
@@ -87,19 +97,23 @@ final class CrawlEngine(
     var continue = true
     while (continue) {
       val seen = io.read("seen").getOrElse(emptyDf(seenSchema))
-      // Bloom-prune + exact anti-join (J1). Bloom rebuilt from the committed
-      // seen snapshot each epoch via treeAggregate (A5).
+      // Bloom-prune + exact anti-join (J1). Probe = carried Bloom (delta-
+      // folded), authority = anti-join vs the committed snapshot.
       val fresh0 =
         if (seen.isEmpty) level
         else {
-          val bloom = Seen.buildBloom(seen, cfg.bloomExpectedItems, cfg.bloomFpp)
-          Seen.admitPartitioned(level, seen, spark.sparkContext.broadcast(bloom))
+          if (seenBloom == null)
+            seenBloom = Seen.buildBloom(seen, cfg.bloomExpectedItems, cfg.bloomFpp)
+          Seen.admitPartitioned(level, seen, spark.sparkContext.broadcast(seenBloom))
         }
       // per-host cap (A4): deterministic lexicographic cap, NOT arbitrary
       // limit. (Reference caps in set-iteration order, which is
-      // PYTHONHASHSEED-dependent — we fix the ambiguity; fixtures stay
-      // under the cap so golden replay is unaffected.)
-      val seenCounts = seen.groupBy("host").agg(count("*").as("seenCnt"))
+      // PYTHONHASHSEED-dependent — we fix the ambiguity.) Counts come from
+      // the running host_counts table (O(hosts), carried commit to commit),
+      // not a full re-aggregation of seen — seeded from seen once when the
+      // cascade strategies pre-populated it.
+      val seenCounts = io.read("host_counts").getOrElse(
+        seen.groupBy("host").agg(count(lit(1)).cast("long").as("seenCnt")))
       val admitted = fresh0
         .join(seenCounts, Seq("host"), "left")
         .na.fill(0L, Seq("seenCnt"))
@@ -108,6 +122,9 @@ final class CrawlEngine(
         .select($"urlNorm", $"host", lit(depth).as("depth"))
         .cache()
       val admittedCount = admitted.count()
+      val newCounts = seenCounts.unionByName(
+          admitted.groupBy("host").agg(count(lit(1)).cast("long").as("seenCnt")))
+        .groupBy("host").agg(sum("seenCnt").cast("long").as("seenCnt"))
 
       val nextLevel =
         if (admittedCount == 0 || depth >= cfg.maxDepth) emptyDf(
@@ -124,9 +141,15 @@ final class CrawlEngine(
             .distinct()
         }
       io.commit("discover", depth,
-        tables = Map("level_next" -> nextLevel),
+        tables = Map("level_next" -> nextLevel, "host_counts" -> newCounts),
         appends = Map("seen" -> admitted),
         counters = Map("admitted" -> admittedCount, "depth" -> depth.toLong))
+      // fold only the epoch delta into the carried Bloom (north rule:
+      // per-epoch treeAggregate rebuild — over the delta, merged broadcast)
+      if (admittedCount > 0) {
+        val delta = Seen.buildBloom(admitted, cfg.bloomExpectedItems, cfg.bloomFpp)
+        if (seenBloom == null) seenBloom = delta else seenBloom.mergeInPlace(delta)
+      }
       admitted.unpersist()
       if (stopAfterDepth.contains(depth)) return false // paused (ST2)
       val nxt = io.read("level_next").get
@@ -165,8 +188,23 @@ final class CrawlEngine(
       counters = Map("pending" -> pending.count()))
   }
 
+  private val dequeuedSchema = StructType(Seq(StructField("urlNorm", StringType)))
+
+  /** The live frontier: committed base ∖ accumulated per-epoch dequeue
+    * deltas. Each fetch epoch APPENDS its dequeued urlNorms (commit I/O
+    * proportional to the epoch's dequeue, not the frontier — the 10^10-URL
+    * requirement); every cfg.compactEveryEpochs epochs the view is
+    * materialized back into `pending` and the delta chain reset, bounding
+    * the anti-join's right side at K × budget × hosts rows. */
+  private def pendingView: DataFrame = {
+    val base = io.read("pending").get
+    io.read("dequeued")
+      .map(dq => base.join(dq, Seq("urlNorm"), "left_anti"))
+      .getOrElse(base)
+  }
+
   private def fetchEpoch(epoch: Int): Long = {
-    val pending = io.read("pending").get
+    val pending = pendingView
     val deq = Frontier.dequeue(pending, budgetsDf,
       cfg.hostBudget(None), saltCount = 16).cache()
     val deqCount = deq.count()
@@ -248,7 +286,18 @@ final class CrawlEngine(
 
     val methodCounts = classified.groupBy("fetchMethod").count()
       .as[(String, Long)].collect().toMap
-    val pendingNext = pending.join(deq.select("urlNorm"), Seq("urlNorm"), "left_anti")
+    // delta-append the dequeued set; materialize (compact) only every K
+    // epochs — What's-wrong #2 fix: no O(frontier) rewrite per epoch
+    val compact = epoch % cfg.compactEveryEpochs == 0
+    val (pendingTables, dequeuedAppend) =
+      if (compact)
+        (Map(
+          "pending" -> pending.join(deq.select("urlNorm"), Seq("urlNorm"), "left_anti"),
+          "dequeued" -> emptyDf(dequeuedSchema)),
+          Map.empty[String, DataFrame])
+      else
+        (Map.empty[String, DataFrame],
+          Map("dequeued" -> deq.select("urlNorm")))
 
     // per-partition lineage (north rule): rows in/ok per host bucket this
     // epoch — the partition key the tables are bucketed by at rest
@@ -263,8 +312,8 @@ final class CrawlEngine(
       try obs.get.map { case (k, v) => k -> v.asInstanceOf[Long] }
       catch { case _: Exception => Map.empty }
     io.commit("fetch", epoch,
-      tables = Map("pending" -> pendingNext),
-      appends = Map(
+      tables = pendingTables,
+      appends = dequeuedAppend ++ Map(
         "order_log" -> orderLogNew,
         "seen_content" -> okPages.select($"host", $"contentHash"),
         // S9 — page-cache sink: ok pages only (never blocked/failed),

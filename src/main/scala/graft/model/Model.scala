@@ -78,13 +78,18 @@ final case class CrawlConfig(
     skewThreshold: Long = 100000L,
     /** Bloom filter sizing for the seen-set probe (A5). */
     bloomExpectedItems: Long = 1000000L,
-    bloomFpp: Double = 1e-3) {
+    bloomFpp: Double = 1e-3,
+    /** fetch-phase frontier compaction period: the pending table is stored
+      * as base ∖ appended dequeue deltas and rewritten only every K epochs,
+      * so per-epoch commit I/O is O(dequeued), not O(frontier). */
+    compactEveryEpochs: Int = 8) {
   require(seedUrls.nonEmpty, "at least one seed URL")
   require(delayMs >= 100 && delayMs <= 60000, "delay_ms in [100, 60000]") // models.py:27
   require(maxConcurrent >= 1 && maxConcurrent <= 10, "max_concurrent in [1, 10]") // models.py:28
   require(maxDepth >= 0 && maxDepth <= 10, "max_depth in [0, 10]")
   require(maxUrls >= 1, "max_urls >= 1")
   require(numBuckets >= 1, "numBuckets >= 1")
+  require(compactEveryEpochs >= 1, "compactEveryEpochs >= 1")
   seedUrls.foreach { u =>
     require(u.startsWith("http://") || u.startsWith("https://"), s"seed must be http(s): $u")
   }

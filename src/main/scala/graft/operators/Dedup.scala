@@ -139,18 +139,30 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** 64-bit SimHash over whitespace tokens (xxhash64 per token, per-bit
-    * majority vote). UDF: per-bit voting isn't expressible as a compact
-    * column expression; the UDF runs fully distributed. */
+  /** Per-token 64-bit hash: first 8 bytes of md5(UTF-8 bytes), big-endian —
+    * chosen over xxhash/splitmix because md5 is bit-identical in every
+    * engine (Spark, DuckDB, Python), which makes the simhash pipeline
+    * oracle-checkable end to end. */
+  def tokenHash64(t: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h
+  }
+
+  /** 64-bit SimHash over whitespace tokens (md5-derived token hash, per-bit
+    * majority vote; ties → 0). UDF: per-bit voting isn't expressible as a
+    * compact column expression; the UDF runs fully distributed. */
   val simhash64: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (tokens: Seq[String]) =>
       val counts = new Array[Int](64)
+      val md = java.security.MessageDigest.getInstance("MD5")
       tokens.foreach { t =>
-        // splitmix64 over the (spec-stable) String.hashCode
-        var z = t.hashCode.toLong + 0x9e3779b97f4a7c15L
-        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-        val h2 = z ^ (z >>> 31)
+        val d = md.digest(t.getBytes("UTF-8")); md.reset()
+        var h2 = 0L
+        var i = 0
+        while (i < 8) { h2 = (h2 << 8) | (d(i) & 0xffL); i += 1 }
         var b = 0
         while (b < 64) { if (((h2 >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1; b += 1 }
       }

@@ -42,6 +42,13 @@ object Ivf {
       best
     }
 
+  /** Quantization scale for exact centroid averaging: coordinates are
+    * floored to a 2^-20 grid and summed as longs, so the mean is an exact
+    * integer ratio — identical bits regardless of partition count, shuffle
+    * order, or engine (the DuckDB oracle computes the same ratio). A
+    * float-double `avg` would drift in the last bits with summation order. */
+  final val QuantScale: Double = 1048576.0 // 2^20
+
   /** Train the coarse quantizer. `corpus` needs (vec_id, embedding). */
   def train(corpus: DataFrame, dim: Int, k: Int, iters: Int = 3): Model = {
     val spark = corpus.sparkSession
@@ -54,10 +61,12 @@ object Ivf {
       val assigned = vecs.withColumn("cluster", assignUdf(model)($"v"))
       val sums = assigned
         .select($"cluster", posexplode($"v").as(Seq("pos", "x")))
-        .groupBy("cluster", "pos").agg(avg($"x").as("m"))
-        .as[(Int, Int, Double)].collect()
+        .groupBy("cluster", "pos")
+        .agg(sum(floor($"x" * QuantScale).cast("long")).as("sq"),
+          count(lit(1)).as("n"))
+        .as[(Int, Int, Long, Long)].collect()
       val next = model.centroids.map(_.clone())
-      sums.foreach { case (c, p, m) => next(c)(p) = m }
+      sums.foreach { case (c, p, sq, n) => next(c)(p) = sq.toDouble / (n.toDouble * QuantScale) }
       model = Model(next)
     }
     model

@@ -18,8 +18,9 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
-    * ±1 from splitmix64 parity — cheap, seedable, identical everywhere. */
-  private def planeSign(p: Int, d: Int): Double = {
+    * ±1 from splitmix64 parity — cheap, seedable, identical everywhere.
+    * private[graft]: OracleGen re-emits the same planes as SQL literals. */
+  private[graft] def planeSign(p: Int, d: Int): Double = {
     var z = (p.toLong << 32 | d.toLong) + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL

@@ -68,6 +68,12 @@ final class ParquetSnapshotTableIO(spark: SparkSession, rootDir: String) extends
       Some(p)
     } else None
 
+  private def dirBytes(dir: Path): Long = {
+    val s = Files.walk(dir)
+    try s.filter(p => Files.isRegularFile(p)).mapToLong(p => Files.size(p)).sum
+    finally s.close()
+  }
+
   override def commit(phase: String, epoch: Int, tables: Map[String, DataFrame],
       appends: Map[String, DataFrame], counters: Map[String, Long]): Unit = {
     val prev = loadManifest()
@@ -79,14 +85,17 @@ final class ParquetSnapshotTableIO(spark: SparkSession, rootDir: String) extends
         if (k.startsWith("table.")) next.setProperty(k, p.getProperty(k))
       }
     }
+    val bytes = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     tables.toSeq.sortBy(_._1).foreach { case (name, df) =>
       val dir = s"data/$name/v$version"
       df.write.mode(SaveMode.Overwrite).parquet(root.resolve(dir).toString)
+      bytes(name) = dirBytes(root.resolve(dir))
       next.setProperty(s"table.$name", dir)
     }
     appends.toSeq.sortBy(_._1).foreach { case (name, df) =>
       val dir = s"data/$name/v$version"
       df.write.mode(SaveMode.Overwrite).parquet(root.resolve(dir).toString)
+      bytes(name) = dirBytes(root.resolve(dir))
       val existing = Option(next.getProperty(s"table.$name"))
       next.setProperty(s"table.$name",
         existing.map(e => s"$e,$dir").getOrElse(dir))
@@ -94,9 +103,19 @@ final class ParquetSnapshotTableIO(spark: SparkSession, rootDir: String) extends
     next.setProperty("phase", phase)
     next.setProperty("epoch", epoch.toString)
     next.setProperty("version", version.toString)
-    counters.toSeq.sortBy(_._1).foreach { case (k, v) =>
+    val allCounters = counters ++
+      bytes.map { case (n, b) => s"bytes_$n" -> b } +
+      ("bytes_commit" -> bytes.valuesIterator.sum)
+    allCounters.toSeq.sortBy(_._1).foreach { case (k, v) =>
       next.setProperty(s"counter.$k", v.toString)
     }
+    // per-commit I/O ledger line (lineage evidence: commit bytes per epoch)
+    val byteJson = bytes.map { case (n, b) => s""""$n":$b""" }.mkString(",")
+    Files.write(root.resolve("commits.jsonl"),
+      (s"""{"phase":"$phase","epoch":$epoch,"version":$version,""" +
+        s""""bytes":{$byteJson},"bytes_commit":${bytes.valuesIterator.sum}}""" + "\n")
+        .getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     val tmp = root.resolve(s"manifest.tmp.$version")
     val out = Files.newOutputStream(tmp)
     try next.store(out, null) finally out.close()

@@ -17,8 +17,8 @@ object Soak {
     val cfg = graft.model.CrawlConfig(
       seedUrls = graft.fixtures.FixtureGen.seeds(params),
       maxDepth = 8, epochSeconds = 120) // budget 240/host-epoch; host1 60
-    val io = new graft.sources.ParquetSnapshotTableIO(
-      spark, java.nio.file.Files.createTempDirectory("graft-soak").toString)
+    val ioDir = java.nio.file.Files.createTempDirectory("graft-soak").toString
+    val io = new graft.sources.ParquetSnapshotTableIO(spark, ioDir)
     val engine = new graft.epoch.CrawlEngine(spark, cfg,
       new graft.sources.FixtureFetcher(graft.fixtures.FixtureGen.webGraphDF(spark, params)),
       graft.fixtures.FixtureGen.imagesDF(spark, params), io,
@@ -34,6 +34,27 @@ object Soak {
     println(f"SOAK urls=$urls fetched=$fetched epochs=$epochs sec=$sec%.1f " +
       f"rps=${urls / sec}%.1f invalid_last_epoch=$invalid")
     engine.orderLog.groupBy("disposition").count().show()
+    // per-epoch commit-I/O evidence (What's-wrong #2 fix): fetch-epoch commit
+    // bytes must track the epoch's dequeue, NOT the frontier size — i.e. flat
+    // across epochs except the periodic compaction commits.
+    val lines = scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(ioDir, "commits.jsonl"))).asScala
+    val fetchBytes = lines.filter(_.contains("\"phase\":\"fetch\""))
+      .map { l =>
+        val e = "\"epoch\":(\\d+)".r.findFirstMatchIn(l).get.group(1).toInt
+        val b = "\"bytes_commit\":(\\d+)".r.findFirstMatchIn(l).get.group(1).toLong
+        val compacted = l.contains("\"pending\":")
+        (e, b, compacted)
+      }
+    val (compactions, deltas) = fetchBytes.partition(_._3)
+    def stats(xs: Seq[Long]): String =
+      if (xs.isEmpty) "n/a"
+      else f"n=${xs.size} avg=${xs.sum / xs.size}%d max=${xs.max}%d"
+    println(s"COMMIT-IO fetch delta epochs: ${stats(deltas.map(_._2).toSeq)}")
+    println(s"COMMIT-IO compaction epochs:  ${stats(compactions.map(_._2).toSeq)}")
+    fetchBytes.foreach { case (e, b, c) =>
+      println(f"  epoch $e%3d bytes=$b%9d${if (c) " (compaction)" else ""}")
+    }
     spark.stop()
   }
 }
