@@ -360,6 +360,10 @@ object SparkEntry {
        WHEN $de > 0 THEN 'de' ELSE 'unknown' END"""
   }
 
+  /** Python-whitespace char-class body for the DuckDB oracles (same literal
+    * characters Hashing.contentHash embeds in its Spark regex). */
+  private val pyWs: String = Hashing.PyWs
+
   /** q26 augmentation, shared text between the Spark query and its oracle. */
   private val augTailSql: String =
     "SELECT doc_id, text FROM documents UNION ALL " +
@@ -464,7 +468,7 @@ object SparkEntry {
           ORDER BY doc_id""",
     "q14_content_hash" ->
       s"""SELECT doc_id,
-          md5(regexp_replace(regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+', ' ', 'g')) AS md5h,
+          md5(regexp_replace(regexp_replace(lower(text), '^[$pyWs]+|[$pyWs]+$$', '', 'g'), '[$pyWs]+', ' ', 'g')) AS md5h,
           substring(sha256($synthFrontierUrl), 1, 16) AS cache_key
           FROM documents ORDER BY doc_id""",
     "q15_politeness_dequeue" ->
@@ -502,7 +506,7 @@ object SparkEntry {
     "q21_dedup_exact" ->
       s"""WITH aug AS ($augDocsSql)
           SELECT min(doc_id) AS keep_id, count(*) AS dup_count FROM aug
-          GROUP BY md5(regexp_replace(regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+', ' ', 'g'))
+          GROUP BY md5(regexp_replace(regexp_replace(lower(text), '^[$pyWs]+|[$pyWs]+$$', '', 'g'), '[$pyWs]+', ' ', 'g'))
           HAVING count(*) >= 2 ORDER BY keep_id""",
     "q22_minhash_neardup" ->
       s"""WITH aug AS ($augNearSql),

@@ -211,11 +211,30 @@ final class CrawlEngine(
     if (deqCount == 0) { deq.unpersist(); return 0L }
 
     val obs = Observation(s"fetch_epoch_$epoch")
+    // F6 at fetch time: the reference re-validates SSRF inside every fetch
+    // level (page.py:25,58,85,268); rejected rows never reach a transport
+    // and classify as failed. (HttpFetcher additionally re-validates every
+    // request + redirect hop; this gate covers fixture/test transports.)
+    def ssrfSplit(urls: DataFrame): (DataFrame, DataFrame) = {
+      val flagged = urls.withColumn("__ssrfOk",
+        graft.operators.Ssrf.admitted($"urlNorm"))
+      (flagged.where($"__ssrfOk").drop("__ssrfOk"),
+        flagged.where(!$"__ssrfOk").drop("__ssrfOk"))
+    }
+    def ssrfFailedRows(rejected: DataFrame): DataFrame =
+      rejected.select($"urlNorm", $"host",
+        lit(0).as("status"), lit("").as("contentType"), lit("").as("content"),
+        array().cast("array<string>").as("links"),
+        array().cast("array<string>").as("navLinks"),
+        array().cast("array<string>").as("imageRefs"),
+        lit("ssrf_blocked").as("fetchMethod"), lit(0L).as("loadMs"))
     // J6/O8 — cache lookup before fetching: hits are served from the warm
     // cache (fetchMethod="cache"), misses go to the transport. Blocked
     // pages are never cached (runner.py:522-524) so a hit is always safe.
     val fetchedPages = warmCache match {
-      case None => fetcher.fetchPages(deq.select("urlNorm", "host"))
+      case None =>
+        val (ok, rejected) = ssrfSplit(deq.select("urlNorm", "host"))
+        fetcher.fetchPages(ok).unionByName(ssrfFailedRows(rejected))
       case Some(cache) =>
         val hits = deq.select("urlNorm", "host")
           .join(cache.drop("host"), Seq("urlNorm"), "inner")
@@ -223,11 +242,15 @@ final class CrawlEngine(
           .select(Fetcher.pageObservationSchema.fieldNames.map(col).toIndexedSeq: _*)
         val misses = deq.select("urlNorm", "host")
           .join(cache.select("urlNorm"), Seq("urlNorm"), "left_anti")
-        hits.unionByName(fetcher.fetchPages(misses))
+        val (ok, rejected) = ssrfSplit(misses)
+        hits.unionByName(fetcher.fetchPages(ok)).unionByName(ssrfFailedRows(rejected))
     }
     val pages0 = fetchedPages
       .join(deq.select("urlNorm", "priority"), Seq("urlNorm"))
-    val isHtmlOk = $"status" === 200 && $"contentType".contains("text/html")
+    // "content ok" spans text/html AND native/proxy markdown (S5/S6): the
+    // chain's markdown wins are first-class ok pages like the reference's
+    val isHtmlOk = $"status" === 200 &&
+      ($"contentType".contains("text/html") || $"contentType".contains("text/markdown"))
     val pages = pages0
       .withColumn("blocked", UrlFilters.isBlockedResponse($"content"))
       .withColumn("contentHash",
@@ -352,7 +375,15 @@ final class CrawlEngine(
     * later strategies. */
   private def cascadeSitemaps(): Unit =
     sitemaps.foreach { sm =>
-      val expanded = graft.sources.Sitemaps.expandAll(sm, seedByHost)
+      // F6 on the cascade inputs AND outputs: the reference validates
+      // base_url before ANY strategy runs (discovery.py:539) — private-IP
+      // seeds must not get their sitemaps expanded into `seen`.
+      val safeSeeds = seedByHost.filter { case (_, seed) =>
+        !graft.operators.Ssrf.isSsrf(seed)
+      }
+      val expanded = graft.sources.Sitemaps
+        .expandAll(sm, safeSeeds, policies = policies)
+        .where(graft.operators.Ssrf.admitted($"urlNorm"))
         .withColumn("depth", lit(0))
       io.commit("sitemap", 0, tables = Map.empty,
         appends = Map("seen" -> expanded),

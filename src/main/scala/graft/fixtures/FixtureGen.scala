@@ -84,6 +84,10 @@ object FixtureGen {
     val content = (j % 31) match {
       case 17 => s"Just a moment... checking your browser. Cloudflare Ray ID: $h-$j"
       case 19 => s"Shared   body\ttext of ${hostName(h)} page ${j - 1}\nparagraph."
+      // non-ASCII whitespace (NBSP + U+2028): exercises the Python-\s
+      // contentHash semantics — a DUP of page j-1 differing only in
+      // whitespace flavor, so it must dedup as "skipped" in both engines
+      case 29 => s"Shared \u00a0 body\u3000text of ${hostName(h)} page ${j - 1}\u2028paragraph."
       case _  => s"Shared   body\ttext of ${hostName(h)} page $j\nparagraph."
     }
     // tree links: children B*j+1 .. B*j+B, href shape varies by child index

@@ -24,24 +24,84 @@ object Ssrf {
         (b.length == 16 && ((b(0) & 0xfe) == 0xfc)) // fc00::/7
       }
 
-  /** Literal-IP parse without DNS (returns None for names). */
-  def literalIp(host: String): Option[java.net.InetAddress] = {
-    val h =
-      if (host.startsWith("[")) host.drop(1).takeWhile(_ != ']') // [v6]:port
-      else host.takeWhile(_ != ':')                              // v4:port
-    val ipv4 = h.matches("\\d{1,3}(\\.\\d{1,3}){3}")
-    val ipv6 = host.startsWith("[")
-    if (!ipv4 && !ipv6) None
-    else try Some(java.net.InetAddress.getByName(h))
-    catch { case _: Exception => None }
+  /** Python `urlparse(url).hostname` analog: netloc minus userinfo and
+    * port, brackets stripped, lowercased. */
+  def hostname(url: String): String = {
+    var h = PyUrl.urlparse(url).netloc
+    val at = h.lastIndexOf('@')
+    if (at >= 0) h = h.substring(at + 1)
+    if (h.startsWith("[")) h = h.drop(1).takeWhile(_ != ']')
+    else h = h.takeWhile(_ != ':')
+    h.toLowerCase(java.util.Locale.ROOT)
   }
 
-  /** True if the URL must be rejected. `resolve` defaults to literal-only. */
+  /** True when every dot-part is a decimal/0x-hex/0-octal numeral — the
+    * strings CPython's inet_aton would try to parse numerically instead of
+    * resolving (so we must never hand them to DNS). */
+  def looksNumericV4(h: String): Boolean = {
+    val parts = h.split("\\.", -1)
+    parts.nonEmpty && parts.length <= 4 &&
+      parts.forall(p => p.matches("0[xX][0-9a-fA-F]+|[0-9]+"))
+  }
+
+  /** CPython `inet_aton` numeric parse: "a", "a.b", "a.b.c", "a.b.c.d"
+    * with each part decimal / 0x hex / 0-leading octal; the last part
+    * spans the remaining bytes. None on overflow/garbage. */
+  def parseInetAton(h: String): Option[java.net.InetAddress] = {
+    if (!looksNumericV4(h)) return None
+    def part(p: String): Option[Long] =
+      try Some(
+        if (p.matches("0[xX].*")) java.lang.Long.parseLong(p.drop(2), 16)
+        else if (p.length > 1 && p.startsWith("0")) java.lang.Long.parseLong(p, 8)
+        else java.lang.Long.parseLong(p))
+      catch { case _: NumberFormatException => None }
+    val raw = h.split("\\.", -1).toSeq
+    val vals = raw.map(part)
+    if (vals.exists(_.isEmpty)) return None
+    val vs = vals.map(_.get)
+    val n = vs.length
+    val lastBytes = 4 - (n - 1)
+    if (vs.init.exists(v => v < 0 || v > 255)) return None
+    val last = vs.last
+    if (last < 0 || last >= (1L << (8 * lastBytes))) return None
+    var addr = 0L
+    vs.init.foreach(v => addr = (addr << 8) | v)
+    addr = (addr << (8 * lastBytes)) | last
+    val bytes = Array.tabulate(4)(i => ((addr >>> (8 * (3 - i))) & 0xff).toByte)
+    Some(java.net.InetAddress.getByAddress(bytes))
+  }
+
+  /** Literal-IP parse without DNS (None for names): bracketed/colon IPv6
+    * literals plus every CPython inet_aton numeric IPv4 form ("127.1",
+    * "2130706433", "0x7f000001", "017700000001"). */
+  def literalIp(host: String): Option[java.net.InetAddress] = {
+    val h = hostname(if (host.contains("://")) host else s"http://$host")
+    if (h.isEmpty) None
+    else if (host.startsWith("[") || h.contains(":")) // IPv6 literal
+      try Some(java.net.InetAddress.getByName(h)) // no DNS: ":" ⇒ literal
+      catch { case _: Exception => None }
+    else parseInetAton(h)
+  }
+
+  /** True if the URL must be rejected (F6, `security.py:19-32`):
+    *  - no hostname → reject (reference raises);
+    *  - numeric-literal host → private-range check without DNS; numeric
+    *    forms that fail to parse are rejected (stricter than the
+    *    reference, which lets the gaierror pass — we never DNS-resolve a
+    *    numeric-looking host);
+    *  - named host → pluggable resolver (literal-only by default in the
+    *    zero-egress sandbox; unresolved names are admitted and fail
+    *    naturally at fetch, like the reference's gaierror pass).
+    */
   def isSsrf(url: String,
       resolve: String => Option[java.net.InetAddress] = literalIp): Boolean = {
-    val host = PyUrl.urlparse(url).netloc
-    if (host.isEmpty) true // unparseable → reject (reference raises)
-    else resolve(host).exists(isPrivateIp)
+    val h = hostname(url)
+    if (h.isEmpty) true // unparseable → reject (reference raises)
+    else if (h.contains(":")) // IPv6 literal (only bracketed forms keep ':')
+      try isPrivateIp(java.net.InetAddress.getByName(h))
+      catch { case _: Exception => true } // malformed v6 literal → reject
+    else if (looksNumericV4(h)) parseInetAton(h).forall(isPrivateIp)
+    else resolve(h).exists(isPrivateIp)
   }
 
   /** Admission predicate column (literal-IP resolver). */

@@ -22,22 +22,33 @@ import graft.model.{CrawlDelayRow, RobotsRuleRow}
   */
 object Robots {
 
-  /** Parsed per-host policy. */
+  /** Parsed per-host policy. `sitemaps`: URLs advertised via `Sitemap:`
+    * directives (section-independent, original case — reference
+    * `discovery.py:487-497`), feeding the sitemap cascade's root list. */
   final case class Policy(
       disallowed: Vector[String],
       allowed: Vector[String],
-      crawlDelaySec: Option[Double])
+      crawlDelaySec: Option[Double],
+      sitemaps: Vector[String] = Vector.empty)
 
   val Empty: Policy = Policy(Vector.empty, Vector.empty, None)
 
-  /** Transcription of `RobotsParser._parse` (`robots.py:36-59`). */
+  /** Transcription of `RobotsParser._parse` (`robots.py:36-59`) plus the
+    * `Sitemap:` directive collection (`discovery.py:487-497`, which scans
+    * the raw lines case-insensitively outside any user-agent section). */
   def parse(content: String): Policy = {
     var inAll = false
     var dis = Vector.empty[String]
     var all = Vector.empty[String]
     var delay: Option[Double] = None
+    var maps = Vector.empty[String]
     content.linesIterator.foreach { raw =>
       val line = raw.trim.toLowerCase(java.util.Locale.ROOT)
+      // untrimmed check + original-case value, exactly discovery.py:492-494
+      if (raw.toLowerCase(java.util.Locale.ROOT).startsWith("sitemap:")) {
+        val v = raw.split(":", 2)(1).trim
+        if (v.nonEmpty) maps :+= v
+      }
       if (line.startsWith("user-agent:")) {
         inAll = line.split(":", 2)(1).trim == "*"
       } else if (inAll) {
@@ -53,7 +64,7 @@ object Robots {
         }
       }
     }
-    Policy(dis, all, delay)
+    Policy(dis, all, delay, maps)
   }
 
   /** Transcription of `RobotsParser.is_allowed` (`robots.py:61-95`),
@@ -91,7 +102,7 @@ object Robots {
         p.allowed.map(r => RobotsRuleRow(host, "allow", r, r.length))
     }
     val delays = policies.toSeq.sortBy(_._1).collect {
-      case (host, Policy(_, _, Some(d))) => CrawlDelayRow(host, d)
+      case (host, p) if p.crawlDelaySec.isDefined => CrawlDelayRow(host, p.crawlDelaySec.get)
     }
     (rules, delays)
   }

@@ -23,8 +23,11 @@ object ReferenceSim {
   // ---- pure transcriptions shared with nothing Spark ----
 
   def contentHash(markdown: String): String = {
-    val normalised = markdown.trim.toLowerCase(Locale.ROOT)
-      .replaceAll("\\s+", " ")
+    val ws = graft.functions.Hashing.PyWs
+    val normalised = markdown
+      .replaceAll(s"^[$ws]+|[$ws]+$$", "") // Python str.strip()
+      .toLowerCase(Locale.ROOT)
+      .replaceAll(s"[$ws]+", " ")
     val md = java.security.MessageDigest.getInstance("MD5")
     md.digest(normalised.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
@@ -88,9 +91,10 @@ object ReferenceSim {
     val baseDomain = PyUrl.urlparse(baseUrl).netloc
 
     // cascade strategy 1 (discovery.py:548-566): sitemap — on success the
-    // BFS is skipped entirely
+    // BFS is skipped entirely; roots include robots.txt Sitemap: directives
     val sitemapUrls = graft.sources.Sitemaps.expandPure(
-      FixtureGen.sitemapBodies(p, h), FixtureGen.hostName(h), baseUrl)
+      FixtureGen.sitemapBodies(p, h), FixtureGen.hostName(h), baseUrl,
+      Robots.parse(FixtureGen.robotsTxt(h)))
 
     // cascade strategy 2 (discovery.py:233-340): nav links on the SEED page
     def navUrls: Set[String] =

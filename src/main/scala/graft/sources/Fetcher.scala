@@ -52,73 +52,233 @@ final class FixtureFetcher(webGraph: DataFrame) extends Fetcher {
   }
 }
 
-/** Real-transport skeleton for cluster use: per-partition pooled
-  * `java.net.http.HttpClient` (the PagePool analog, reference ADR-008 —
-  * client reuse saves the per-page setup cost), 5-level fallback chain
-  * collapsed to HTTP GET + retry with deterministic exponential backoff
-  * (`runner.py:505-513`). NOT exercised in the sandbox (zero egress); the
-  * fixture transport above drives all tests.
+/** Minimal HTML→Markdown conversion — the `markdownify(heading_style=ATX,
+  * strip=[script, style, nav, footer])` analog used by the HTTP fast path
+  * and heavy level (reference `page.py:39-45`, `markdown.py:76-78`):
+  * noise-subtree removal, ATX headings, list bullets, block-level line
+  * breaks, tag strip, basic entity decode, blank-line collapse.
+  * Deterministic and dependency-free. */
+object HtmlToMarkdown {
+  private val Dropped = java.util.regex.Pattern.compile(
+    "(?is)<(script|style|nav|footer)\\b[^>]*>.*?</\\1>")
+
+  def convert(html: String): String = {
+    var s = Dropped.matcher(html).replaceAll(" ")
+    (1 to 6).foreach { i =>
+      s = s.replaceAll(s"(?is)<h$i[^>]*>", "\n\n" + ("#" * i) + " ")
+    }
+    s = s.replaceAll("(?is)</h[1-6]\\s*>", "\n\n")
+    s = s.replaceAll("(?is)<li[^>]*>", "\n- ")
+    s = s.replaceAll("(?is)</?(p|div|section|article|main|table|tr|ul|ol|blockquote|pre)[^>]*>", "\n")
+    s = s.replaceAll("(?is)<br[^>]*>", "\n")
+    s = s.replaceAll("(?s)<[^>]*>", "")
+    s = s.replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&#39;", "'").replace("&nbsp;", " ")
+    s = s.replaceAll("[ \\t]+", " ").replaceAll(" ?\\n ?", "\n")
+    s = s.replaceAll("\\n{3,}", "\n\n")
+    s.trim
+  }
+
+  /** Main-content extraction analog of the heavy level's CONTENT_SELECTORS
+    * priority list (`page.py:133-143`): first of main/article/#content/
+    * .content with ≥200 chars of inner HTML, else the whole body. Static
+    * regex scope — no DOM/JS rendering exists in this container. */
+  def extractMain(html: String): String = {
+    val pats = Seq(
+      "(?is)<main\\b[^>]*>(.*?)</main>",
+      "(?is)<article\\b[^>]*>(.*?)</article>",
+      "(?is)<[a-z]+\\b[^>]*\\brole=[\"']main[\"'][^>]*>(.*?)</[a-z]+>",
+      "(?is)<[a-z]+\\b[^>]*\\bid=[\"']content[\"'][^>]*>(.*?)</[a-z]+>",
+      "(?is)<[a-z]+\\b[^>]*\\bclass=[\"'][^\"']*\\bcontent\\b[^\"']*[\"'][^>]*>(.*?)</[a-z]+>")
+    pats.view.flatMap { p =>
+      val m = java.util.regex.Pattern.compile(p).matcher(html)
+      if (m.find() && m.group(1).length >= 200) Some(m.group(1)) else None
+    }.headOption.getOrElse {
+      val m = java.util.regex.Pattern.compile("(?is)<body\\b[^>]*>(.*?)</body>").matcher(html)
+      if (m.find()) m.group(1) else html
+    }
+  }
+}
+
+/** Real transport for cluster use — the reference's 5-level fetch fallback
+  * chain (F4/S5-S8, `runner.py:414-525`), re-expressed per-row inside one
+  * distributed operator. Level order and gates:
+  *
+  *   1. cache      — handled upstream by the engine's warm-cache join (S9)
+  *   2. native     — GET with `Accept: text/markdown` content negotiation;
+  *                   wins iff the response content-type is text/markdown
+  *                   (`page.py:53-75`)
+  *   3. proxy      — GET `{proxyUrl}/{url}`; wins iff 200 and > 100 chars
+  *                   (`page.py:78-97`; off by default like the reference's
+  *                   `use_markdown_proxy = False`, `models.py:32`)
+  *   4. http_fast  — plain GET; wins iff 200 text/html and the markdown
+  *                   conversion is ≥ 500 chars (`page.py:15-50`)
+  *   5. playwright-analog ("heavy") — terminal level with
+  *                   MAX_SCRAPE_RETRIES=2 retries and 2^attempt backoff
+  *                   (`runner.py:491-513`); static main-content extraction
+  *                   stands in for the rendered DOM (no browser ships in
+  *                   this container — admitted scope limit)
+  *
+  * SSRF (F6) is re-validated on EVERY request of every level including
+  * each redirect hop (`page.py:25,58,85,268`; redirects are followed
+  * manually so Location targets cannot bypass the check). Per-partition
+  * pooled `java.net.http.HttpClient` (PagePool analog, ADR-008).
+  * `fetchMethod` carries the winning level for the A2 histogram, matching
+  * the reference's pages_native_md/pages_proxy_md/pages_http_fast/
+  * pages_playwright counters.
   */
-final class HttpFetcher(maxRetries: Int = 2, timeoutMs: Int = 8000) extends Fetcher {
+final class HttpFetcher(
+    maxRetries: Int = 2,
+    timeoutMs: Int = 8000,
+    useNativeMarkdown: Boolean = true,
+    markdownProxyUrl: Option[String] = None,
+    useHttpFastPath: Boolean = true,
+    /** ms unit for the heavy level's 2^attempt backoff; 0 in tests. */
+    backoffUnitMs: Long = 1000L,
+    /** SSRF admission for every request incl. redirect hops; tests inject
+      * a permissive validator to reach the loopback fixture server. */
+    validate: String => Boolean = u => !graft.operators.Ssrf.isSsrf(u)) extends Fetcher {
   import Fetcher.pageObservationSchema
 
   override def fetchPages(urls: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(pageObservationSchema)
-    val retries = maxRetries // locals only in the task closure (no `this`)
+    // locals only in the task closure (no `this` capture)
+    val retries = maxRetries
     val tmoutMs = timeoutMs
+    val useNative = useNativeMarkdown
+    val proxyUrl = markdownProxyUrl
+    val useFast = useHttpFastPath
+    val backoffMs = backoffUnitMs
+    val admit = validate
     urls.select("urlNorm", "host").mapPartitions { it =>
       // lazy per-partition client (O11 pool analog)
       lazy val client = java.net.http.HttpClient.newBuilder()
         .connectTimeout(java.time.Duration.ofMillis(tmoutMs.toLong))
-        .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+        .followRedirects(java.net.http.HttpClient.Redirect.NEVER)
         .build()
       val hrefRe = java.util.regex.Pattern.compile(
         "<a\\s[^>]*href=[\"']([^\"']+)[\"']", java.util.regex.Pattern.CASE_INSENSITIVE)
+      val navRe = java.util.regex.Pattern.compile(
+        "<(nav|aside)\\b[^>]*>(.*?)</\\1>",
+        java.util.regex.Pattern.CASE_INSENSITIVE | java.util.regex.Pattern.DOTALL)
+
+      /** One validated GET with manual redirect following (≤ 5 hops, each
+        * hop re-validated). None = SSRF-rejected. Throws on transport
+        * errors (callers decide retry/fall-through). */
+      def get(url0: String, headers: Seq[(String, String)]): Option[(Int, String, String)] = {
+        var url = url0
+        var hops = 0
+        while (hops <= 5) {
+          if (!admit(url)) return None
+          val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+            .timeout(java.time.Duration.ofMillis(tmoutMs.toLong)).GET()
+          headers.foreach { case (k, v) => b.header(k, v) }
+          val resp = client.send(b.build(),
+            java.net.http.HttpResponse.BodyHandlers.ofString())
+          val st = resp.statusCode()
+          val loc = resp.headers().firstValue("location").orElse("")
+          if (st >= 300 && st < 400 && loc.nonEmpty) {
+            url = java.net.URI.create(url).resolve(loc).toString
+            hops += 1
+          } else {
+            return Some((st,
+              resp.headers().firstValue("content-type").orElse(""), resp.body()))
+          }
+        }
+        Some((0, "", "")) // redirect chain too long
+      }
+
+      def anchors(p: java.util.regex.Pattern, s: String, group: Int): Seq[String] = {
+        val m = p.matcher(s)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (m.find()) buf += m.group(group)
+        buf.toSeq
+      }
+
       it.map { row =>
         val url = row.getString(0); val host = row.getString(1)
         val t0 = System.nanoTime()
-        var status = 0; var ctype = ""; var body = ""
-        var attempt = 0
-        var done = false
-        while (!done && attempt <= retries) {
-          try {
-            val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
-              .timeout(java.time.Duration.ofMillis(tmoutMs.toLong)).GET().build()
-            val resp = client.send(req,
-              java.net.http.HttpResponse.BodyHandlers.ofString())
-            status = resp.statusCode()
-            ctype = resp.headers().firstValue("content-type").orElse("")
-            body = resp.body()
-            done = true
-          } catch {
-            case _: Exception =>
-              attempt += 1 // backoff 2^attempt s on a live cluster; no sleep in tests
+        var status = 0; var ctype = ""; var content = ""; var rawHtml = ""
+        var method = "none"
+        var ssrfBlocked = false
+
+        // level 2: native markdown negotiation
+        if (useNative && method == "none") {
+          try get(url, Seq(
+            "Accept" -> "text/markdown, text/html;q=0.9, */*;q=0.8",
+            "User-Agent" -> "graft/0.1 (documentation crawler)")) match {
+            case None => ssrfBlocked = true
+            case Some((st, ct, body)) if ct.contains("text/markdown") =>
+              status = st; ctype = ct; content = body; method = "native"
+            case _ => ()
+          } catch { case _: Exception => () }
+        }
+        // level 3: markdown proxy
+        if (proxyUrl.isDefined && method == "none" && !ssrfBlocked) {
+          try get(s"${proxyUrl.get.stripSuffix("/")}/$url",
+            Seq("User-Agent" -> "graft/0.1 (documentation crawler)")) match {
+            case None => ssrfBlocked = true
+            case Some((st, ct, body)) if st == 200 && body.length > 100 =>
+              status = st; ctype = "text/markdown"; content = body; method = "proxy"
+            case _ => ()
+          } catch { case _: Exception => () }
+        }
+        // level 4: HTTP fast path (plain GET + markdown quality gate)
+        if (useFast && method == "none" && !ssrfBlocked) {
+          try get(url, Seq(
+            "Accept" -> "text/html,application/xhtml+xml,*/*;q=0.8",
+            "User-Agent" -> "graft/0.1 (documentation crawler)")) match {
+            case None => ssrfBlocked = true
+            case Some((st, ct, body)) if st == 200 && ct.contains("text/html") =>
+              val md = HtmlToMarkdown.convert(body)
+              if (md.length >= 500) {
+                status = st; ctype = ct; content = md; rawHtml = body; method = "http_fast"
+              }
+            case _ => ()
+          } catch { case _: Exception => () }
+        }
+        // level 5: heavy terminal level (playwright analog) with retries
+        if (method == "none" && !ssrfBlocked) {
+          var attempt = 0
+          var done = false
+          while (!done && attempt <= retries) {
+            try {
+              get(url, Seq(
+                "Accept" -> "text/html,application/xhtml+xml,*/*;q=0.8",
+                "User-Agent" -> "graft/0.1 (documentation crawler)")) match {
+                case None => ssrfBlocked = true; done = true
+                case Some((st, ct, body)) =>
+                  status = st; ctype = ct; rawHtml = if (ct.contains("text/html")) body else ""
+                  content =
+                    if (ct.contains("text/html"))
+                      HtmlToMarkdown.convert(HtmlToMarkdown.extractMain(body))
+                    else body
+                  method = "playwright"
+                  done = true
+              }
+            } catch {
+              case _: Exception =>
+                attempt += 1
+                if (attempt <= retries && backoffMs > 0)
+                  Thread.sleep(backoffMs << (attempt - 1)) // 2^attempt backoff
+            }
           }
         }
-        val isHtml = status == 200 && ctype.contains("text/html")
-        val links = if (isHtml) {
-          val m = hrefRe.matcher(body)
-          val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-          while (m.find()) buf += m.group(1)
-          buf.toSeq
-        } else Seq.empty[String]
-        // nav-scoped hrefs: anchors inside <nav>/<aside> blocks (the static
-        // approximation of the reference's 7 rendered nav selectors)
+        if (ssrfBlocked) { status = 0; ctype = ""; content = ""; method = "ssrf_blocked" }
+
+        val isHtml = rawHtml.nonEmpty
+        val links = if (isHtml) anchors(hrefRe, rawHtml, 1) else Seq.empty[String]
+        // nav-scoped hrefs: anchors inside <nav>/<aside> blocks (static
+        // approximation of the reference's rendered nav selectors)
         val navLinks = if (isHtml) {
-          val navRe = java.util.regex.Pattern.compile(
-            "<(nav|aside)\\b[^>]*>(.*?)</\\1>",
-            java.util.regex.Pattern.CASE_INSENSITIVE | java.util.regex.Pattern.DOTALL)
-          val nm = navRe.matcher(body)
+          val nm = navRe.matcher(rawHtml)
           val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-          while (nm.find()) {
-            val inner = hrefRe.matcher(nm.group(2))
-            while (inner.find()) buf += inner.group(1)
-          }
+          while (nm.find()) buf ++= anchors(hrefRe, nm.group(2), 1)
           buf.toSeq
         } else Seq.empty[String]
-        Row(url, host, status, ctype, body, links, navLinks, Seq.empty[String],
-          "http", (System.nanoTime() - t0) / 1000000L)
+        Row(url, host, status, ctype, content, links, navLinks, Seq.empty[String],
+          method, (System.nanoTime() - t0) / 1000000L)
       }
     }(enc)
   }

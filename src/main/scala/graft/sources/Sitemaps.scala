@@ -61,12 +61,15 @@ object Sitemaps {
     * is root), then `normalize_url`.
     *
     * `sitemaps`: (sitemap_url, body binary, gzipped boolean);
-    * `seeds`: host → baseUrl. Roots tried per host: /sitemap.xml and
-    * /sitemap_index.xml (standard locations, `discovery.py:487-491`).
+    * `seeds`: host → baseUrl. Roots tried per host: the standard
+    * /sitemap.xml and /sitemap_index.xml joined against the SEED's scheme
+    * (`urljoin(base_url, ...)`, `discovery.py:481-484`) plus any `Sitemap:`
+    * directives from that host's robots.txt policy (`discovery.py:487-497`).
     * Returns distinct (urlNorm, host).
     */
   def expandAll(sitemaps: DataFrame, seeds: Map[String, String],
-      maxRounds: Int = 8): DataFrame = {
+      maxRounds: Int = 8,
+      policies: Map[String, graft.operators.Robots.Policy] = Map.empty): DataFrame = {
     val spark = sitemaps.sparkSession
     import spark.implicits._
     val parsed = sitemaps.select($"sitemap_url", $"body", $"gzipped")
@@ -80,8 +83,10 @@ object Sitemaps {
       (host, basePath)
     }
     val seedsDf = broadcast(seedRows.toDF("host", "basePath"))
-    val roots = seeds.keys.toSeq.sorted.flatMap(h =>
-      Seq(s"https://$h/sitemap.xml", s"https://$h/sitemap_index.xml"))
+    val roots = seeds.toSeq.sortBy(_._1).flatMap { case (h, baseUrl) =>
+      standardRoots(baseUrl) ++
+        policies.get(h).map(_.sitemaps.toSeq).getOrElse(Seq.empty)
+    }.distinct
     var pending = roots.toDF("sitemap_url")
     var visited = pending
     var collected = Seq.empty[DataFrame]
@@ -106,10 +111,19 @@ object Sitemaps {
       .distinct()
   }
 
+  /** Standard sitemap roots for a seed, scheme inherited from the seed
+    * (the reference's urljoin(base_url, "/sitemap.xml")). */
+  def standardRoots(baseUrl: String): Seq[String] = {
+    val p = graft.util.PyUrl.urlparse(baseUrl)
+    val scheme = if (p.scheme.isEmpty) "https" else p.scheme
+    Seq(s"$scheme://${p.netloc}/sitemap.xml", s"$scheme://${p.netloc}/sitemap_index.xml")
+  }
+
   /** Pure single-host expansion (shared with the reference simulator —
     * identical admission rules, driver-side recursion). */
   def expandPure(bodies: Map[String, (Array[Byte], Boolean)], host: String,
-      baseUrl: String): Set[String] = {
+      baseUrl: String,
+      policy: graft.operators.Robots.Policy = graft.operators.Robots.Empty): Set[String] = {
     val bp = graft.util.PyUrl.urlparse(baseUrl)
     var basePath = bp.path; while (basePath.endsWith("/")) basePath = basePath.dropRight(1)
     val out = scala.collection.mutable.HashSet.empty[String]
@@ -128,8 +142,7 @@ object Sitemaps {
           children.foreach(walk)
         }
       }
-    walk(s"https://$host/sitemap.xml")
-    walk(s"https://$host/sitemap_index.xml")
+    (standardRoots(baseUrl) ++ policy.sitemaps).foreach(walk)
     out.toSet
   }
 }

@@ -4,13 +4,24 @@ import java.net.InetSocketAddress
 
 import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 
-import graft.sources.HttpFetcher
+import graft.operators.Ssrf
+import graft.sources.{HtmlToMarkdown, HttpFetcher}
 
-/** Exercises the REAL transport (pooled java.net.http client, retry loop,
-  * content-type gating, href + nav-scoped extraction) against a local
-  * in-process HTTP server — no egress. */
+/** Exercises the REAL transport — the 5-level fetch fallback chain (native
+  * markdown negotiation → markdown proxy → HTTP fast path with the 500-char
+  * markdown gate → heavy terminal level with retries), pooled
+  * java.net.http client, per-request + per-redirect-hop SSRF validation,
+  * href + nav-scoped extraction — against local in-process HTTP servers.
+  * Mirrors the reference's method-count assertions
+  * (`tests/jobs/test_runner.py:319-1119`). */
 class HttpFetcherSpec extends SparkSpec {
   import spark.implicits._
+
+  /** test validator: the fixture servers live on loopback, which the
+    * default (reference-parity) validator rightly rejects — so tests allow
+    * exactly 127.0.0.1 and keep everything else on default semantics. */
+  private val allowLoopback: String => Boolean =
+    u => Ssrf.hostname(u) == "127.0.0.1" || !Ssrf.isSsrf(u)
 
   private def handler(status: Int, ctype: String, body: String): HttpHandler =
     (ex: HttpExchange) => {
@@ -21,39 +32,151 @@ class HttpFetcherSpec extends SparkSpec {
       ex.close()
     }
 
-  test("HttpFetcher against a local server: statuses, links, nav scope, misses") {
+  private def newServer(): (HttpServer, String) = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
-    val port = server.getAddress.getPort
-    val base = s"http://127.0.0.1:$port"
-    server.createContext("/docs", handler(200, "text/html",
-      s"""<html><nav><a href="$base/docs/a">A</a><a href="/docs/b">B</a></nav>
-         |<body><a href="$base/docs/c">C</a><a href="mailto:x@y">m</a></body></html>"""
-        .stripMargin))
-    server.createContext("/docs/a", handler(200, "text/html", "<html>leaf</html>"))
+    (server, s"http://127.0.0.1:${server.getAddress.getPort}")
+  }
+
+  private def fetcher(proxy: Option[String] = None, native: Boolean = true,
+      fast: Boolean = true) =
+    new HttpFetcher(maxRetries = 1, timeoutMs = 3000,
+      useNativeMarkdown = native, markdownProxyUrl = proxy,
+      useHttpFastPath = fast, backoffUnitMs = 0L, validate = allowLoopback)
+
+  private val bigBody: String = {
+    val para = "<p>" + ("Documentation prose sentence with detail. " * 4) + "</p>"
+    s"<html><body><h1>Title</h1>${para * 6}<a href='/docs/next'>next</a></body></html>"
+  }
+
+  test("chain: native markdown wins on content negotiation; per-level fallback order") {
+    val (server, base) = newServer()
+    // /native: serves markdown iff the Accept header asks for it
+    server.createContext("/native", (ex: HttpExchange) => {
+      val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
+      val (ct, body) =
+        if (accept.contains("text/markdown")) ("text/markdown", "# Native\n\ndoc body")
+        else ("text/html", "<html>html fallback</html>")
+      handler(200, ct, body).handle(ex)
+    })
+    server.createContext("/big", handler(200, "text/html", bigBody))
+    server.createContext("/short", handler(200, "text/html",
+      "<html><nav><a href='/short/n1'>n</a></nav><body>tiny<a href='/short/a'>a</a></body></html>"))
     server.createContext("/bin", handler(200, "application/pdf", "%PDF-1.4"))
     server.createContext("/err", handler(500, "text/html", "boom"))
     server.start()
     try {
-      val urls = Seq(
-        (s"$base/docs", "127.0.0.1"),
-        (s"$base/docs/a", "127.0.0.1"),
-        (s"$base/bin", "127.0.0.1"),
-        (s"$base/err", "127.0.0.1"),
-        (s"$base/missing", "127.0.0.1")).toDF("urlNorm", "host")
-      val got = new HttpFetcher(maxRetries = 1, timeoutMs = 3000)
-        .fetchPages(urls)
-        .select("urlNorm", "status", "contentType", "links", "navLinks")
-        .collect().map(r => r.getString(0) ->
-          ((r.getInt(1), r.getString(2), r.getSeq[String](3), r.getSeq[String](4))))
-        .toMap
-      val (st, ct, links, nav) = got(s"$base/docs")
-      assert(st == 200 && ct.contains("text/html"))
-      assert(links.toSet == Set(s"$base/docs/a", "/docs/b", s"$base/docs/c", "mailto:x@y"))
-      assert(nav.toSet == Set(s"$base/docs/a", "/docs/b")) // nav-scoped only
-      assert(got(s"$base/docs/a")._1 == 200)
-      assert(got(s"$base/bin")._1 == 200 && got(s"$base/bin")._3.isEmpty) // non-html: no links
-      assert(got(s"$base/err")._1 == 500)
-      assert(got(s"$base/missing")._1 == 404)
+      val urls = Seq("/native", "/big", "/short", "/bin", "/err", "/missing")
+        .map(p => (s"$base$p", "127.0.0.1")).toDF("urlNorm", "host")
+      val rows = fetcher().fetchPages(urls)
+        .select("urlNorm", "status", "contentType", "content", "fetchMethod", "links", "navLinks")
+        .collect().map(r => r.getString(0).stripPrefix(base) ->
+          ((r.getInt(1), r.getString(2), r.getString(3), r.getString(4),
+            r.getSeq[String](5), r.getSeq[String](6)))).toMap
+
+      val (nSt, nCt, nBody, nMeth, _, _) = rows("/native")
+      assert(nSt == 200 && nCt.contains("text/markdown") && nMeth == "native")
+      assert(nBody.startsWith("# Native"))
+
+      val (bSt, _, bMd, bMeth, bLinks, _) = rows("/big")
+      assert(bSt == 200 && bMeth == "http_fast")
+      assert(bMd.length >= 500 && bMd.startsWith("# Title")) // ATX conversion
+      assert(bLinks.contains("/docs/next")) // links from the RAW html
+
+      val (sSt, _, _, sMeth, sLinks, sNav) = rows("/short")
+      assert(sSt == 200 && sMeth == "playwright") // < 500 chars → fell through
+      assert(sLinks.toSet == Set("/short/n1", "/short/a"))
+      assert(sNav.toSet == Set("/short/n1")) // nav-scoped only
+
+      assert(rows("/bin")._4 == "playwright" && rows("/bin")._5.isEmpty)
+      assert(rows("/err")._1 == 500 && rows("/err")._4 == "playwright")
+      assert(rows("/missing")._1 == 404)
+
+      // A2 per-level histogram shape (reference counter parity)
+      val hist = fetcher().fetchPages(urls).groupBy("fetchMethod").count()
+        .as[(String, Long)].collect().toMap
+      assert(hist == Map("native" -> 1L, "http_fast" -> 1L, "playwright" -> 4L))
     } finally server.stop(0)
+  }
+
+  test("chain: markdown proxy level (>100-char gate) sits between native and fast path") {
+    val (target, tBase) = newServer()
+    target.createContext("/page", handler(200, "text/html", "<html>small</html>"))
+    target.start()
+    val (proxy, pBase) = newServer()
+    // absolute-form proxy: /{url} → markdown > 100 chars
+    proxy.createContext("/", handler(200, "text/markdown",
+      "# Proxied\n\n" + ("converted markdown body. " * 8)))
+    proxy.start()
+    try {
+      val urls = Seq((s"$tBase/page", "127.0.0.1")).toDF("urlNorm", "host")
+      val row = fetcher(proxy = Some(pBase)).fetchPages(urls)
+        .select("fetchMethod", "content", "contentType").collect().head
+      assert(row.getString(0) == "proxy")
+      assert(row.getString(1).startsWith("# Proxied") && row.getString(1).length > 100)
+      assert(row.getString(2) == "text/markdown")
+      // short proxy responses fail the 100-char gate → falls to later levels
+      val (shortProxy, spBase) = newServer()
+      shortProxy.createContext("/", handler(200, "text/markdown", "tiny"))
+      shortProxy.start()
+      try {
+        val row2 = fetcher(proxy = Some(spBase)).fetchPages(urls)
+          .select("fetchMethod").collect().head
+        assert(row2.getString(0) == "playwright") // target html is tiny too
+      } finally shortProxy.stop(0)
+    } finally { target.stop(0); proxy.stop(0) }
+  }
+
+  test("SSRF: default validator blocks loopback outright; redirect hops are re-validated") {
+    // default validator (no injection): loopback target never reaches a socket
+    val urls = Seq(("http://127.0.0.1:9/x", "127.0.0.1")).toDF("urlNorm", "host")
+    val blocked = new HttpFetcher(maxRetries = 0, timeoutMs = 500, backoffUnitMs = 0L)
+      .fetchPages(urls).select("status", "fetchMethod").collect().head
+    assert(blocked.getInt(0) == 0 && blocked.getString(1) == "ssrf_blocked")
+
+    // redirect to a private address: first hop allowed, Location hop rejected
+    val (server, base) = newServer()
+    server.createContext("/redir", (ex: HttpExchange) => {
+      ex.getResponseHeaders.add("Location", "http://10.0.0.9/secret")
+      ex.sendResponseHeaders(302, -1)
+      ex.close()
+    })
+    server.start()
+    try {
+      val r = fetcher().fetchPages(
+        Seq((s"$base/redir", "127.0.0.1")).toDF("urlNorm", "host"))
+        .select("status", "fetchMethod").collect().head
+      assert(r.getInt(0) == 0 && r.getString(1) == "ssrf_blocked")
+    } finally server.stop(0)
+  }
+
+  test("HtmlToMarkdown: strip scope, ATX headings, 500-char gate arithmetic") {
+    val html = "<html><head><style>.x{}</style><script>var a=1;</script></head>" +
+      "<nav><a href='/n'>nav</a></nav><body><h2>Sub&amp;Title</h2>" +
+      "<ul><li>one</li><li>two</li></ul><p>text</p><footer>foot</footer></body></html>"
+    val md = HtmlToMarkdown.convert(html)
+    assert(md.contains("## Sub&Title"))
+    assert(md.contains("- one") && md.contains("- two"))
+    assert(!md.contains("nav") && !md.contains("foot") && !md.contains("var a"))
+  }
+
+  test("Ssrf: CPython inet_aton numeric host forms never reach DNS") {
+    // private in disguise → rejected
+    assert(Ssrf.isSsrf("http://127.1/x"))
+    assert(Ssrf.isSsrf("http://2130706433/x"))      // 127.0.0.1 decimal
+    assert(Ssrf.isSsrf("http://0x7f000001/x"))      // hex
+    assert(Ssrf.isSsrf("http://017700000001/x"))    // octal
+    assert(Ssrf.isSsrf("http://192.168.1/x"))       // 192.168.0.1 short quad
+    assert(Ssrf.isSsrf("http://[::1]/x"))
+    assert(Ssrf.isSsrf("http://10.0.0.1:8080/x"))   // port stripped
+    // numeric-looking but unparseable → rejected without a DNS attempt
+    assert(Ssrf.isSsrf("http://999.1.1.1/x"))
+    // 5 parts is not an inet_aton form → treated as a NAME (reference lets
+    // the gaierror pass) → admitted under the literal-only resolver
+    assert(!Ssrf.isSsrf("http://1.2.3.4.5/x"))
+    // public literals and names pass (names: literal-only resolver)
+    assert(!Ssrf.isSsrf("http://8.8.8.8/x"))
+    assert(!Ssrf.isSsrf("http://0x08080808/x"))
+    assert(!Ssrf.isSsrf("https://example.com/x"))
+    assert(Ssrf.isSsrf("not-a-url"))                // no hostname → reject
   }
 }
