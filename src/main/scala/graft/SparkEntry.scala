@@ -258,10 +258,47 @@ object SparkEntry {
         .select("qid", "id", "rank").orderBy("qid", "rank")
     }),
     "q24_embedding_neardup" -> ((s, d) => {
-      Dedup.embeddingPairs(augEmbs(s, d), col("vec_id"), col("embedding"),
-          dim = 64, numPlanes = 8, threshold = 0.999)
-        .where(col("id_b") === col("id_a") + 1000000)
-        .select("id_a", "id_b").orderBy("id_a")
+      // exact copies (+1e6) AND perturbed near-copies (+2e6, x·0.995+0.002)
+      // at threshold 0.95 — the multi-band recall case single-band LSH
+      // structurally missed (round-1 verdict What's-wrong #4)
+      val e = embs(s, d).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val lt25 = e.where(col("vec_id") < 25)
+      val aug = e
+        .unionByName(lt25.select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+        .unionByName(lt25.select((col("vec_id") + 2000000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(0.995) + lit(0.002)).as("embedding")))
+      Dedup.embeddingPairs(aug, col("vec_id"), col("embedding"),
+          dim = 64, numBands = 16, bandPlanes = 4, threshold = 0.95)
+        .where(col("id_a") % 1000000 === col("id_b") % 1000000)
+        .select("id_a", "id_b").orderBy("id_a", "id_b")
+    }),
+    "q32_chunking" -> ((s, d) => {
+      // C9 — semantic H1-H3 chunking over constructed markdown; the oracle
+      // rebuilds the expected sections from the same CASE math
+      val df = docs(s, d).select(col("doc_id"), expr(synthMd).as("md"))
+      graft.operators.Chunker.chunks(df, col("doc_id"), col("md"))
+        .select(col("id").as("doc_id"), col("chunk_idx"), col("chunk"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+    "q33_cleanup_classify" -> ((s, d) => {
+      // O3/O4 — 3-tier skip/cleanup/heavy classification as a column
+      docs(s, d).select(col("doc_id"), expr(synthCleanup).as("md"))
+        .select(col("doc_id"), graft.operators.Cleanup.classify(col("md")).as("level"))
+        .orderBy("doc_id")
+    }),
+    "q31_structured_blocks" -> ((s, d) => {
+      // D5/S11 — typed content blocks from synthetic HTML (shared CASE math
+      // with the oracle, which reconstructs the expected blocks directly)
+      val pages = docs(s, d).select(col("doc_id"), expr(synthHtml).as("html"))
+      val st = graft.operators.Structured.toStructured(pages, col("doc_id"), col("html"))
+      st.select(col("url").as("doc_id"), col("title"),
+          posexplode(col("blocks")).as(Seq("pos0", "b")))
+        .select(col("doc_id"), col("title"), (col("pos0") + 1).cast("int").as("pos"),
+          col("b.blockType").as("block_type"), col("b.content").as("content"),
+          col("b.level").as("level"), col("b.language").as("language"),
+          col("b.alt").as("alt"))
+        .orderBy("doc_id", "pos")
     }),
 
     // ---- non-SQL-expressible (rows-only driver check; gated in tests) ----
@@ -363,6 +400,38 @@ object SparkEntry {
   /** Python-whitespace char-class body for the DuckDB oracles (same literal
     * characters Hashing.contentHash embeds in its Spark regex). */
   private val pyWs: String = Hashing.PyWs
+
+  /** q31 input: synthetic HTML covering all 7 structured block types,
+    * identical expression text in Spark and DuckDB. */
+  private val synthHtml: String =
+    "concat('<html><head><title>Doc ', doc_id, '</title></head><body>', " +
+      "'<h1>Doc ', doc_id, '</h1><p>intro text ', doc_id, '</p>', " +
+      "CASE WHEN doc_id % 3 = 0 THEN concat('<pre><code class=\"language-scala\">val x = ', doc_id, '</code></pre>') " +
+      "WHEN doc_id % 3 = 1 THEN concat('<ul><li>item a</li><li>item b', doc_id, '</li></ul>') " +
+      "ELSE concat('<blockquote>quote ', doc_id, '</blockquote>') END, " +
+      "CASE WHEN doc_id % 4 = 0 THEN concat('<table><tr><th>k</th></tr><tr><td>v', doc_id, '</td></tr></table>') ELSE '' END, " +
+      "'<img src=\"img-', doc_id, '.png\" alt=\"alt ', doc_id, '\"/><p>tail</p></body></html>')"
+
+  /** q32 input: markdown with H1/H2/H3 section boundaries (and an H4 that
+    * must NOT split), body normalized to exactly 2000 chars per section so
+    * every doc takes the semantic-chunking path with 3 expected sections.
+    * Identical expression text in Spark and DuckDB. */
+  private val synthMd: String =
+    "concat('# Intro ', doc_id, chr(10), chr(10), substr(repeat(text, 50), 1, 2000), " +
+      "chr(10), chr(10), '## Part A ', doc_id, chr(10), chr(10), substr(repeat(text, 50), 1, 2000), " +
+      "chr(10), chr(10), '#### deep ', doc_id, chr(10), chr(10), substr(repeat(text, 50), 1, 2000), " +
+      "chr(10), chr(10), '### Part B ', doc_id, chr(10), chr(10), substr(repeat(text, 50), 1, 2000))"
+
+  /** q33 input: six designed cleanup classes (mostly-code, short-clean,
+    * noisy, broken-table, LaTeX-ish, long-clean). No backslashes: Spark
+    * and DuckDB disagree on backslash escapes in SQL string literals. */
+  private val synthCleanup: String =
+    "CASE WHEN doc_id % 6 = 0 THEN concat('```', chr(10), text, chr(10), '``` t') " +
+      "WHEN doc_id % 6 = 1 THEN text " +
+      "WHEN doc_id % 6 = 2 THEN concat(text, ' cookie banner privacy policy') " +
+      "WHEN doc_id % 6 = 3 THEN concat('|a|b|', chr(10), '|c|d|', chr(10), repeat(text, 45)) " +
+      "WHEN doc_id % 6 = 4 THEN concat('$x + y$ math ', repeat(text, 45)) " +
+      "ELSE repeat(text, 45) END"
 
   /** q26 augmentation, shared text between the Spark query and its oracle. */
   private val augTailSql: String =
@@ -532,11 +601,64 @@ object SparkEntry {
          WHERE rank <= 10 ORDER BY qid, rank""",
     "q24_embedding_neardup" ->
       """WITH aug AS (
-           SELECT vec_id, embedding FROM embeddings
-           UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id < 25)
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           UNION ALL SELECT vec_id + 1000000, embedding::DOUBLE[] FROM embeddings WHERE vec_id < 25
+           UNION ALL SELECT vec_id + 2000000,
+             list_transform(embedding::DOUBLE[], x -> x * 0.995 + 0.002)
+           FROM embeddings WHERE vec_id < 25)
          SELECT a.vec_id AS id_a, b.vec_id AS id_b
-         FROM aug a JOIN aug b ON b.vec_id = a.vec_id + 1000000
-         WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.999
-         ORDER BY id_a"""
+         FROM aug a JOIN aug b
+           ON a.vec_id < b.vec_id AND a.vec_id % 1000000 = b.vec_id % 1000000
+         WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+         ORDER BY id_a, id_b""",
+    "q32_chunking" ->
+      s"""WITH base AS (SELECT doc_id, substr(repeat(text, 50), 1, 2000) AS t FROM documents),
+         r AS (
+           SELECT doc_id, 1 AS chunk_idx,
+             regexp_replace(concat('# Intro ', doc_id, chr(10), chr(10), t),
+               '[$pyWs]+$$', '') AS chunk FROM base
+           UNION ALL SELECT doc_id, 2,
+             regexp_replace(concat('## Part A ', doc_id, chr(10), chr(10), t,
+               chr(10), chr(10), '#### deep ', doc_id, chr(10), chr(10), t),
+               '[$pyWs]+$$', '') FROM base
+           UNION ALL SELECT doc_id, 3,
+             regexp_replace(concat('### Part B ', doc_id, chr(10), chr(10), t),
+               '[$pyWs]+$$', '') FROM base)
+         SELECT doc_id, chunk_idx, chunk FROM r ORDER BY doc_id, chunk_idx""",
+    "q33_cleanup_classify" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 6 = 0 THEN 'skip'
+                WHEN doc_id % 6 = 1 THEN 'skip'
+                WHEN doc_id % 6 = 2 THEN 'cleanup'
+                WHEN doc_id % 6 = 3 THEN 'heavy'
+                WHEN doc_id % 6 = 4 THEN 'heavy'
+                ELSE 'cleanup' END AS level
+         FROM documents ORDER BY doc_id""",
+    "q31_structured_blocks" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+         r AS (
+           SELECT doc_id, 1 AS pos, 'heading' AS block_type,
+                  concat('Doc ', doc_id) AS content, 1 AS level,
+                  NULL AS language, NULL AS alt FROM d
+           UNION ALL SELECT doc_id, 2, 'paragraph', concat('intro text ', doc_id),
+                  NULL, NULL, NULL FROM d
+           UNION ALL SELECT doc_id, 3,
+                  CASE WHEN doc_id % 3 = 0 THEN 'code'
+                       WHEN doc_id % 3 = 1 THEN 'list' ELSE 'blockquote' END,
+                  CASE WHEN doc_id % 3 = 0 THEN concat('val x = ', doc_id)
+                       WHEN doc_id % 3 = 1 THEN concat('item a', chr(10), 'item b', doc_id)
+                       ELSE concat('quote ', doc_id) END,
+                  NULL,
+                  CASE WHEN doc_id % 3 = 0 THEN 'scala' ELSE NULL END, NULL FROM d
+           UNION ALL SELECT doc_id, 4, 'table', concat('[["k"],["v', doc_id, '"]]'),
+                  NULL, NULL, NULL FROM d WHERE doc_id % 4 = 0
+           UNION ALL SELECT doc_id, 4 + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END,
+                  'image', concat('img-', doc_id, '.png'), NULL, NULL,
+                  concat('alt ', doc_id) FROM d
+           UNION ALL SELECT doc_id, 5 + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END,
+                  'paragraph', 'tail', NULL, NULL, NULL FROM d)
+         SELECT doc_id, concat('Doc ', doc_id) AS title, pos, block_type,
+                content, level, language, alt
+         FROM r ORDER BY doc_id, pos"""
   )
 }

@@ -96,6 +96,7 @@ final class CrawlEngine(
     var level = startLevel
     var continue = true
     while (continue) {
+      if (cancelRequested) return false
       val seen = io.read("seen").getOrElse(emptyDf(seenSchema))
       // Bloom-prune + exact anti-join (J1). Probe = carried Bloom (delta-
       // folded), authority = anti-join vs the committed snapshot.
@@ -356,7 +357,7 @@ final class CrawlEngine(
   private def fetchFrom(startEpoch: Int, stopAfterEpoch: Option[Int]): Unit = {
     var epoch = startEpoch
     var continue = true
-    while (continue) {
+    while (continue && !cancelRequested) {
       val n = fetchEpoch(epoch)
       if (n == 0) continue = false
       else if (stopAfterEpoch.contains(epoch)) continue = false
@@ -424,8 +425,35 @@ final class CrawlEngine(
       counters = Map("nav_urls" -> nav.count()))
   }
 
+  // ST3 — cancellation: inter-epoch stop flags AND in-flight Spark-job
+  // abort (reference `job.is_cancelled` checks + task cancellation,
+  // `runner.py:389,498`). run() tags every action with a job group;
+  // cancel() interrupts running tasks via cancelJobGroup, and the aborted
+  // action's exception surfaces as a clean early return — the last
+  // committed epoch stays the resume point (uncommitted work is
+  // unreferenced, so a later run() continues exactly where it left off).
+  private val jobGroup = s"graft-crawl-${java.util.UUID.randomUUID()}"
+  @volatile private var cancelRequested = false
+
+  def cancel(): Unit = {
+    cancelRequested = true
+    spark.sparkContext.cancelJobGroup(jobGroup)
+  }
+
   def run(stopAfterFetchEpoch: Option[Int] = None,
       stopAfterDiscoverDepth: Option[Int] = None): Unit = {
+    spark.sparkContext.setJobGroup(jobGroup, "graft crawl engine",
+      interruptOnCancel = true)
+    try runResume(stopAfterFetchEpoch, stopAfterDiscoverDepth)
+    catch {
+      // a cancelled in-flight job throws from the interrupted action; if
+      // WE asked for it, that is a clean stop, not a failure
+      case _: Exception if cancelRequested => ()
+    } finally spark.sparkContext.clearJobGroup()
+  }
+
+  private def runResume(stopAfterFetchEpoch: Option[Int],
+      stopAfterDiscoverDepth: Option[Int]): Unit = {
     io.lastCommitted match {
       case None =>
         cascadeSitemaps()

@@ -1,0 +1,198 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** C9 — markdown chunking for LLM processing, transcribed from the
+  * reference (`src/scraper/markdown.py:13-211`): pre-clean (noise lines,
+  * CSS/JS blocks, blank-line collapse) → semantic H1-H3 heading splits
+  * (PR 2.1, code fences masked, ≥2 headings required, <50-char fragments
+  * dropped, oversize sections subdivided) → size-based fallback (6000-char
+  * chunks, 200 overlap, paragraph/newline boundary preference).
+  *
+  * O3/O4 — the 3-tier cleanup classifier (`src/llm/cleanup.py:39-141`):
+  * skip (mostly code, or short without noise) / cleanup / heavy (broken
+  * tables or LaTeX), computed as a COLUMN before any expensive downstream
+  * stage so the heavy path touches only rows that need it.
+  */
+object Chunker {
+
+  final val DefaultChunkSize = 6000 // markdown.py:13 (CONS-011 fix)
+  final val ChunkOverlap = 200
+
+  private val NoisePatterns = Seq(
+    "(?i)self\\.__next_[a-zA-Z_]*",
+    "document\\.querySelectorAll\\([^)]*\\)",
+    "document\\.getElementById\\([^)]*\\)",
+    "window\\.addEventListener\\([^)]*\\)",
+    "data-page-mode\\s*=",
+    "suppressHydrationWarning").map(_.r)
+
+  private val NoiseLinePatterns = Seq(
+    "(?i)^\\s*On this page\\s*$",
+    "(?i)^\\s*Edit this page\\s*$",
+    "(?i)^\\s*Was this page helpful\\??\\s*$",
+    "(?i)^\\s*Last updated\\s*(on\\s+)?[\\d/\\-]+\\s*$",
+    "(?i)^\\s*Skip to (main )?content\\s*$",
+    "(?i)^\\s*Table of contents?\\s*$",
+    "(?i)^\\s*Previous\\s*$",
+    "(?i)^\\s*Next\\s*$").map(_.r)
+
+  private val HeadingRe = "(?m)^(#{1,3})\\s+".r
+  private val CodeFenceRe = "(?s)```.*?```".r
+
+  private def pyStrip(s: String): String = {
+    val ws = graft.functions.Hashing.PyWs
+    s.replaceAll(s"^[$ws]+|[$ws]+$$", "")
+  }
+
+  /** `_pre_clean_markdown` (markdown.py:39-74). */
+  def preClean(text: String): String = {
+    val cleaned = scala.collection.mutable.ArrayBuffer.empty[String]
+    var inNoiseBlock = false
+    text.split("\n", -1).foreach { line =>
+      val stripped = line.trim
+      if (stripped == "{" && !inNoiseBlock) inNoiseBlock = true
+      else if (inNoiseBlock) {
+        if (stripped == "}" || stripped == "};") inNoiseBlock = false
+      } else if (NoisePatterns.exists(_.findFirstIn(line).isDefined)) ()
+      else if (NoiseLinePatterns.exists(_.findFirstIn(line).isDefined)) ()
+      else cleaned += line
+    }
+    pyStrip(cleaned.mkString("\n").replaceAll("\\n{3,}", "\n\n"))
+  }
+
+  /** `_mask_code_blocks` — same positions, fence content blanked. */
+  def maskCodeBlocks(text: String): String =
+    CodeFenceRe.replaceAllIn(text, m => " " * (m.end - m.start))
+
+  /** `_chunk_by_size` (markdown.py:136-173): paragraph boundary, then
+    * newline, then hard split; CHUNK_OVERLAP between chunks; <50-char
+    * fragments dropped. */
+  def chunkBySize(text: String, chunkSize: Int = DefaultChunkSize): Seq[String] = {
+    if (text.length <= chunkSize)
+      return if (text.length >= 50) Seq(text)
+      else if (pyStrip(text).nonEmpty) Seq(text) else Seq.empty
+    val chunks = scala.collection.mutable.ArrayBuffer.empty[String]
+    var cur = 0
+    while (cur < text.length) {
+      var end = math.min(cur + chunkSize, text.length)
+      if (end < text.length) {
+        // python rfind(sub, a, b): the whole sub must sit inside [a, b)
+        val headingPos = text.lastIndexOf("\n#", end - 2) match {
+          case p if p >= cur + chunkSize / 2 => p
+          case _ => -1
+        }
+        if (headingPos > cur) end = headingPos + 1
+        else {
+          val para = text.lastIndexOf("\n\n", end - 2)
+          if (para >= cur && para > cur + chunkSize / 2) end = para + 2
+          else {
+            val nl = text.lastIndexOf("\n", end - 1)
+            if (nl >= cur && nl > cur + chunkSize / 2) end = nl + 1
+          }
+        }
+      }
+      val chunk = pyStrip(text.substring(cur, end))
+      if (chunk.nonEmpty && chunk.length >= 50) chunks += chunk
+      // overlap rewind; the max() guards degenerate chunkSize <= 2·overlap
+      // (the reference's 6000/200 defaults make end-200 > cur structurally)
+      cur = if (end < text.length) math.max(end - ChunkOverlap, cur + 1) else end
+    }
+    if (chunks.nonEmpty) chunks.toSeq else Seq(pyStrip(text))
+  }
+
+  /** `_chunk_by_headings` (markdown.py:102-133): split at H1-H3 starts
+    * (code fences masked), None (→ fallback) when < 2 headings. */
+  def chunkByHeadings(text: String, chunkSize: Int = DefaultChunkSize): Option[Seq[String]] = {
+    val masked = maskCodeBlocks(text)
+    val positions = HeadingRe.findAllMatchIn(masked).map(_.start).toVector
+    if (positions.length < 2) return None
+    val sections = scala.collection.mutable.ArrayBuffer.empty[String]
+    positions.zipWithIndex.foreach { case (start, idx) =>
+      val end = if (idx + 1 < positions.length) positions(idx + 1) else text.length
+      val section = pyStrip(text.substring(start, end))
+      if (section.nonEmpty && section.length >= 50) {
+        if (section.length > chunkSize) sections ++= chunkBySize(section, chunkSize)
+        else sections += section
+      }
+    }
+    if (sections.nonEmpty) Some(sections.toSeq) else None
+  }
+
+  /** `chunk_markdown` (markdown.py:176-211). nativeTokenCount: server-
+    * provided count; ≈4 chars/token single-chunk shortcut. */
+  def chunkMarkdown(text0: String, chunkSize: Int = DefaultChunkSize,
+      nativeTokenCount: Option[Int] = None): Seq[String] = {
+    val text = preClean(text0)
+    def whole: Seq[String] =
+      if (text.length >= 50) Seq(text)
+      else if (pyStrip(text).nonEmpty) Seq(text) else Seq.empty
+    if (nativeTokenCount.exists(_ * 4 <= chunkSize)) return whole
+    if (text.length <= chunkSize) return whole
+    chunkByHeadings(text, chunkSize).getOrElse {
+      val sized = chunkBySize(text, chunkSize)
+      if (sized.nonEmpty) sized else Seq(pyStrip(text))
+    }
+  }
+
+  private val chunksUdf = udf((t: String) => chunkMarkdown(t))
+
+  /** DataFrame surface: one row per chunk (id, chunk_idx from 1, chunk). */
+  def chunks(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    df.select(idCol.as("id"), posexplode(chunksUdf(textCol)).as(Seq("idx0", "chunk")))
+      .select(col("id"), (col("idx0") + 1).cast("int").as("chunk_idx"), col("chunk"))
+}
+
+/** O3/O4 — cleanup-level classification (`src/llm/cleanup.py:39-141`). */
+object Cleanup {
+
+  private val NoiseIndicators = Seq(
+    "cookie", "privacy policy", "terms of service", "subscribe",
+    "toggle dark", "toggle light", "dark mode", "light mode",
+    "skip to content", "table of contents", "on this page",
+    "all rights reserved", "powered by")
+
+  private val CodeBlockRe = "(?s)```.*?```".r
+  private val TableRowRe = "(?m)^\\|.+\\|$".r
+  private val TableSepRe = "(?m)^\\|[\\s\\-:|]+\\|$".r
+  private val LatexPatterns = Seq(
+    "\\\\frac\\{", "\\\\begin\\{", "\\\\end\\{", "\\\\[a-zA-Z]+\\{",
+    "\\$[^$\\d][^$]*\\$").map(_.r)
+  private val PriceRe = "\\$\\d+[\\d.,]*".r
+
+  def codeDensity(markdown: String): Double =
+    if (markdown.isEmpty) 0.0
+    else CodeBlockRe.findAllIn(markdown).map(_.length).sum.toDouble / markdown.length
+
+  def hasBrokenTables(markdown: String): Boolean = {
+    val rows = TableRowRe.findAllIn(markdown).size
+    rows >= 2 && TableSepRe.findFirstIn(markdown).isEmpty
+  }
+
+  def hasLatex(markdown: String): Boolean = {
+    val matches = LatexPatterns.count(_.findFirstIn(markdown).isDefined)
+    if (matches == 0) false
+    else if (matches == 1 && PriceRe.findFirstIn(markdown).isDefined) false
+    else true
+  }
+
+  /** skip | cleanup | heavy — identical decision order to classify_chunk. */
+  def classifyChunk(markdown: String): String = {
+    val lower = markdown.toLowerCase(java.util.Locale.ROOT)
+    val hasNoise = NoiseIndicators.exists(lower.contains)
+    if (codeDensity(markdown) > 0.6) "skip"
+    else if (markdown.length < 2000 && !hasNoise) "skip"
+    else if (hasBrokenTables(markdown) || hasLatex(markdown)) "heavy"
+    else if (hasNoise) "cleanup"
+    else if (markdown.length >= 2000) "cleanup"
+    else "skip"
+  }
+
+  val classifyUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf(classifyChunk _)
+
+  /** Column surface: classify before the expensive stage, so heavy work is
+    * gated to the rows that need it (reference gates LLM cleanup). */
+  def classify(textCol: Column): Column = classifyUdf(textCol)
+}

@@ -201,17 +201,35 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
-  /** Embedding near-dup via sign-LSH prefilter + exact cosine verify.
-    * planes: deterministic pseudo-random hyperplanes (seeded, broadcast
-    * as literals). Returns (id_a, id_b, cos) with cos ≥ threshold. */
+  /** Embedding near-dup via OR-amplified multi-band sign-LSH + exact
+    * cosine verify — the same banding shape as [[minhashPairs]]: numBands
+    * INDEPENDENT keys of bandPlanes sign bits each (disjoint hyperplane
+    * sets); a pair is a candidate when ANY band key collides, so near-dup
+    * recall amplifies as 1-(1-p^bandPlanes)^numBands instead of the
+    * single-band p^numPlanes (the round-1 single-band shape had
+    * structurally poor recall at cos 0.95 and a skew hazard: one popular
+    * bucket became a near-all-pairs self-join; multiple narrow bands keep
+    * buckets small AND recall high). Shuffles on (band, key) — uniform by
+    * construction. Returns (id_a, id_b, cos) with cos ≥ threshold. */
   def embeddingPairs(df: DataFrame, idCol: Column, vecCol: Column,
-      dim: Int, numPlanes: Int = 16, threshold: Double = 0.95): DataFrame = {
+      dim: Int, numBands: Int = 16, bandPlanes: Int = 4,
+      threshold: Double = 0.95): DataFrame = {
     val keyed = df.select(idCol.as("id"), vecCol.cast("array<double>").as("v"))
-      .withColumn("bucket", Similarity.signBits(col("v"), dim, numPlanes))
-    val l = keyed.as("l"); val r = keyed.as("r")
-    l.join(r, col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        Similarity.cosine(col("l.v"), col("r.v")).as("cos"))
+    val banded = keyed.select(col("id"),
+      posexplode(array((0 until numBands).map(b =>
+        Similarity.signBitsRange(col("v"), dim, b * bandPlanes, bandPlanes)): _*))
+        .as(Seq("band", "key")))
+    val l = banded.as("l"); val r = banded.as("r")
+    val candidates = l.join(r,
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    candidates
+      .join(keyed.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(keyed.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("v_a"), col("v_b")).as("cos"))
       .where(col("cos") >= threshold)
   }
 }

@@ -75,7 +75,10 @@ object Ivf {
   /** ANN top-k: probe the `nProbe` nearest lists, exact cosine re-rank.
     * Returns (qid, id, cos, rank). */
   def topK(corpus: DataFrame, queries: DataFrame, model: Model,
-      k: Int, nProbe: Int): DataFrame = {
+      k: Int, nProbe: Int,
+      /** false → shuffled equi-join on the cluster key (scale path for
+        * query sets beyond broadcast size); identical results. */
+      broadcastQueries: Boolean = true): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val probesUdf = udf { (v: Seq[Double]) =>
@@ -86,10 +89,11 @@ object Ivf {
     val indexed = corpus
       .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
       .withColumn("cluster", assignUdf(model)($"v"))
-    val q = queries
+    val q0 = queries
       .select($"vec_id".as("qid"), $"embedding".cast("array<double>").as("qv"))
       .withColumn("cluster", explode(probesUdf($"qv")))
-    indexed.join(broadcast(q), Seq("cluster"))
+    val q = if (broadcastQueries) broadcast(q0) else q0
+    indexed.join(q, Seq("cluster"))
       .where($"id" =!= $"qid")
       .withColumn("cos", Similarity.cosine($"qv", $"v"))
       .withColumn("rank", row_number().over(

@@ -119,18 +119,21 @@ object Robots {
     import spark.implicits._
     val r = broadcast(rules.select(
       $"host".as("r_host"), $"kind", $"pathPrefix", $"prefixLen"))
-    val keyed = df.withColumn("__rid", monotonically_increasing_id())
-    val joined = keyed.join(r,
-      keyed("host") === r("r_host") && keyed("path").startsWith(r("pathPrefix")),
+    // aggregate on the NATURAL key (host, path) — a synthetic row id would
+    // force a full shuffle of the frontier on a key that exists only for
+    // the aggregation; duplicate (host, path) rows share one decision
+    val keys = df.select($"host", $"path").distinct()
+    val joined = keys.join(r,
+      keys("host") === r("r_host") && keys("path").startsWith(r("pathPrefix")),
       "left_outer")
     // per URL: max prefixLen per kind; allowed iff no disallow match, or
     // best allow >= best disallow
-    val agg = joined.groupBy($"__rid")
+    val admittedKeys = joined.groupBy(keys("host"), keys("path"))
       .agg(
         max(when($"kind" === "disallow", $"prefixLen")).as("bestDis"),
         max(when($"kind" === "allow", $"prefixLen")).as("bestAll"))
       .where($"bestDis".isNull || ($"bestAll".isNotNull && $"bestAll" >= $"bestDis"))
-      .select($"__rid")
-    keyed.join(agg, Seq("__rid"), "left_semi").drop("__rid")
+      .select($"host", $"path")
+    df.join(admittedKeys, Seq("host", "path"), "left_semi")
   }
 }

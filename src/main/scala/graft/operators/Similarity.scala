@@ -42,11 +42,17 @@ object Similarity {
   /** Sign-LSH bucket id: numPlanes sign bits of ±1-hyperplane projections.
     * Pure column expression — the planes unroll into the plan as literals
     * (numPlanes × dim is small). */
-  def signBits(vec: Column, dim: Int, numPlanes: Int): Column = {
+  def signBits(vec: Column, dim: Int, numPlanes: Int): Column =
+    signBitsRange(vec, dim, 0, numPlanes)
+
+  /** Sign bits over a plane range [planeStart, planeStart+planeCount) —
+    * lets callers derive several INDEPENDENT band keys from disjoint plane
+    * sets (OR-amplified LSH, mirroring the minhash banding). */
+  def signBitsRange(vec: Column, dim: Int, planeStart: Int, planeCount: Int): Column = {
     val v = vec.cast("array<double>")
-    val bits: Seq[Column] = (0 until numPlanes).map { p =>
+    val bits: Seq[Column] = (0 until planeCount).map { p =>
       val proj = (0 until dim).map { d =>
-        element_at(v, d + 1) * lit(planeSign(p, d))
+        element_at(v, d + 1) * lit(planeSign(planeStart + p, d))
       }.reduce(_ + _)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }
@@ -60,6 +66,7 @@ object Similarity {
     val c = corpus.select(col("vec_id").as("id"), col("embedding").as("v"))
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val scored = c.join(broadcast(q), col("id") =!= col("qid"))
+      // cross-shape by construction: brute force IS the full scan baseline
       .withColumn("cos", cosine(col("qv"), col("v")))
     scored
       .withColumn("rank", row_number().over(
@@ -74,15 +81,22 @@ object Similarity {
     * per query — the 100 TB path where brute force is a full scan per
     * query batch. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      dim: Int, numPlanes: Int = 12): DataFrame = {
+      dim: Int, numPlanes: Int = 12,
+      /** false → shuffled equi-join on the bucket key instead of a
+        * broadcast of the probe set: the scale path when the query set
+        * exceeds broadcast size (verdict: the 100 TB story needs both
+        * sides shuffled; same results, different physical plan). */
+      broadcastQueries: Boolean = true): DataFrame = {
     val c = corpus.select(col("vec_id").as("id"), col("embedding").as("v"))
       .withColumn("bucket", signBits(col("v"), dim, numPlanes))
     val probes = (0 until numPlanes).map(p => lit(1L << p)) :+ lit(0L)
-    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val q0 = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
       .withColumn("qbucket", signBits(col("qv"), dim, numPlanes))
       .withColumn("probe", explode(array(probes: _*)))
       .withColumn("bucket", col("qbucket").bitwiseXOR(col("probe")))
-    c.join(broadcast(q.select("qid", "qv", "bucket")), Seq("bucket"))
+      .select("qid", "qv", "bucket")
+    val qSide = if (broadcastQueries) broadcast(q0) else q0
+    c.join(qSide, Seq("bucket"))
       .where(col("id") =!= col("qid"))
       .withColumn("cos", cosine(col("qv"), col("v")))
       .withColumn("rank", row_number().over(

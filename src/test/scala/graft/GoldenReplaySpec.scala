@@ -157,6 +157,67 @@ class GoldenReplaySpec extends SparkSpec {
       engine.orderLog.where($"disposition" === "blocked").count())
   }
 
+  test("A4: maxUrls cap hit — deterministic lexicographic admission, stable across runs") {
+    // host 0 (pure BFS host) reaches far more than cap=15 URLs; the engine
+    // must stop at the cap, selecting the lexicographically-first fresh
+    // URLs per depth (documented deviation: the reference caps in
+    // PYTHONHASHSEED-dependent set-iteration order, discovery.py:167,181 —
+    // we pin the ambiguity to a total order)
+    val p = FixtureGen.Params(hosts = 1, pagesPerHost = 60, skew = 2)
+    val capCfg = CrawlConfig(seedUrls = FixtureGen.seeds(p), maxDepth = 7, maxUrls = 15)
+    def runOnce(): Set[String] = {
+      val e = new CrawlEngine(spark, capCfg,
+        new FixtureFetcher(FixtureGen.webGraphDF(spark, p)),
+        FixtureGen.imagesDF(spark, p),
+        new ParquetSnapshotTableIO(spark, Files.createTempDirectory("graft-cap").toString),
+        FixtureGen.robotsMap(p))
+      e.run()
+      e.seen.select("urlNorm").as[String].collect().toSet
+    }
+    val seen1 = runOnce()
+    assert(seen1.size == 15, s"cap not hit exactly: ${seen1.size}")
+    assert(runOnce() == seen1, "cap admission not deterministic across runs")
+    // reachable set is larger than the cap (the cap actually bit)
+    assert(ReferenceSim.crawlHost(p, 0, 7, "en", respectRobots = true).seen.size > 15)
+  }
+
+  test("ST3: cancel() aborts an in-flight epoch; resume completes identically") {
+    val dir = Files.createTempDirectory("graft-cancel").toString
+    val slow = new graft.sources.Fetcher {
+      override def fetchPages(urls: org.apache.spark.sql.DataFrame) = {
+        val pages = new FixtureFetcher(FixtureGen.webGraphDF(urls.sparkSession, params))
+          .fetchPages(urls)
+        val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+          .encoderFor(pages.schema)
+        pages.mapPartitions { it =>
+          CancelProbe.started.set(true)
+          Thread.sleep(30000L) // interrupted by cancelJobGroup
+          it
+        }(enc)
+      }
+    }
+    val e1 = new CrawlEngine(spark, cfg, slow, images,
+      new ParquetSnapshotTableIO(spark, dir), policies,
+      sitemaps = Some(FixtureGen.sitemapsDF(spark, params)))
+    CancelProbe.started.set(false)
+    val t0 = System.nanoTime()
+    val runner = new Thread(() => e1.run())
+    runner.start()
+    while (!CancelProbe.started.get() && runner.isAlive) Thread.sleep(50)
+    e1.cancel()
+    runner.join(20000)
+    assert(!runner.isAlive, "run() did not return after cancel()")
+    assert((System.nanoTime() - t0) / 1e9 < 25, "cancel did not interrupt the sleep")
+    // resume with a working fetcher: identical final state to the golden run
+    val e2 = newEngine(dir)
+    e2.run()
+    val a = e2.orderLog.select("host", "priority", "urlNorm", "disposition")
+      .as[(String, Long, String, String)].collect().toSet
+    val b = engine.orderLog.select("host", "priority", "urlNorm", "disposition")
+      .as[(String, Long, String, String)].collect().toSet
+    assert(a == b, "post-cancel resume diverged from the uninterrupted run")
+  }
+
   test("cascade: nav host skips BFS (seen = seed-page nav links only)") {
     val host = FixtureGen.hostName(1)
     assert(FixtureGen.hasNav(1) && !FixtureGen.hasSitemap(1))
@@ -183,4 +244,10 @@ class GoldenReplaySpec extends SparkSpec {
     // BFS hosts unaffected: depth>0 rows exist for host 0
     assert(engine.seen.where($"host" === FixtureGen.hostName(0) && $"depth" > 0).count() > 0)
   }
+}
+
+/** Cross-task signal for the ST3 cancellation test (local-mode executors
+  * share the JVM, so a static AtomicBoolean is visible to tasks). */
+object CancelProbe {
+  val started = new java.util.concurrent.atomic.AtomicBoolean(false)
 }

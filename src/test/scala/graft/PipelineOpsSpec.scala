@@ -141,13 +141,50 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ivf.size <= 50)
   }
 
-  test("embedding near-dup pairs") {
+  test("embedding near-dup pairs: exact copies at 0.999") {
     val aug = embs.unionByName(embs.where($"vec_id" < 20).select(
       ($"vec_id" + 1000000).as("vec_id"), $"embedding", $"label"))
     val pairs = Dedup.embeddingPairs(aug, $"vec_id", $"embedding",
-      dim = 64, numPlanes = 8, threshold = 0.999)
+      dim = 64, numBands = 16, bandPlanes = 4, threshold = 0.999)
       .as[(Long, Long, Double)].collect()
     val injected = pairs.filter(p => p._2 == p._1 + 1000000)
     assert(injected.length == 20, s"found ${injected.length}/20 exact-copy pairs")
+  }
+
+  test("embedding near-dup: multi-band recall vs brute force at threshold 0.95") {
+    // perturbed near-copies (NOT exact): x -> x*0.995 + 0.002 keeps cosine
+    // just under 1.0; single-band sign-LSH missed these structurally
+    val perturbed = embs.where($"vec_id" < 40).select(
+      ($"vec_id" + 1000000).as("vec_id"),
+      transform($"embedding".cast("array<double>"), x => x * lit(0.995) + lit(0.002))
+        .as("embedding"), $"label")
+    val aug = embs.select($"vec_id", $"embedding".cast("array<double>").as("embedding"), $"label")
+      .unionByName(perturbed)
+    // ground truth: every (base, base+1e6) pair with true cosine >= 0.95
+    val truth = Similarity.bruteForceTopK(aug, aug.where($"vec_id" >= 1000000), 1)
+      .where($"rank" === 1 && $"id" === $"qid" - 1000000 && $"cos" >= 0.95)
+      .select($"id", $"qid").as[(Long, Long)].collect().toSet
+    assert(truth.size >= 30, s"fixture sanity: ${truth.size} near-copies above 0.95")
+    val found = Dedup.embeddingPairs(aug, $"vec_id", $"embedding",
+      dim = 64, numBands = 16, bandPlanes = 4, threshold = 0.95)
+      .where($"id_b" === $"id_a" + 1000000)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val recall = (truth intersect found).size.toDouble / truth.size
+    assert(recall == 1.0, s"multi-band recall $recall < 1.0 on ${truth.size} pairs")
+  }
+
+  test("ANN shuffled-query variant ≡ broadcast variant (LSH and IVF)") {
+    val queries = embs.where($"vec_id" < 10)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select($"qid", $"id", $"rank").as[(Long, Long, Int)].collect().toSet
+    val lshB = norm(Similarity.lshTopK(embs, queries, 5, dim = 64, numPlanes = 6))
+    val lshS = norm(Similarity.lshTopK(embs, queries, 5, dim = 64, numPlanes = 6,
+      broadcastQueries = false))
+    assert(lshB == lshS, "shuffled LSH join changed results")
+    val model = Ivf.train(embs, dim = 64, k = 8, iters = 3)
+    val ivfB = norm(Ivf.topK(embs, queries, model, 5, nProbe = 3))
+    val ivfS = norm(Ivf.topK(embs, queries, model, 5, nProbe = 3,
+      broadcastQueries = false))
+    assert(ivfB == ivfS, "shuffled IVF join changed results")
   }
 }

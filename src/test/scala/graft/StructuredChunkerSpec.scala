@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.{Chunker, Cleanup, Structured}
+
+/** Unit coverage for the D5 block parser and C9 chunker beyond the
+  * driver-oracle shapes (q31/q32/q33): standalone code, role=main region,
+  * size-based chunk fallback with overlap, classifier decision order. */
+class StructuredChunkerSpec extends SparkSpec {
+
+  test("structured: main-content priority and title") {
+    val html = "<html><head><title> My  Doc </title></head><body>" +
+      "<p>outside paragraph body</p>" +
+      "<main><h2>In Main</h2><p>inside</p></main></body></html>"
+    assert(Structured.title(html).contains("My  Doc")) // bs4 strips ends only
+    val blocks = Structured.parseBlocks(html)
+    assert(blocks.map(_.blockType) == Seq("heading", "paragraph"))
+    assert(blocks.head.content == "In Main" && blocks.head.level.contains(2))
+  }
+
+  test("structured: all seven block types in document order") {
+    val html = """<body><h3>T</h3><p>para text</p>
+      <pre><code class="lang language-py">x = 1</code></pre>
+      <code>inline()</code>
+      <table><tr><th>a</th><th>b</th></tr><tr><td>1</td><td>2</td></tr></table>
+      <ol><li>first</li><li>second</li></ol>
+      <blockquote><p>line one</p><p>line two</p></blockquote>
+      <img src="pic.png" alt="a pic"/><img src="" alt="dropped"/></body>"""
+    val b = Structured.parseBlocks(html)
+    assert(b.map(_.blockType) ==
+      Seq("heading", "paragraph", "code", "code", "table", "list", "blockquote", "image"))
+    assert(b(2).language.contains("py") && b(2).content == "x = 1")
+    assert(b(3).content == "inline()" && b(3).language.isEmpty)
+    assert(b(4).content == """[["a","b"],["1","2"]]""")
+    assert(b(5).content == "first\nsecond")
+    assert(b(6).content == "line one\nline two")
+    assert(b(7).content == "pic.png" && b(7).alt.contains("a pic"))
+  }
+
+  test("chunker: size-based fallback with 200-char overlap and 50-char gate") {
+    // no headings → size path; paragraph boundary preferred
+    val para = ("alpha beta gamma delta " * 12).trim // ~275 chars
+    val text = (1 to 30).map(i => s"p$i $para").mkString("\n\n") // ~8.5k chars
+    val chunks = Chunker.chunkMarkdown(text, chunkSize = 3000)
+    assert(chunks.length >= 3)
+    assert(chunks.forall(_.length <= 3000))
+    assert(chunks.forall(_.length >= 50))
+    // overlap duplicates ~200 chars per boundary → total exceeds the input
+    val joined = chunks.mkString
+    assert(joined.length > text.length, "no overlap duplication observed")
+    assert(chunks.head.startsWith("p1 ") && text.endsWith(chunks.last.takeRight(40)))
+  }
+
+  test("chunker: heading sections subdivide when oversized; tiny fragments dropped") {
+    val big = "# A\n\n" + ("word " * 1500) + "\n\n# B\n\nshort but fifty characters of body text here okay"
+    val chunks = Chunker.chunkMarkdown(big, chunkSize = 3000)
+    assert(chunks.length >= 3) // section A subdivided, B kept
+    assert(chunks.last.startsWith("# B"))
+    val tiny = "# A\n\ntiny\n\n# B\n\nalso tiny"
+    // every section < 50 chars → heading pass yields nothing → size path
+    val fallback = Chunker.chunkMarkdown(tiny, chunkSize = 3000)
+    assert(fallback == Seq("# A\n\ntiny\n\n# B\n\nalso tiny"))
+  }
+
+  test("chunker: code fences mask heading-like lines") {
+    val md = "# Real\n\n" + ("x" * 60) + "\n\n```\n# not a heading\n```\n\n## Also real\n\n" + ("y" * 60)
+    val chunks = Chunker.chunkMarkdown(md, chunkSize = 100)
+    assert(chunks.exists(_.startsWith("# Real")))
+    assert(chunks.exists(_.startsWith("## Also real")))
+    assert(!chunks.exists(_.startsWith("# not")))
+  }
+
+  test("cleanup classifier: decision order and edge gates") {
+    assert(Cleanup.classifyChunk("```\ncode\n```") == "skip") // density 1.0
+    assert(Cleanup.classifyChunk("short clean text") == "skip")
+    assert(Cleanup.classifyChunk("short with cookie banner") == "cleanup")
+    val long = "filler words here " * 150 // > 2000 chars
+    assert(Cleanup.classifyChunk(long) == "cleanup")
+    assert(Cleanup.classifyChunk("|a|b|\n|c|d|\n" + long) == "heavy")
+    assert(Cleanup.classifyChunk("|a|b|\n|---|---|\n|c|d|\n" + long) == "cleanup") // separator present
+    assert(Cleanup.classifyChunk("$x^2 + y$ " + long) == "heavy")
+    assert(Cleanup.classifyChunk("price $9.99 only " + long) == "cleanup") // price, not latex
+    assert(Cleanup.classifyChunk("\\frac{a}{b} " + long) == "heavy")
+  }
+}
