@@ -275,8 +275,24 @@ object SparkEntry {
     }),
     "q32_chunking" -> ((s, d) => {
       // C9 — semantic H1-H3 chunking over constructed markdown; the oracle
-      // rebuilds the expected sections from the same CASE math
-      val df = docs(s, d).select(col("doc_id"), expr(synthMd).as("md"))
+      // rebuilds the expected sections from the same construction. Input is
+      // built in ONE UDF pass: the equivalent SQL expression repeats
+      // `substr(repeat(text,50),1,2000)` four times and CollapseProject
+      // inlines each (~110 KB of string churn per row — measured 21 s).
+      val mdUdf = udf { (docId: Long, text: String) =>
+        val sb = new java.lang.StringBuilder(text.length * 50)
+        var i = 0
+        while (i < 50) { sb.append(text); i += 1 }
+        val t = sb.substring(0, 2000) // BMP-only corpus: chars == codepoints
+        s"# Intro $docId\n\n$t\n\n## Part A $docId\n\n$t" +
+          s"\n\n#### deep $docId\n\n$t\n\n### Part B $docId\n\n$t"
+      }
+      // the documents scan is one small parquet file = ONE task; spread the
+      // ~2 ms/doc UDF chain across the cluster before it runs. Explicit
+      // partition count: AQE would coalesce a by-column repartition of a
+      // few MB back to one partition, re-serializing the UDF stage.
+      val df = docs(s, d).repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), mdUdf(col("doc_id"), col("text")).as("md"))
       graft.operators.Chunker.chunks(df, col("doc_id"), col("md"))
         .select(col("id").as("doc_id"), col("chunk_idx"), col("chunk"))
         .orderBy("doc_id", "chunk_idx")
@@ -411,16 +427,6 @@ object SparkEntry {
       "ELSE concat('<blockquote>quote ', doc_id, '</blockquote>') END, " +
       "CASE WHEN doc_id % 4 = 0 THEN concat('<table><tr><th>k</th></tr><tr><td>v', doc_id, '</td></tr></table>') ELSE '' END, " +
       "'<img src=\"img-', doc_id, '.png\" alt=\"alt ', doc_id, '\"/><p>tail</p></body></html>')"
-
-  /** q32 input: markdown with H1/H2/H3 section boundaries (and an H4 that
-    * must NOT split), body normalized to exactly 2000 chars per section so
-    * every doc takes the semantic-chunking path with 3 expected sections.
-    * Identical expression text in Spark and DuckDB. */
-  private val synthMd: String =
-    "concat('# Intro ', doc_id, chr(10), chr(10), substr(repeat(text, 50), 1, 2000), " +
-      "chr(10), chr(10), '## Part A ', doc_id, chr(10), chr(10), substr(repeat(text, 50), 1, 2000), " +
-      "chr(10), chr(10), '#### deep ', doc_id, chr(10), chr(10), substr(repeat(text, 50), 1, 2000), " +
-      "chr(10), chr(10), '### Part B ', doc_id, chr(10), chr(10), substr(repeat(text, 50), 1, 2000))"
 
   /** q33 input: six designed cleanup classes (mostly-code, short-clean,
     * noisy, broken-table, LaTeX-ish, long-clean). No backslashes: Spark

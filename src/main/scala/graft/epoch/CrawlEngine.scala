@@ -442,6 +442,7 @@ final class CrawlEngine(
 
   def run(stopAfterFetchEpoch: Option[Int] = None,
       stopAfterDiscoverDepth: Option[Int] = None): Unit = {
+    graft.operators.Preflight.validate(spark, fetcher, scorer) // F10
     spark.sparkContext.setJobGroup(jobGroup, "graft crawl engine",
       interruptOnCancel = true)
     try runResume(stopAfterFetchEpoch, stopAfterDiscoverDepth)

@@ -140,6 +140,58 @@ object DepthHeuristicScorer extends RelevanceScorer {
       (size(split(graft.functions.urlfns.url_path(col("urlNorm")), "/")) * 1.0).as("score"))
 }
 
+/** X2 — batched external scorer: the LLM-client analog
+  * (`src/llm/filter.py:48-97`): URLs are scored in fixed-size batches per
+  * partition through a pluggable batch function (an HTTP LLM client on a
+  * real deployment; deterministic functions in tests). A batch whose reply
+  * doesn't line up 1:1 with its input falls back to worst-priority for
+  * those URLs (the reference falls back to input ordering on failure,
+  * `filter.py:97`); hallucinated URLs are dropped downstream by
+  * [[Relevance.prioritize]]'s semi-join (J3). */
+final class BatchedScorer(batchSize: Int,
+    scoreBatch: Seq[String] => Seq[Double]) extends RelevanceScorer {
+  require(batchSize >= 1, "batchSize >= 1")
+  override def score(urls: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(
+      StructType(Seq(StructField("urlNorm", StringType), StructField("score", DoubleType))))
+    val bs = batchSize
+    val fn = scoreBatch
+    urls.select("urlNorm").mapPartitions { it =>
+      it.grouped(bs).flatMap { batch =>
+        val names = batch.map(_.getString(0))
+        val scores =
+          try fn(names) catch { case _: Exception => Seq.empty[Double] }
+        if (scores.length == names.length) names.lazyZip(scores).map(Row(_, _))
+        else names.map(Row(_, Double.MaxValue)) // batch failure → input order
+      }
+    }(enc)
+  }
+}
+
+/** F10 — preflight validation of the pluggable components before any epoch
+  * runs (the reference validates the configured model against the runtime
+  * before starting, `runner.py:44-91`): the scorer must produce the
+  * (urlNorm, score) contract and the fetcher the page-observation schema —
+  * caught here as a fast failure instead of mid-crawl. */
+object Preflight {
+  def validate(spark: org.apache.spark.sql.SparkSession,
+      fetcher: graft.sources.Fetcher, scorer: RelevanceScorer): Unit = {
+    import spark.implicits._
+    val probe = Seq(("https://preflight.invalid/x", "preflight.invalid"))
+      .toDF("urlNorm", "host").limit(0)
+    val scored = scorer.score(probe)
+    require(Set("urlNorm", "score").subsetOf(scored.columns.toSet),
+      s"scorer must emit (urlNorm, score); got ${scored.columns.mkString(",")}")
+    val pages = fetcher.fetchPages(probe)
+    val expected = graft.sources.Fetcher.pageObservationSchema.fieldNames.toSet
+    require(expected.subsetOf(pages.columns.toSet),
+      s"fetcher must emit the page-observation schema; missing " +
+        s"${(expected -- pages.columns.toSet).mkString(",")}")
+  }
+}
+
 object Relevance {
   /** Apply a scorer with the reference's safety contract: semi-join the
     * scorer output back to the candidate set (hallucinated URLs dropped),

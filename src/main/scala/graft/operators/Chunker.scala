@@ -41,10 +41,10 @@ object Chunker {
   private val HeadingRe = "(?m)^(#{1,3})\\s+".r
   private val CodeFenceRe = "(?s)```.*?```".r
 
-  private def pyStrip(s: String): String = {
-    val ws = graft.functions.Hashing.PyWs
-    s.replaceAll(s"^[$ws]+|[$ws]+$$", "")
-  }
+  private val PyStripRe = java.util.regex.Pattern.compile(
+    s"^[${graft.functions.Hashing.PyWs}]+|[${graft.functions.Hashing.PyWs}]+$$")
+
+  private def pyStrip(s: String): String = PyStripRe.matcher(s).replaceAll("")
 
   /** `_pre_clean_markdown` (markdown.py:39-74). */
   def preClean(text: String): String = {

@@ -211,14 +211,39 @@ object Dedup {
     * bucket became a near-all-pairs self-join; multiple narrow bands keep
     * buckets small AND recall high). Shuffles on (band, key) — uniform by
     * construction. Returns (id_a, id_b, cos) with cos ≥ threshold. */
+  /** All band keys in ONE sweep over the vector — numBands × bandPlanes
+    * unrolled column expressions would be inlined per band by
+    * CollapseProject (the same no-CSE trap as the minhash signature,
+    * round-1 memory) and blow past codegen limits; the UDF computes the
+    * same left-fold projections (bit-identical to the signBitsRange
+    * column form: sequential d-ascending sum, >= 0 sign). */
+  def signBandKeys(v: Seq[Double], dim: Int, numBands: Int, bandPlanes: Int): Array[Long] = {
+    val out = new Array[Long](numBands)
+    var b = 0
+    while (b < numBands) {
+      var key = 0L
+      var j = 0
+      while (j < bandPlanes) {
+        val p = b * bandPlanes + j
+        var s = 0.0
+        var d = 0
+        while (d < dim) { s += v(d) * Similarity.planeSign(p, d); d += 1 }
+        if (s >= 0) key |= (1L << j)
+        j += 1
+      }
+      out(b) = key
+      b += 1
+    }
+    out
+  }
+
   def embeddingPairs(df: DataFrame, idCol: Column, vecCol: Column,
       dim: Int, numBands: Int = 16, bandPlanes: Int = 4,
       threshold: Double = 0.95): DataFrame = {
+    val bandsUdf = udf((v: Seq[Double]) => signBandKeys(v, dim, numBands, bandPlanes))
     val keyed = df.select(idCol.as("id"), vecCol.cast("array<double>").as("v"))
     val banded = keyed.select(col("id"),
-      posexplode(array((0 until numBands).map(b =>
-        Similarity.signBitsRange(col("v"), dim, b * bandPlanes, bandPlanes)): _*))
-        .as(Seq("band", "key")))
+      posexplode(bandsUdf(col("v"))).as(Seq("band", "key")))
     val l = banded.as("l"); val r = banded.as("r")
     val candidates = l.join(r,
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&

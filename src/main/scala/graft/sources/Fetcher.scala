@@ -159,8 +159,15 @@ final class HttpFetcher(
         .build()
       val hrefRe = java.util.regex.Pattern.compile(
         "<a\\s[^>]*href=[\"']([^\"']+)[\"']", java.util.regex.Pattern.CASE_INSENSITIVE)
+      // static approximation of the reference's rendered nav selectors
+      // (page.py NOISE/nav list: nav, [role=navigation], .sidebar/#sidebar,
+      // .navbar/#navbar, .table-of-contents/#table-of-contents, .toc,
+      // .breadcrumb) — element-level regex scope, no DOM rendering
       val navRe = java.util.regex.Pattern.compile(
-        "<(nav|aside)\\b[^>]*>(.*?)</\\1>",
+        "<(nav|aside)\\b[^>]*>(.*?)</\\1>|" +
+          "<([a-z]+)\\b[^>]*(?:role=[\"']navigation[\"']|" +
+          "class=[\"'][^\"']*\\b(?:sidebar|navbar|toc|table-of-contents|breadcrumb)\\b[^\"']*[\"']|" +
+          "id=[\"'](?:sidebar|navbar|table-of-contents)[\"'])[^>]*>(.*?)</\\3>",
         java.util.regex.Pattern.CASE_INSENSITIVE | java.util.regex.Pattern.DOTALL)
 
       /** One validated GET with manual redirect following (≤ 5 hops, each
@@ -274,7 +281,10 @@ final class HttpFetcher(
         val navLinks = if (isHtml) {
           val nm = navRe.matcher(rawHtml)
           val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-          while (nm.find()) buf ++= anchors(hrefRe, nm.group(2), 1)
+          while (nm.find()) {
+            val inner = if (nm.group(2) != null) nm.group(2) else nm.group(4)
+            buf ++= anchors(hrefRe, inner, 1)
+          }
           buf.toSeq
         } else Seq.empty[String]
         Row(url, host, status, ctype, content, links, navLinks, Seq.empty[String],

@@ -60,7 +60,10 @@ class HttpFetcherSpec extends SparkSpec {
     })
     server.createContext("/big", handler(200, "text/html", bigBody))
     server.createContext("/short", handler(200, "text/html",
-      "<html><nav><a href='/short/n1'>n</a></nav><body>tiny<a href='/short/a'>a</a></body></html>"))
+      "<html><nav><a href='/short/n1'>n</a></nav>" +
+        "<div class='left sidebar'><a href='/short/s1'>s</a></div>" +
+        "<span role='navigation'><a href='/short/r1'>r</a></span>" +
+        "<body>tiny<a href='/short/a'>a</a></body></html>"))
     server.createContext("/bin", handler(200, "application/pdf", "%PDF-1.4"))
     server.createContext("/err", handler(500, "text/html", "boom"))
     server.start()
@@ -84,8 +87,9 @@ class HttpFetcherSpec extends SparkSpec {
 
       val (sSt, _, _, sMeth, sLinks, sNav) = rows("/short")
       assert(sSt == 200 && sMeth == "playwright") // < 500 chars → fell through
-      assert(sLinks.toSet == Set("/short/n1", "/short/a"))
-      assert(sNav.toSet == Set("/short/n1")) // nav-scoped only
+      assert(sLinks.toSet == Set("/short/n1", "/short/s1", "/short/r1", "/short/a"))
+      // nav scope spans <nav>, class-selector (.sidebar) and [role=navigation]
+      assert(sNav.toSet == Set("/short/n1", "/short/s1", "/short/r1"))
 
       assert(rows("/bin")._4 == "playwright" && rows("/bin")._5.isEmpty)
       assert(rows("/err")._1 == 500 && rows("/err")._4 == "playwright")

@@ -4,7 +4,7 @@ import java.util.zip.GZIPOutputStream
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{DepthHeuristicScorer, IdentityScorer, Relevance, Ssrf}
+import graft.operators.{BatchedScorer, DepthHeuristicScorer, IdentityScorer, Preflight, Relevance, RelevanceScorer, Ssrf}
 import graft.sources.{DecoderRegistry, Sitemaps}
 import graft.streaming.EventsStreaming
 
@@ -95,6 +95,49 @@ class SourcesStreamingSpec extends SparkSpec {
     val heur = Relevance.prioritize(cands, DepthHeuristicScorer)
       .orderBy("priority").select("urlNorm").as[String].collect().toSeq
     assert(heur == Seq("https://a.test/b", "https://a.test/c", "https://a.test/a/deep/path"))
+  }
+
+  test("X2 batched scorer: batch calls, failure fallback, hallucination drop") {
+    val cands = Seq(
+      ("https://a.test/long-url-path", "a.test"), ("https://a.test/ab", "a.test"),
+      ("https://a.test/medium", "a.test"), ("https://a.test/z", "a.test"))
+      .toDF("urlNorm", "host")
+    // deterministic "LLM": score = url length (shorter = better priority)
+    val byLen = new BatchedScorer(2, urls => urls.map(_.length.toDouble))
+    val got = Relevance.prioritize(cands, byLen)
+      .orderBy("priority").select("urlNorm").as[String].collect().toSeq
+    assert(got == Seq("https://a.test/z", "https://a.test/ab",
+      "https://a.test/medium", "https://a.test/long-url-path"))
+    // failing batches → every URL keeps worst-priority → lexicographic order
+    val broken = new BatchedScorer(2, _ => throw new RuntimeException("llm down"))
+    val fb = Relevance.prioritize(cands, broken)
+      .orderBy("priority").select("urlNorm").as[String].collect().toSeq
+    assert(fb == cands.select("urlNorm").as[String].collect().sorted.toSeq)
+    // hallucinated extra URLs are semi-joined away (J3)
+    val halluc = new RelevanceScorer {
+      override def score(urls: org.apache.spark.sql.DataFrame) =
+        urls.sparkSession.createDataFrame(Seq(
+          ("https://a.test/z", 1.0), ("https://evil.test/not-candidate", 0.0)))
+          .toDF("urlNorm", "score")
+    }
+    val hz = Relevance.prioritize(cands, halluc)
+    assert(hz.where($"urlNorm" === "https://evil.test/not-candidate").count() == 0)
+    assert(hz.count() == 4)
+  }
+
+  test("F10 preflight: scorer/fetcher contract violations fail fast") {
+    Preflight.validate(spark, new graft.sources.FixtureFetcher(
+      Seq(("https://a.test/x", "a.test", 200, "text/html", "b", Seq.empty[String],
+        Seq.empty[String], Seq.empty[String], "http", 1L))
+        .toDF("url", "host", "status", "contentType", "content", "links",
+          "navLinks", "imageRefs", "fetchMethod", "loadMs")), IdentityScorer)
+    val badScorer = new RelevanceScorer {
+      override def score(urls: org.apache.spark.sql.DataFrame) =
+        urls.select($"urlNorm".as("wrong_name"))
+    }
+    intercept[IllegalArgumentException] {
+      Preflight.validate(spark, new graft.sources.HttpFetcher(), badScorer)
+    }
   }
 
   test("decoder registry: dispatch, round-trip, stub plumbing") {
