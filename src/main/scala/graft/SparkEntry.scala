@@ -14,7 +14,7 @@ import graft.operators.{Dedup, Frontier, Robots, Seen, Similarity, TextAnalysis,
   * oracle exactly. Ops that aren't hand-writable ANSI SQL (LSH/IVF ANN,
   * simhash, fingerprint, image validation, the crawl engine itself) get
   * GENERATED oracles from [[OracleGen]] — re-expressed DuckDB math,
-  * pure-Scala recomputation, or reference-simulator VALUES — so all 30
+  * pure-Scala recomputation, or reference-simulator VALUES — so all 33
   * queries are driver-checkable.
   */
 object SparkEntry {
@@ -280,9 +280,9 @@ object SparkEntry {
       // `substr(repeat(text,50),1,2000)` four times and CollapseProject
       // inlines each (~110 KB of string churn per row — measured 21 s).
       val mdUdf = udf { (docId: Long, text: String) =>
-        val sb = new java.lang.StringBuilder(text.length * 50)
+        val sb = new java.lang.StringBuilder(text.length * 60)
         var i = 0
-        while (i < 50) { sb.append(text); i += 1 }
+        while (i < 60) { sb.append(text); i += 1 }
         val t = sb.substring(0, 2000) // BMP-only corpus: chars == codepoints
         s"# Intro $docId\n\n$t\n\n## Part A $docId\n\n$t" +
           s"\n\n#### deep $docId\n\n$t\n\n### Part B $docId\n\n$t"
@@ -435,9 +435,9 @@ object SparkEntry {
     "CASE WHEN doc_id % 6 = 0 THEN concat('```', chr(10), text, chr(10), '``` t') " +
       "WHEN doc_id % 6 = 1 THEN text " +
       "WHEN doc_id % 6 = 2 THEN concat(text, ' cookie banner privacy policy') " +
-      "WHEN doc_id % 6 = 3 THEN concat('|a|b|', chr(10), '|c|d|', chr(10), repeat(text, 45)) " +
-      "WHEN doc_id % 6 = 4 THEN concat('$x + y$ math ', repeat(text, 45)) " +
-      "ELSE repeat(text, 45) END"
+      "WHEN doc_id % 6 = 3 THEN concat('|a|b|', chr(10), '|c|d|', chr(10), repeat(text, 60)) " +
+      "WHEN doc_id % 6 = 4 THEN concat('$x + y$ math ', repeat(text, 60)) " +
+      "ELSE repeat(text, 60) END"
 
   /** q26 augmentation, shared text between the Spark query and its oracle. */
   private val augTailSql: String =
@@ -618,7 +618,7 @@ object SparkEntry {
          WHERE list_cosine_similarity(a.v, b.v) >= 0.95
          ORDER BY id_a, id_b""",
     "q32_chunking" ->
-      s"""WITH base AS (SELECT doc_id, substr(repeat(text, 50), 1, 2000) AS t FROM documents),
+      s"""WITH base AS (SELECT doc_id, substr(repeat(text, 60), 1, 2000) AS t FROM documents),
          r AS (
            SELECT doc_id, 1 AS chunk_idx,
              regexp_replace(concat('# Intro ', doc_id, chr(10), chr(10), t),
