@@ -54,13 +54,21 @@ final class CrawlEngine(
       * predicate on that table (deterministic analog of the 24h rule).
       * Contract: one row per urlNorm — a single run's page_cache satisfies
       * this; dedupe (keep latest epoch) when unioning caches across runs. */
-    warmCache: Option[DataFrame] = None) {
+    warmCache: Option[DataFrame] = None,
+    /** F6 admission predicate (true = admitted). Default is the real
+      * private-range check; integration tests whose fixture servers live
+      * on loopback inject a permissive one. Applied to BFS seeds, sitemap
+      * cascade inputs/outputs, and every fetch-epoch dequeue. */
+    ssrfCheck: String => Boolean = u => !graft.operators.Ssrf.isSsrf(u)) {
 
   import spark.implicits._
 
   private val seedByHost: Map[String, String] =
     cfg.seedUrls.map(u => graft.util.PyUrl.host(
       graft.util.PyUrl.canonicalize(u)) -> u).toMap
+
+  /** ssrfCheck as a column predicate (serializable closure). */
+  private val ssrfAdmitted = udf(ssrfCheck)
 
   private def emptyDf(schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -217,8 +225,7 @@ final class CrawlEngine(
     // and classify as failed. (HttpFetcher additionally re-validates every
     // request + redirect hop; this gate covers fixture/test transports.)
     def ssrfSplit(urls: DataFrame): (DataFrame, DataFrame) = {
-      val flagged = urls.withColumn("__ssrfOk",
-        graft.operators.Ssrf.admitted($"urlNorm"))
+      val flagged = urls.withColumn("__ssrfOk", ssrfAdmitted($"urlNorm"))
       (flagged.where($"__ssrfOk").drop("__ssrfOk"),
         flagged.where(!$"__ssrfOk").drop("__ssrfOk"))
     }
@@ -379,12 +386,10 @@ final class CrawlEngine(
       // F6 on the cascade inputs AND outputs: the reference validates
       // base_url before ANY strategy runs (discovery.py:539) — private-IP
       // seeds must not get their sitemaps expanded into `seen`.
-      val safeSeeds = seedByHost.filter { case (_, seed) =>
-        !graft.operators.Ssrf.isSsrf(seed)
-      }
+      val safeSeeds = seedByHost.filter { case (_, seed) => ssrfCheck(seed) }
       val expanded = graft.sources.Sitemaps
         .expandAll(sm, safeSeeds, policies = policies)
-        .where(graft.operators.Ssrf.admitted($"urlNorm"))
+        .where(ssrfAdmitted($"urlNorm"))
         .withColumn("depth", lit(0))
       io.commit("sitemap", 0, tables = Map.empty,
         appends = Map("seen" -> expanded),
@@ -399,7 +404,7 @@ final class CrawlEngine(
       .map(_.select("host").distinct())
       .getOrElse(emptyDf(StructType(Seq(StructField("host", StringType)))))
     seedLevel.join(discoveredHosts, Seq("host"), "left_anti")
-      .where(graft.operators.Ssrf.admitted($"urlNorm")) // F6 on seeds
+      .where(ssrfAdmitted($"urlNorm")) // F6 on seeds
   }
 
   /** Cascade strategy 2 (nav parse, `discovery.py:233-340,571-585`): for

@@ -159,6 +159,8 @@ final class HttpFetcher(
         .build()
       val hrefRe = java.util.regex.Pattern.compile(
         "<a\\s[^>]*href=[\"']([^\"']+)[\"']", java.util.regex.Pattern.CASE_INSENSITIVE)
+      val imgRe = java.util.regex.Pattern.compile(
+        "<img\\s[^>]*src=[\"']([^\"']+)[\"']", java.util.regex.Pattern.CASE_INSENSITIVE)
       // static approximation of the reference's rendered nav selectors
       // (page.py NOISE/nav list: nav, [role=navigation], .sidebar/#sidebar,
       // .navbar/#navbar, .table-of-contents/#table-of-contents, .toc,
@@ -287,7 +289,10 @@ final class HttpFetcher(
           }
           buf.toSeq
         } else Seq.empty[String]
-        Row(url, host, status, ctype, content, links, navLinks, Seq.empty[String],
+        // image refs (the graft payload): <img src> ids feed the engine's
+        // J7 explode+join against the image table
+        val imageRefs = if (isHtml) anchors(imgRe, rawHtml, 1) else Seq.empty[String]
+        Row(url, host, status, ctype, content, links, navLinks, imageRefs,
           method, (System.nanoTime() - t0) / 1000000L)
       }
     }(enc)
