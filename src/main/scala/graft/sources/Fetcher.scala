@@ -100,6 +100,46 @@ object HtmlToMarkdown {
   }
 }
 
+/** PR 3.4 analog — pluggable HTML→Markdown converter registry (reference
+  * `src/scraper/converters/__init__.py`: a Protocol + name registry with
+  * markdownify and readerlm backends). */
+trait MarkdownConverter extends Serializable {
+  def name: String
+  def supportsTables: Boolean
+  def supportsCodeBlocks: Boolean
+  def convert(html: String): String
+}
+
+object MarkdownConverters {
+  /** The markdownify backend (`markdownify_converter.py`): the default. */
+  object Markdownify extends MarkdownConverter {
+    val name = "markdownify"
+    val supportsTables = true
+    val supportsCodeBlocks = true
+    def convert(html: String): String = HtmlToMarkdown.convert(html)
+  }
+
+  /** ReaderLM backend STUB — the reference's `readerlm_converter.py` runs
+    * an HTML→markdown language model; no model ships in this container, so
+    * the registry slot exists (plumbing real, conversion delegated) and is
+    * clearly marked, like the video-decoder stub. */
+  object ReaderLMStub extends MarkdownConverter {
+    val name = "readerlm"
+    val supportsTables = true
+    val supportsCodeBlocks = true
+    def convert(html: String): String = Markdownify.convert(html)
+  }
+
+  private val registry: Map[String, MarkdownConverter] =
+    Seq(Markdownify, ReaderLMStub).map(c => c.name -> c).toMap
+
+  def get(name: String = "markdownify"): MarkdownConverter =
+    registry.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"Unknown converter: $name. Available: ${available.mkString(",")}"))
+  def available: Seq[String] = registry.keys.toSeq.sorted
+}
+
 /** Real transport for cluster use — the reference's 5-level fetch fallback
   * chain (F4/S5-S8, `runner.py:414-525`), re-expressed per-row inside one
   * distributed operator. Level order and gates:
@@ -137,7 +177,10 @@ final class HttpFetcher(
     backoffUnitMs: Long = 1000L,
     /** SSRF admission for every request incl. redirect hops; tests inject
       * a permissive validator to reach the loopback fixture server. */
-    validate: String => Boolean = u => !graft.operators.Ssrf.isSsrf(u)) extends Fetcher {
+    validate: String => Boolean = u => !graft.operators.Ssrf.isSsrf(u),
+    /** HTML→Markdown backend (PR 3.4 registry; `_converter.convert` in
+      * runner.py:418,516). */
+    converter: MarkdownConverter = MarkdownConverters.Markdownify) extends Fetcher {
   import Fetcher.pageObservationSchema
 
   override def fetchPages(urls: DataFrame): DataFrame = {
@@ -151,6 +194,7 @@ final class HttpFetcher(
     val useFast = useHttpFastPath
     val backoffMs = backoffUnitMs
     val admit = validate
+    val conv = converter
     urls.select("urlNorm", "host").mapPartitions { it =>
       // lazy per-partition client (O11 pool analog)
       lazy val client = java.net.http.HttpClient.newBuilder()
@@ -240,7 +284,7 @@ final class HttpFetcher(
             "User-Agent" -> "graft/0.1 (documentation crawler)")) match {
             case None => ssrfBlocked = true
             case Some((st, ct, body)) if st == 200 && ct.contains("text/html") =>
-              val md = HtmlToMarkdown.convert(body)
+              val md = conv.convert(body)
               if (md.length >= 500) {
                 status = st; ctype = ct; content = md; rawHtml = body; method = "http_fast"
               }
@@ -261,7 +305,7 @@ final class HttpFetcher(
                   status = st; ctype = ct; rawHtml = if (ct.contains("text/html")) body else ""
                   content =
                     if (ct.contains("text/html"))
-                      HtmlToMarkdown.convert(HtmlToMarkdown.extractMain(body))
+                      conv.convert(HtmlToMarkdown.extractMain(body))
                     else body
                   method = "playwright"
                   done = true

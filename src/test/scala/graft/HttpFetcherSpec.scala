@@ -163,6 +163,30 @@ class HttpFetcherSpec extends SparkSpec {
     assert(!md.contains("nav") && !md.contains("foot") && !md.contains("var a"))
   }
 
+  test("converter registry (PR 3.4): dispatch, capabilities, unknown name, wiring") {
+    import graft.sources.{MarkdownConverter, MarkdownConverters}
+    assert(MarkdownConverters.available == Seq("markdownify", "readerlm"))
+    assert(MarkdownConverters.get().name == "markdownify")
+    assert(MarkdownConverters.get("readerlm").supportsTables)
+    intercept[IllegalArgumentException](MarkdownConverters.get("pandoc"))
+    // a custom converter is threaded through the fast path
+    val (server, base) = newServer()
+    server.createContext("/big", handler(200, "text/html", bigBody))
+    server.start()
+    try {
+      val shouty = new MarkdownConverter {
+        val name = "shouty"; val supportsTables = false; val supportsCodeBlocks = false
+        def convert(html: String): String =
+          graft.sources.HtmlToMarkdown.convert(html).toUpperCase
+      }
+      val row = new HttpFetcher(maxRetries = 0, timeoutMs = 3000, backoffUnitMs = 0L,
+        validate = allowLoopback, converter = shouty)
+        .fetchPages(Seq((s"$base/big", "127.0.0.1")).toDF("urlNorm", "host"))
+        .select("fetchMethod", "content").collect().head
+      assert(row.getString(0) == "http_fast" && row.getString(1).startsWith("# TITLE"))
+    } finally server.stop(0)
+  }
+
   test("Ssrf: CPython inet_aton numeric host forms never reach DNS") {
     // private in disguise → rejected
     assert(Ssrf.isSsrf("http://127.1/x"))
