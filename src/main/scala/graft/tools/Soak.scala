@@ -12,8 +12,10 @@ object Soak {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val hosts = sys.env.getOrElse("SOAK_HOSTS", "9").toInt
+    val pages = sys.env.getOrElse("SOAK_PAGES", "300").toInt
     val params = graft.fixtures.FixtureGen.Params(
-      hosts = 9, pagesPerHost = 300, skew = 5) // 300*5 + 300*8 = 3900 pages
+      hosts = hosts, pagesPerHost = pages, skew = 5) // default 3900 pages
     val cfg = graft.model.CrawlConfig(
       seedUrls = graft.fixtures.FixtureGen.seeds(params),
       maxDepth = 8, epochSeconds = 120) // budget 240/host-epoch; host1 60
