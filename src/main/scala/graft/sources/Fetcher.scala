@@ -62,8 +62,19 @@ object HtmlToMarkdown {
   private val Dropped = java.util.regex.Pattern.compile(
     "(?is)<(script|style|nav|footer)\\b[^>]*>.*?</\\1>")
 
+  // static analog of the reference's class/role NOISE_SELECTORS
+  // (page.py:101-130) for the leaf-ish containers a regex can remove
+  // safely (non-greedy close match — nested same-tag content is the DOM
+  // renderer's job, out of scope without a browser)
+  private val NoiseClassed = java.util.regex.Pattern.compile(
+    "(?is)<([a-z]+)\\b[^>]*(?:role=[\"'](?:banner|contentinfo|navigation)[\"']|" +
+      "class=[\"'][^\"']*\\b(?:sidebar|navbar|breadcrumb|cookie-banner|" +
+      "table-of-contents|prev-next-links|pagination-nav|edit-this-page|" +
+      "last-updated|theme-toggle|search-bar)\\b[^\"']*[\"'])[^>]*>.*?</\\1>")
+
   def convert(html: String): String = {
     var s = Dropped.matcher(html).replaceAll(" ")
+    s = NoiseClassed.matcher(s).replaceAll(" ")
     (1 to 6).foreach { i =>
       s = s.replaceAll(s"(?is)<h$i[^>]*>", "\n\n" + ("#" * i) + " ")
     }

@@ -69,6 +69,49 @@ class StructuredChunkerSpec extends SparkSpec {
     assert(!chunks.exists(_.startsWith("# not")))
   }
 
+  test("property: chunker invariants on random markdown (seeded sweep)") {
+    val rnd = new scala.util.Random(42)
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "prose", "docs")
+    def randDoc(): String = {
+      val blocks = (1 to (2 + rnd.nextInt(8))).map { _ =>
+        rnd.nextInt(4) match {
+          case 0 => "#" * (1 + rnd.nextInt(3)) + " Heading " + rnd.nextInt(100)
+          case 1 => "```\n# fake heading inside fence\ncode " + rnd.nextInt(100) + "\n```"
+          case _ => (1 to (20 + rnd.nextInt(200))).map(_ => words(rnd.nextInt(words.size))).mkString(" ")
+        }
+      }
+      blocks.mkString("\n\n")
+    }
+    (1 to 60).foreach { _ =>
+      val doc = randDoc()
+      val size = 400 + rnd.nextInt(1200)
+      val chunks = Chunker.chunkMarkdown(doc, chunkSize = size)
+      // invariants: every chunk within size (heading sections may only
+      // exceed if they were already subdivided -> never above size),
+      // nothing below the 50-char floor unless it is the sole chunk,
+      // deterministic across calls
+      chunks.foreach(c => assert(c.length <= math.max(size, doc.length),
+        s"chunk ${c.length} > $size"))
+      if (chunks.length > 1) chunks.foreach(c => assert(c.length >= 50))
+      assert(chunks == Chunker.chunkMarkdown(doc, chunkSize = size))
+      // no chunk starts inside a code fence's fake heading
+      assert(!chunks.exists(_.startsWith("# fake heading")))
+    }
+  }
+
+  test("HtmlToMarkdown strips class/role noise containers (static selector set)") {
+    import graft.sources.HtmlToMarkdown
+    val html = "<html><body><div class='x sidebar'>side links</div>" +
+      "<span role='banner'>big banner</span>" +
+      "<div class='breadcrumb'>home / docs</div>" +
+      "<p>real content stays</p>" +
+      "<div class='content-like'>also stays</div></body></html>"
+    val md = HtmlToMarkdown.convert(html)
+    assert(md.contains("real content stays") && md.contains("also stays"))
+    assert(!md.contains("side links") && !md.contains("big banner") &&
+      !md.contains("home / docs"))
+  }
+
   test("cleanup classifier: decision order and edge gates") {
     assert(Cleanup.classifyChunk("```\ncode\n```") == "skip") // density 1.0
     assert(Cleanup.classifyChunk("short clean text") == "skip")
