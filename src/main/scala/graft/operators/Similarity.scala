@@ -33,11 +33,23 @@ object Similarity {
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
 
-  /** Cosine similarity in double precision (cast float arrays first). */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity via the higher-order column functions — kept as the
+    * SQL-surface illustration and as the equality witness for [[cosine]]'s
+    * codegen expression (the fold order is identical by construction). */
+  def cosineColumnar(a: Column, b: Column): Column = {
     val ad = a.cast("array<double>"); val bd = b.cast("array<double>")
     dot(ad, bd) / (norm(ad) * norm(bd))
   }
+
+  /** Cosine similarity in double precision (cast float arrays first) —
+    * native codegen'd expression (graft.functions.CosineSim): the
+    * higher-order formulation is CodegenFallback and allocated a product
+    * array per row in every ANN re-rank / near-dup verify. Bit-identical
+    * fold (same element-order sums), so the DuckDB oracles are unaffected.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.vectorfns.cosine_sim(
+      a.cast("array<double>"), b.cast("array<double>"))
 
   /** Sign-LSH bucket id: numPlanes sign bits of ±1-hyperplane projections.
     * Pure column expression — the planes unroll into the plan as literals

@@ -105,6 +105,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(pairs.forall(_._3 <= 7))
   }
 
+  test("cosine codegen expression ≡ higher-order columnar form, bit-exact") {
+    val pairs = embs.as("a").join(embs.as("b"),
+      $"a.vec_id" =!= $"b.vec_id" && $"a.vec_id" < 30 && $"b.vec_id" < 30)
+    val both = pairs.select(
+      Similarity.cosine($"a.embedding", $"b.embedding").as("cg"),
+      Similarity.cosineColumnar($"a.embedding", $"b.embedding").as("ho"))
+      .as[(Double, Double)].collect()
+    assert(both.nonEmpty && both.forall { case (cg, ho) =>
+      java.lang.Double.doubleToRawLongBits(cg) == java.lang.Double.doubleToRawLongBits(ho)
+    }, "codegen cosine diverged from the columnar fold")
+    // SQL registration
+    graft.functions.vectorfns.register(spark)
+    embs.limit(3).createOrReplaceTempView("cos_t")
+    assert(spark.sql(
+      "SELECT cosine_sim(CAST(embedding AS ARRAY<DOUBLE>), CAST(embedding AS ARRAY<DOUBLE>)) FROM cos_t")
+      .as[Double].collect().forall(v => math.abs(v - 1.0) < 1e-12))
+  }
+
   test("brute-force cosine top-k: exact copy is rank 1") {
     val aug = embs.unionByName(embs.where($"vec_id" < 5).select(
       ($"vec_id" + 1000000).as("vec_id"), $"embedding", $"label"))
