@@ -199,6 +199,13 @@ final class CrawlEngine(
 
   private val dequeuedSchema = StructType(Seq(StructField("urlNorm", StringType)))
 
+  /** Carried cross-epoch content-hash Bloom (J2): built from the committed
+    * seen_content once per run/resume, folded with each epoch's ok delta —
+    * most epochs have no cross-epoch duplicate candidates, so the exact
+    * confirm (and its seen_content scan) is skipped for the bulk of rows. */
+  private var contentBloom: org.apache.spark.util.sketch.BloomFilter = null
+  private def contentKey = concat_ws(" ", $"host", $"contentHash")
+
   /** The live frontier: committed base ∖ accumulated per-epoch dequeue
     * deltas. Each fetch epoch APPENDS its dequeued urlNorms (commit I/O
     * proportional to the epoch's dequeue, not the frontier — the 10^10-URL
@@ -244,12 +251,18 @@ final class CrawlEngine(
         val (ok, rejected) = ssrfSplit(deq.select("urlNorm", "host"))
         fetcher.fetchPages(ok).unionByName(ssrfFailedRows(rejected))
       case Some(cache) =>
+        // hit join: tiny dequeued batch probes the big cache (AQE
+        // broadcasts the deq side — one cache scan, no shuffle)
         val hits = deq.select("urlNorm", "host")
           .join(cache.drop("host"), Seq("urlNorm"), "inner")
           .withColumn("fetchMethod", lit("cache"))
           .select(Fetcher.pageObservationSchema.fieldNames.map(col).toIndexedSeq: _*)
+          .cache()
+        // misses = deq ∖ hits — anti against the ≤|deq| HIT set, not the
+        // full cache (a left-anti's broadcastable side is the right one,
+        // so deq-anti-cache would shuffle the whole cache every epoch)
         val misses = deq.select("urlNorm", "host")
-          .join(cache.select("urlNorm"), Seq("urlNorm"), "left_anti")
+          .join(hits.select("urlNorm"), Seq("urlNorm"), "left_anti")
         val (ok, rejected) = ssrfSplit(misses)
         hits.unionByName(fetcher.fetchPages(ok)).unionByName(ssrfFailedRows(rejected))
     }
@@ -266,16 +279,33 @@ final class CrawlEngine(
       .cache()
 
     // J2 content dedup, host-scoped, priority order decides the keeper:
-    // within-batch winner per (host, hash) + anti-join vs prior epochs.
+    // within-batch winner per (host, hash), then cross-epoch check against
+    // prior epochs' seen_content. The cross-epoch check is Bloom-gated
+    // (carried filter folded with each epoch's delta) and the exact
+    // confirm uses the tiny-left anti shape — per-epoch cost is
+    // O(dequeue) + a seen_content scan only when the Bloom flags possible
+    // duplicates, never a full seen_content shuffle.
     val seenContent = io.read("seen_content").getOrElse(emptyDf(StructType(Seq(
       StructField("host", StringType), StructField("contentHash", StringType)))))
     val winners = pages
       .where(isHtmlOk && !$"blocked")
       .withColumn("dupRank", row_number().over(
         Window.partitionBy($"host", $"contentHash").orderBy($"priority")))
-    val okRows = winners
       .where($"dupRank" === 1)
-      .join(seenContent, Seq("host", "contentHash"), "left_anti")
+    if (contentBloom == null && !seenContent.isEmpty)
+      contentBloom = Seen.buildBloom(
+        seenContent.select(contentKey.as("urlNorm")),
+        cfg.bloomExpectedItems, cfg.bloomFpp)
+    val okRows = (if (contentBloom == null) winners
+      else {
+        val bc = spark.sparkContext.broadcast(contentBloom)
+        val mightContain = udf((s: String) => bc.value.mightContainString(s))
+        val flagged = winners.withColumn("__maybe", mightContain(contentKey))
+        val fresh = flagged.where(!$"__maybe").drop("__maybe")
+        val possible = flagged.where($"__maybe").drop("__maybe")
+        fresh.unionByName(Seen.antiJoinTinyLeft(
+          possible, seenContent, Seq("host", "contentHash")))
+      })
       .select($"urlNorm").withColumn("disp_ok", lit(true))
 
     val classified = pages
@@ -357,6 +387,12 @@ final class CrawlEngine(
         methodCounts.map { case (k, v) => s"method_$k" -> v } ++
         Map("dequeued" -> deqCount, "images" -> fetchedNew.count(),
           "invalid_rows" -> invalid))
+    // fold this epoch's ok (host, hash) delta into the carried Bloom
+    val contentDelta = Seen.buildBloom(
+      okPages.select(contentKey.as("urlNorm")),
+      cfg.bloomExpectedItems, cfg.bloomFpp)
+    if (contentBloom == null) contentBloom = contentDelta
+    else contentBloom.mergeInPlace(contentDelta)
     deq.unpersist(); pages.unpersist(); classified.unpersist(); fetchedNew.unpersist()
     deqCount
   }

@@ -44,4 +44,19 @@ object Seen {
     val confirmed = possible.join(seen.select("urlNorm"), Seq("urlNorm"), "left_anti")
     definitelyNew.unionByName(confirmed)
   }
+
+  /** Anti-join shaped for a TINY left against a HUGE right: a plain
+    * left-anti would shuffle the full right side (Spark can only broadcast
+    * the BUILD/right side of an anti-join, and the right side is the big
+    * one here). Instead: semi-join the right against the broadcast left
+    * (one scan of the right, no shuffle), then subtract the ≤|left|
+    * matches from the left with a second broadcast. Identical result. */
+  def antiJoinTinyLeft(left: DataFrame, right: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val keyCols = keys.map(col)
+    val matches = right
+      .join(broadcast(left.select(keyCols: _*).distinct()), keys, "left_semi")
+      .select(keyCols: _*).distinct()
+    left.join(broadcast(matches), keys, "left_anti")
+  }
 }
