@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's post-scrape output pipeline as one composable stage
+  * (`src/jobs/runner.py:543-620`): ok pages → chunk_markdown (C9) →
+  * 3-tier classify (O3/O4) → LLM cleanup applied ONLY to cleanup/heavy
+  * chunks (skip rows pass through untouched — the ~30% call reduction the
+  * reference ships as ADR-003). The cleaner is pluggable like the
+  * relevance scorer: identity by default (deterministic, test-stable), an
+  * LLM client on a real deployment.
+  *
+  * Input contract: a page table carrying a URL column and a markdown
+  * content column — the engine's `page_cache` / ok `fetched` projections
+  * qualify directly. Output: one row per chunk
+  * (url, chunk_idx, level, chunk) — the reference's per-page chunk list,
+  * flattened relationally.
+  */
+object Postprocess {
+
+  /** Pluggable chunk cleaner (the LLM-call analog; batch-friendly like
+    * BatchedScorer if a deployment needs it). */
+  trait ChunkCleaner extends Serializable {
+    def clean(chunk: String, level: String): String
+  }
+
+  /** Default: no-op (crawl_model=None parity — cleanup disabled). */
+  object IdentityCleaner extends ChunkCleaner {
+    override def clean(chunk: String, level: String): String = chunk
+  }
+
+  /** ok pages → (url, chunk_idx, level, chunk): chunked, classified, and
+    * selectively cleaned. The cleaner runs only where level != skip —
+    * expressed as a when() so Catalyst keeps the expensive branch gated. */
+  def chunksTable(pages: DataFrame, urlCol: Column, markdownCol: Column,
+      cleaner: ChunkCleaner = IdentityCleaner): DataFrame = {
+    val cleanUdf = udf((c: String, lvl: String) => cleaner.clean(c, lvl))
+    val chunked = Chunker.chunks(
+      pages.select(urlCol.as("url"), markdownCol.as("md")), col("url"), col("md"))
+    chunked
+      .withColumn("level", Cleanup.classify(col("chunk")))
+      .withColumn("chunk",
+        when(col("level") === "skip", col("chunk")) // O3/O4: never call the
+          .otherwise(cleanUdf(col("chunk"), col("level")))) // cleaner on skip
+      .select(col("id").as("url"), col("chunk_idx"), col("level"), col("chunk"))
+  }
+}

@@ -112,6 +112,31 @@ class StructuredChunkerSpec extends SparkSpec {
       !md.contains("home / docs"))
   }
 
+  test("Postprocess: chunk + classify + cleaner gated off skip chunks") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Postprocess
+    val pages = Seq(
+      ("u1", "short clean text of sufficient length for one chunk here ok"),
+      ("u2", "cookie privacy policy " + ("words " * 30)),
+      ("u3", "# A\n\n" + ("body words " * 300) + "\n\n# B\n\n" + ("more words " * 300)))
+      .toDF("url", "md")
+    val marker = new Postprocess.ChunkCleaner {
+      override def clean(c: String, lvl: String): String = s"[$lvl] $c"
+    }
+    val rows = Postprocess.chunksTable(pages, col("url"), col("md"), marker)
+      .as[(String, Int, String, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val u1 = rows("u1")
+    assert(u1.length == 1 && u1.head._3 == "skip" && !u1.head._4.startsWith("["))
+    val u2 = rows("u2")
+    assert(u2.head._3 == "cleanup" && u2.head._4.startsWith("[cleanup] "))
+    val u3 = rows("u3")
+    assert(u3.length >= 2, s"semantic split expected, got ${u3.length}")
+    assert(u3.forall(r => r._3 != "skip" && r._4.startsWith("[")))
+    assert(u3.head._4.contains("# A") && u3.last._4.contains("# B"))
+  }
+
   test("cleanup classifier: decision order and edge gates") {
     assert(Cleanup.classifyChunk("```\ncode\n```") == "skip") // density 1.0
     assert(Cleanup.classifyChunk("short clean text") == "skip")
