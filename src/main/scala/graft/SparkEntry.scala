@@ -14,7 +14,7 @@ import graft.operators.{Dedup, Frontier, Robots, Seen, Similarity, TextAnalysis,
   * oracle exactly. Ops that aren't hand-writable ANSI SQL (LSH/IVF ANN,
   * simhash, fingerprint, image validation, the crawl engine itself) get
   * GENERATED oracles from [[OracleGen]] — re-expressed DuckDB math,
-  * pure-Scala recomputation, or reference-simulator VALUES — so all 33
+  * pure-Scala recomputation, or reference-simulator VALUES — so all 34
   * queries are driver-checkable.
   */
 object SparkEntry {
@@ -317,7 +317,23 @@ object SparkEntry {
         .orderBy("doc_id", "pos")
     }),
 
-    // ---- non-SQL-expressible (rows-only driver check; gated in tests) ----
+    "q34_neardup_resolve" -> ((s, d) => {
+      // pairs → keep/drop decisions (connected components, min-id keeper):
+      // the step that turns q24's near-dup PAIRS into a dedup verdict table
+      val e = embs(s, d).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val lt25 = e.where(col("vec_id") < 25)
+      val aug = e
+        .unionByName(lt25.select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+        .unionByName(lt25.select((col("vec_id") + 2000000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(0.995) + lit(0.002)).as("embedding")))
+      val pairs = Dedup.embeddingPairs(aug, col("vec_id"), col("embedding"),
+          dim = 64, numBands = 16, bandPlanes = 4, threshold = 0.95)
+        .where(col("id_a") % 1000000 === col("id_b") % 1000000)
+      Dedup.resolveKeepers(pairs).select("id", "keep_id").orderBy("id")
+    }),
+
+    // ---- generated oracles (OracleGen) ----
     "q25_ann_lsh" -> ((s, d) => {
       val e = embs(s, d)
       Similarity.lshTopK(e, e.where(col("vec_id") < 8), 10, dim = 64, numPlanes = 6)
@@ -640,6 +656,23 @@ object SparkEntry {
                 WHEN doc_id % 6 = 4 THEN 'heavy'
                 ELSE 'cleanup' END AS level
          FROM documents ORDER BY doc_id""",
+    "q34_neardup_resolve" ->
+      """WITH aug AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           UNION ALL SELECT vec_id + 1000000, embedding::DOUBLE[] FROM embeddings WHERE vec_id < 25
+           UNION ALL SELECT vec_id + 2000000,
+             list_transform(embedding::DOUBLE[], x -> x * 0.995 + 0.002)
+           FROM embeddings WHERE vec_id < 25),
+         p AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM aug a JOIN aug b
+             ON a.vec_id < b.vec_id AND a.vec_id % 1000000 = b.vec_id % 1000000
+           WHERE list_cosine_similarity(a.v, b.v) >= 0.95)
+         -- each component is {b, b+1e6[, b+2e6]} and the base b is a member
+         -- of every edge set, so the min-id keeper is id % 1000000
+         SELECT DISTINCT id, id % 1000000 AS keep_id
+         FROM (SELECT id_a AS id FROM p UNION SELECT id_b FROM p)
+         ORDER BY id""",
     "q31_structured_blocks" ->
       """WITH d AS (SELECT doc_id FROM documents),
          r AS (

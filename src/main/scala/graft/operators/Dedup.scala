@@ -151,6 +151,45 @@ object Dedup {
     h
   }
 
+  /** Near-dup RESOLUTION: candidate pairs → (id, keep_id) decisions via
+    * min-label propagation (connected components). Each node starts
+    * labeled with itself; every iteration takes the min over neighbors —
+    * duplicate clusters have tiny diameter, so convergence is fast and the
+    * iteration count is bounded. Deterministic: the keeper of a component
+    * is its smallest id (matching [[exact]]'s min-id keeper). Each
+    * iteration is one shuffle keyed by node id; lineage is truncated per
+    * iteration (localCheckpoint) so long chains don't accumulate. Only
+    * nodes appearing in some pair are returned (singletons keep
+    * themselves trivially). */
+  def resolveKeepers(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().cache()
+    var labels = edges.select($"src".as("id")).distinct()
+      .withColumn("label", $"id")
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val msgs = edges
+        .join(labels.select($"id".as("dst"), $"label".as("dlabel")), Seq("dst"))
+        .groupBy($"src").agg(min($"dlabel").as("nlabel"))
+        .select($"src".as("id"), $"nlabel")
+      val next = labels.join(msgs, Seq("id"), "left")
+        .select($"id", least($"label", coalesce($"nlabel", $"label")).as("label"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .where($"label" =!= $"old").count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select($"id", $"label".as("keep_id"))
+  }
+
   /** 64-bit SimHash over whitespace tokens (md5-derived token hash, per-bit
     * majority vote; ties → 0). UDF: per-bit voting isn't expressible as a
     * compact column expression; the UDF runs fully distributed. */

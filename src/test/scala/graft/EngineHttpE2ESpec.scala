@@ -124,13 +124,11 @@ class EngineHttpE2ESpec extends SparkSpec {
       val bodies = BootstrapFetch.sitemapBodies(seeds, policies, validate = allowLoopback)
       assert(bodies.map(_._1) == Seq(s"$base/maps/main.xml")) // standard roots 404'd
       val cfg = CrawlConfig(seedUrls = Seq(s"$base/docs"), maxDepth = 3)
-      val engine = new CrawlEngine(spark, cfg, fetcher(),
+      // the one-call facade: bootstrap fetches + transport + tables wired
+      val engine = graft.Crawl.run(spark, cfg,
+        Files.createTempDirectory("graft-e2e-sm").toString,
         graft.fixtures.FixtureGen.imagesDF(spark, 2L),
-        new ParquetSnapshotTableIO(spark, Files.createTempDirectory("graft-e2e-sm").toString),
-        policies,
-        sitemaps = Some(bodies.toDF("sitemap_url", "body", "gzipped")),
-        ssrfCheck = allowLoopback)
-      engine.run()
+        fetcher = Some(fetcher()), ssrfCheck = allowLoopback)
       // sitemap cascade: seen = in-scope sitemap entries only (BFS skipped)
       val seen = engine.seen.select("urlNorm").as[String].collect().toSet
       assert(seen == Set(s"$base/docs/s1", s"$base/docs/s2"))
