@@ -283,7 +283,9 @@ object SparkEntry {
         val sb = new java.lang.StringBuilder(text.length * 60)
         var i = 0
         while (i < 60) { sb.append(text); i += 1 }
-        val t = sb.substring(0, 2000) // BMP-only corpus: chars == codepoints
+        // DuckDB substr returns what exists on short input; mirror that
+        // instead of throwing (BMP-only corpus: chars == codepoints)
+        val t = sb.substring(0, math.min(2000, sb.length))
         s"# Intro $docId\n\n$t\n\n## Part A $docId\n\n$t" +
           s"\n\n#### deep $docId\n\n$t\n\n### Part B $docId\n\n$t"
       }

@@ -87,9 +87,6 @@ final class CrawlEngine(
       .select($"urlNorm", urlfns.url_host($"urlNorm").as("host"))
       .distinct()
 
-  private val hostCountsSchema = StructType(Seq(
-    StructField("host", StringType), StructField("seenCnt", LongType)))
-
   /** Carried across discovery epochs within one run: the seen-set Bloom is
     * built from the committed snapshot ONCE per run/resume (treeAggregate),
     * then each epoch folds only its admitted delta in via `mergeInPlace` —
@@ -483,6 +480,10 @@ final class CrawlEngine(
 
   def run(stopAfterFetchEpoch: Option[Int] = None,
       stopAfterDiscoverDepth: Option[Int] = None): Unit = {
+    // a fresh run() clears any previous cancellation: resume-after-cancel
+    // continues from the last committed epoch (cancel() targets the run in
+    // flight, not the engine's future)
+    cancelRequested = false
     graft.operators.Preflight.validate(spark, fetcher, scorer) // F10
     spark.sparkContext.setJobGroup(jobGroup, "graft crawl engine",
       interruptOnCancel = true)

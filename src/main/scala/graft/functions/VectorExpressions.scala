@@ -45,6 +45,20 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "cosine_sim"
 
+  // explicit type check: without it, array<float> input (the stored
+  // embedding type) would reach ArrayData.getDouble and read garbage
+  // silently — require the caller's explicit cast instead
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case org.apache.spark.sql.types.ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim requires (array<double>, array<double>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any =
     VectorOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
@@ -63,5 +77,8 @@ object vectorfns {
 
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", (es: Seq[Expression]) => CosineSim(es.head, es(1)), "built-in")
+      "cosine_sim", (es: Seq[Expression]) => {
+        require(es.length == 2, s"cosine_sim expects 2 arguments, got ${es.length}")
+        CosineSim(es.head, es(1))
+      }, "built-in")
 }

@@ -143,8 +143,12 @@ object Dedup {
     * chosen over xxhash/splitmix because md5 is bit-identical in every
     * engine (Spark, DuckDB, Python), which makes the simhash pipeline
     * oracle-checkable end to end. */
-  def tokenHash64(t: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+  def tokenHash64(t: String): Long =
+    tokenHash64(t, java.security.MessageDigest.getInstance("MD5"))
+
+  /** Digest-reusing overload for per-partition hot loops. */
+  def tokenHash64(t: String, md: java.security.MessageDigest): Long = {
+    val d = md.digest(t.getBytes("UTF-8")); md.reset()
     var h = 0L
     var i = 0
     while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
@@ -161,7 +165,11 @@ object Dedup {
     * iteration (localCheckpoint) so long chains don't accumulate. Only
     * nodes appearing in some pair are returned (singletons keep
     * themselves trivially). */
-  def resolveKeepers(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+  def resolveKeepers(pairs: DataFrame, maxIters: Int = 20,
+      /** throw instead of returning a silently-inconsistent labeling when a
+        * component's diameter exceeds maxIters (keep_id rows could point at
+        * nodes that are themselves remapped). */
+      requireConvergence: Boolean = true): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -187,6 +195,10 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    if (requireConvergence && !converged)
+      throw new IllegalStateException(
+        s"resolveKeepers did not converge in $maxIters iterations " +
+          "(a duplicate chain longer than maxIters exists); raise maxIters")
     labels.select($"id", $"label".as("keep_id"))
   }
 
@@ -198,10 +210,7 @@ object Dedup {
       val counts = new Array[Int](64)
       val md = java.security.MessageDigest.getInstance("MD5")
       tokens.foreach { t =>
-        val d = md.digest(t.getBytes("UTF-8")); md.reset()
-        var h2 = 0L
-        var i = 0
-        while (i < 8) { h2 = (h2 << 8) | (d(i) & 0xffL); i += 1 }
+        val h2 = tokenHash64(t, md)
         var b = 0
         while (b < 64) { if (((h2 >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1; b += 1 }
       }

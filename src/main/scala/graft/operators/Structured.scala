@@ -27,9 +27,10 @@ object Structured {
       language: Option[String],
       alt: Option[String])
 
+  // &amp; LAST — decoding it first double-decodes escaped entities
   private val EntityMap = Seq(
-    "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
-    "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ")
+    "&lt;" -> "<", "&gt;" -> ">",
+    "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
 
   private def decodeEntities(s: String): String =
     EntityMap.foldLeft(s) { case (acc, (k, v)) => acc.replace(k, v) }

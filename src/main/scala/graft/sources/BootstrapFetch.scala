@@ -14,19 +14,33 @@ import graft.operators.{Robots, Ssrf}
   */
 object BootstrapFetch {
 
+  /** One GET with manual redirect following (≤ 5 hops) — apex→www /
+    * http→https robots.txt redirects are routine, and silently treating a
+    * 301'd robots.txt as absent would disable robots enforcement for the
+    * host. Every hop target is re-validated (F6). */
   def httpGet(url: String, timeoutMs: Int,
       validate: String => Boolean): Option[(Int, Array[Byte])] = {
-    if (!validate(url)) return None
     try {
       val client = java.net.http.HttpClient.newBuilder()
         .connectTimeout(java.time.Duration.ofMillis(timeoutMs.toLong))
         .followRedirects(java.net.http.HttpClient.Redirect.NEVER)
         .build()
-      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
-        .timeout(java.time.Duration.ofMillis(timeoutMs.toLong)).GET().build()
-      val resp = client.send(req,
-        java.net.http.HttpResponse.BodyHandlers.ofByteArray())
-      Some((resp.statusCode(), resp.body()))
+      var u = url
+      var hops = 0
+      while (hops <= 5) {
+        if (!validate(u)) return None
+        val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(u))
+          .timeout(java.time.Duration.ofMillis(timeoutMs.toLong)).GET().build()
+        val resp = client.send(req,
+          java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+        val st = resp.statusCode()
+        val loc = resp.headers().firstValue("location").orElse("")
+        if (st >= 300 && st < 400 && loc.nonEmpty) {
+          u = java.net.URI.create(u).resolve(loc).toString
+          hops += 1
+        } else return Some((st, resp.body()))
+      }
+      None // redirect chain too long
     } catch { case _: Exception => None }
   }
 

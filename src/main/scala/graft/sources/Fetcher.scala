@@ -83,8 +83,11 @@ object HtmlToMarkdown {
     s = s.replaceAll("(?is)</?(p|div|section|article|main|table|tr|ul|ol|blockquote|pre)[^>]*>", "\n")
     s = s.replaceAll("(?is)<br[^>]*>", "\n")
     s = s.replaceAll("(?s)<[^>]*>", "")
-    s = s.replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
+    // &amp; decoded LAST: decoding it first would double-decode escaped
+    // entities (&amp;lt; is the literal text "&lt;", not "<")
+    s = s.replace("&lt;", "<").replace("&gt;", ">")
       .replace("&quot;", "\"").replace("&#39;", "'").replace("&nbsp;", " ")
+      .replace("&amp;", "&")
     s = s.replaceAll("[ \\t]+", " ").replaceAll(" ?\\n ?", "\n")
     s = s.replaceAll("\\n{3,}", "\n\n")
     s.trim
@@ -273,7 +276,11 @@ final class HttpFetcher(
             "Accept" -> "text/markdown, text/html;q=0.9, */*;q=0.8",
             "User-Agent" -> "graft/0.1 (documentation crawler)")) match {
             case None => ssrfBlocked = true
-            case Some((st, ct, body)) if ct.contains("text/markdown") =>
+            // 200 gate is a deliberate hardening over the reference
+            // (page.py:53-75 checks only content-type): a markdown-typed
+            // ERROR body would otherwise terminate the chain and lose a
+            // page the fast/heavy levels could fetch
+            case Some((st, ct, body)) if st == 200 && ct.contains("text/markdown") =>
               status = st; ctype = ct; content = body; method = "native"
             case _ => ()
           } catch { case _: Exception => () }

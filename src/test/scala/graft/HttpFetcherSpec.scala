@@ -163,6 +163,62 @@ class HttpFetcherSpec extends SparkSpec {
     assert(!md.contains("nav") && !md.contains("foot") && !md.contains("var a"))
   }
 
+  test("native level requires 200: markdown-typed error bodies fall through the chain") {
+    val (server, base) = newServer()
+    server.createContext("/page", (ex: HttpExchange) => {
+      val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
+      if (accept.contains("text/markdown"))
+        handler(500, "text/markdown", "# error body").handle(ex)
+      else handler(200, "text/html", bigBody).handle(ex)
+    })
+    server.start()
+    try {
+      val row = fetcher().fetchPages(
+        Seq((s"$base/page", "127.0.0.1")).toDF("urlNorm", "host"))
+        .select("status", "fetchMethod").collect().head
+      // the 500+markdown response must NOT terminate the chain
+      assert(row.getInt(0) == 200 && row.getString(1) == "http_fast")
+    } finally server.stop(0)
+  }
+
+  test("bootstrap fetch follows redirects with per-hop validation (robots via 301)") {
+    import graft.sources.BootstrapFetch
+    val (server, base) = newServer()
+    server.createContext("/robots.txt", (ex: HttpExchange) => {
+      ex.getResponseHeaders.add("Location", s"$base/real-robots.txt")
+      ex.sendResponseHeaders(301, -1); ex.close()
+    })
+    server.createContext("/real-robots.txt", handler(200, "text/plain",
+      "User-agent: *\nDisallow: /hidden/\n"))
+    server.start()
+    try {
+      val hostPort = base.stripPrefix("http://")
+      val policies = BootstrapFetch.robotsPolicies(
+        Map(hostPort -> s"$base/docs"), validate = allowLoopback)
+      assert(policies(hostPort).disallowed == Vector("/hidden/"))
+      // a redirect to a BLOCKED target yields no policy (host fully allowed)
+      val (server2, base2) = newServer()
+      server2.createContext("/robots.txt", (ex: HttpExchange) => {
+        ex.getResponseHeaders.add("Location", "http://10.0.0.9/robots.txt")
+        ex.sendResponseHeaders(301, -1); ex.close()
+      })
+      server2.start()
+      try {
+        val hp2 = base2.stripPrefix("http://")
+        assert(BootstrapFetch.robotsPolicies(
+          Map(hp2 -> s"$base2/docs"), validate = allowLoopback).isEmpty)
+      } finally server2.stop(0)
+    } finally server.stop(0)
+  }
+
+  test("entity decode order: escaped entities are not double-decoded") {
+    assert(HtmlToMarkdown.convert("<p>&amp;lt;div&amp;gt; and &amp; x</p>") ==
+      "&lt;div&gt; and & x")
+    import graft.operators.Structured
+    val b = Structured.parseBlocks("<body><p>&amp;lt;tag&amp;gt;</p></body>")
+    assert(b.head.content == "&lt;tag&gt;")
+  }
+
   test("converter registry (PR 3.4): dispatch, capabilities, unknown name, wiring") {
     import graft.sources.{MarkdownConverter, MarkdownConverters}
     assert(MarkdownConverters.available == Seq("markdownify", "readerlm"))

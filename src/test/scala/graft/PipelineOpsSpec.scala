@@ -121,6 +121,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT cosine_sim(CAST(embedding AS ARRAY<DOUBLE>), CAST(embedding AS ARRAY<DOUBLE>)) FROM cos_t")
       .as[Double].collect().forall(v => math.abs(v - 1.0) < 1e-12))
+    // type check: raw array<float> must be an analysis error, not garbage
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT cosine_sim(embedding, embedding) FROM cos_t").collect()
+    }
+  }
+
+  test("resolveKeepers: min-id keeper per component; divergence detected") {
+    // two clusters + a chain: {1,2,3} via (1,2),(2,3); {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.resolveKeepers(pairs).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // a chain longer than maxIters must throw, not return inconsistent labels
+    val chain = (0L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.resolveKeepers(chain, maxIters = 3)
+    }
+    // ... and converge with enough iterations
+    val ok = Dedup.resolveKeepers(chain, maxIters = 15).as[(Long, Long)].collect()
+    assert(ok.forall(_._2 == 0L) && ok.length == 11)
   }
 
   test("brute-force cosine top-k: exact copy is rank 1") {
