@@ -63,9 +63,18 @@ final class CrawlEngine(
 
   import spark.implicits._
 
-  private val seedByHost: Map[String, String] =
-    cfg.seedUrls.map(u => graft.util.PyUrl.host(
-      graft.util.PyUrl.canonicalize(u)) -> u).toMap
+  // one seed per host — the reference runs ONE base_url per job
+  // (api/models.py JobRequest.url); two seeds on a host would silently
+  // collapse in this map and filterUrlsMulti would apply only the
+  // survivor's base-path facts. Run separate crawls (or one engine per
+  // seed) for multiple subtrees of the same host.
+  private val seedByHost: Map[String, String] = {
+    val pairs = cfg.seedUrls.map(u => graft.util.PyUrl.host(
+      graft.util.PyUrl.canonicalize(u)) -> u)
+    require(pairs.map(_._1).distinct.size == pairs.size,
+      s"one seed per host (reference: one base_url per job); got ${cfg.seedUrls}")
+    pairs.toMap
+  }
 
   /** ssrfCheck as a column predicate (serializable closure). */
   private val ssrfAdmitted = udf(ssrfCheck)
@@ -92,6 +101,8 @@ final class CrawlEngine(
     * then each epoch folds only its admitted delta in via `mergeInPlace` —
     * per-epoch probe-build cost is O(delta), not O(seen) (A5). */
   private var seenBloom: org.apache.spark.util.sketch.BloomFilter = null
+  private var seenBloomBc: org.apache.spark.broadcast.Broadcast[
+    org.apache.spark.util.sketch.BloomFilter] = null
 
   /** One BFS epoch per depth; commits (seen, level_next, host_counts)
     * atomically. */
@@ -110,7 +121,9 @@ final class CrawlEngine(
         else {
           if (seenBloom == null)
             seenBloom = Seen.buildBloom(seen, cfg.bloomExpectedItems, cfg.bloomFpp)
-          Seen.admitPartitioned(level, seen, spark.sparkContext.broadcast(seenBloom))
+          if (seenBloomBc != null) seenBloomBc.unpersist() // previous epoch's copy
+          seenBloomBc = spark.sparkContext.broadcast(seenBloom)
+          Seen.admitPartitioned(level, seen, seenBloomBc)
         }
       // per-host cap (A4): deterministic lexicographic cap, NOT arbitrary
       // limit. (Reference caps in set-iteration order, which is
@@ -136,7 +149,12 @@ final class CrawlEngine(
         if (admittedCount == 0 || depth >= cfg.maxDepth) emptyDf(
           StructType(seenSchema.fields.take(2)))
         else {
-          val pages = fetcher.fetchPages(admitted)
+          // F6 at discovery-fetch time too (links can point anywhere; the
+          // fetch-phase gate alone would leave BFS fetches uncovered for
+          // transports without internal validation). Rejected URLs stay in
+          // `seen` (discovered) but are never fetched.
+          val fetchable = admitted.where(ssrfAdmitted($"urlNorm"))
+          val pages = fetcher.fetchPagesForDiscovery(fetchable)
           pages
             .where($"status" === 200 && $"contentType".contains("text/html"))
             .select($"urlNorm".as("pageUrl"), $"host", explode($"links").as("href"))
@@ -189,9 +207,11 @@ final class CrawlEngine(
       else filtered
     // F8 relevance stage (semi-join-validated scorer; Identity default
     // reproduces the reference's sorted dispatch order exactly)
-    val pending = graft.operators.Relevance.prioritize(admitted, scorer)
+    val pending = graft.operators.Relevance.prioritize(admitted, scorer).cache()
+    val pendingCount = pending.count() // materialize once before the write
     io.commit("fetch", 0, tables = Map("pending" -> pending),
-      counters = Map("pending" -> pending.count()))
+      counters = Map("pending" -> pendingCount))
+    pending.unpersist()
   }
 
   private val dequeuedSchema = StructType(Seq(StructField("urlNorm", StringType)))
@@ -201,6 +221,8 @@ final class CrawlEngine(
     * most epochs have no cross-epoch duplicate candidates, so the exact
     * confirm (and its seen_content scan) is skipped for the bulk of rows. */
   private var contentBloom: org.apache.spark.util.sketch.BloomFilter = null
+  private var contentBloomBc: org.apache.spark.broadcast.Broadcast[
+    org.apache.spark.util.sketch.BloomFilter] = null
   private def contentKey = concat_ws(" ", $"host", $"contentHash")
 
   /** The live frontier: committed base ∖ accumulated per-epoch dequeue
@@ -243,6 +265,7 @@ final class CrawlEngine(
     // J6/O8 — cache lookup before fetching: hits are served from the warm
     // cache (fetchMethod="cache"), misses go to the transport. Blocked
     // pages are never cached (runner.py:522-524) so a hit is always safe.
+    var warmHits: DataFrame = null // cached per-epoch; released below
     val fetchedPages = warmCache match {
       case None =>
         val (ok, rejected) = ssrfSplit(deq.select("urlNorm", "host"))
@@ -255,6 +278,7 @@ final class CrawlEngine(
           .withColumn("fetchMethod", lit("cache"))
           .select(Fetcher.pageObservationSchema.fieldNames.map(col).toIndexedSeq: _*)
           .cache()
+        warmHits = hits
         // misses = deq ∖ hits — anti against the ≤|deq| HIT set, not the
         // full cache (a left-anti's broadcastable side is the right one,
         // so deq-anti-cache would shuffle the whole cache every epoch)
@@ -274,6 +298,9 @@ final class CrawlEngine(
       .withColumn("contentHash",
         when(isHtmlOk, Hashing.contentHash($"content")).otherwise(lit(null)))
       .cache()
+    pages.count() // materialize NOW: pages feeds two downstream stages that
+    // could otherwise race on the uncached side-effecting fetch and issue
+    // every HTTP request twice (politeness violation on a real cluster)
 
     // J2 content dedup, host-scoped, priority order decides the keeper:
     // within-batch winner per (host, hash), then cross-epoch check against
@@ -295,7 +322,9 @@ final class CrawlEngine(
         cfg.bloomExpectedItems, cfg.bloomFpp)
     val okRows = (if (contentBloom == null) winners
       else {
-        val bc = spark.sparkContext.broadcast(contentBloom)
+        if (contentBloomBc != null) contentBloomBc.unpersist()
+        contentBloomBc = spark.sparkContext.broadcast(contentBloom)
+        val bc = contentBloomBc
         val mightContain = udf((s: String) => bc.value.mightContainString(s))
         val flagged = winners.withColumn("__maybe", mightContain(contentKey))
         val fresh = flagged.where(!$"__maybe").drop("__maybe")
@@ -368,7 +397,13 @@ final class CrawlEngine(
 
     val obsCounters: Map[String, Long] =
       try obs.get.map { case (k, v) => k -> v.asInstanceOf[Long] }
-      catch { case _: Exception => Map.empty }
+      catch { case e: Exception =>
+        // degrade but never silently: an epoch without disposition counters
+        // means the metrics pipeline broke, not that nothing happened
+        System.err.println(s"[graft] WARN fetch epoch $epoch: disposition " +
+          s"observation lost (${e.getClass.getSimpleName}: ${e.getMessage})")
+        Map.empty
+      }
     io.commit("fetch", epoch,
       tables = pendingTables,
       appends = dequeuedAppend ++ Map(
@@ -391,6 +426,7 @@ final class CrawlEngine(
     if (contentBloom == null) contentBloom = contentDelta
     else contentBloom.mergeInPlace(contentDelta)
     deq.unpersist(); pages.unpersist(); classified.unpersist(); fetchedNew.unpersist()
+    if (warmHits != null) warmHits.unpersist()
     deqCount
   }
 
@@ -424,9 +460,12 @@ final class CrawlEngine(
         .expandAll(sm, safeSeeds, policies = policies)
         .where(ssrfAdmitted($"urlNorm"))
         .withColumn("depth", lit(0))
+        .cache()
+      val expandedCount = expanded.count() // materialize once before the write
       io.commit("sitemap", 0, tables = Map.empty,
         appends = Map("seen" -> expanded),
-        counters = Map("sitemap_urls" -> expanded.count()))
+        counters = Map("sitemap_urls" -> expandedCount))
+      expanded.unpersist()
     }
 
   /** Seeds of hosts not already discovered via an earlier cascade strategy
@@ -446,7 +485,7 @@ final class CrawlEngine(
     * hosts with ≥1 nav URL are fully discovered and skip BFS. */
   private def cascadeNav(): Unit = {
     val candidates = bfsSeedLevel
-    val pages = fetcher.fetchPages(candidates)
+    val pages = fetcher.fetchPagesForDiscovery(candidates)
     val nav = pages
       .where($"status" === 200 && $"contentType".contains("text/html"))
       .select($"urlNorm".as("pageUrl"), $"host", explode($"navLinks").as("href"))
@@ -458,9 +497,12 @@ final class CrawlEngine(
       .withColumn("rn", row_number().over(Window.partitionBy("host").orderBy("urlNorm")))
       .where($"rn" <= 100)
       .select($"urlNorm", $"host", lit(0).as("depth"))
-    io.commit("nav", 0, tables = Map.empty,
+      .cache()
+    val navCount = nav.count() // materialize ONCE: the commit write below
+    io.commit("nav", 0, tables = Map.empty, // must not re-run the fetch
       appends = Map("seen" -> nav),
-      counters = Map("nav_urls" -> nav.count()))
+      counters = Map("nav_urls" -> navCount))
+    nav.unpersist()
   }
 
   // ST3 — cancellation: inter-epoch stop flags AND in-flight Spark-job

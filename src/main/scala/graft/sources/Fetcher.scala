@@ -13,6 +13,12 @@ import org.apache.spark.sql.types._
   */
 trait Fetcher extends Serializable {
   def fetchPages(urls: DataFrame): DataFrame
+
+  /** Discovery-phase fetch: link extraction needs HTML, so transports that
+    * negotiate markdown (S5/S6) must NOT here — the reference's discovery
+    * uses plain GETs (`discovery.py:96-118`), separate from the scrape
+    * chain. Default: same as fetchPages (fixture transports serve HTML). */
+  def fetchPagesForDiscovery(urls: DataFrame): DataFrame = fetchPages(urls)
 }
 
 object Fetcher {
@@ -196,6 +202,17 @@ final class HttpFetcher(
       * runner.py:418,516). */
     converter: MarkdownConverter = MarkdownConverters.Markdownify) extends Fetcher {
   import Fetcher.pageObservationSchema
+
+  /** Discovery must see HTML (links): run the chain without the markdown
+    * levels — a host honoring `Accept: text/markdown` would otherwise
+    * return linkless markdown during BFS and silently stop discovery at
+    * its seed while the fetch phase still reported ok pages. */
+  override def fetchPagesForDiscovery(urls: DataFrame): DataFrame =
+    if (!useNativeMarkdown && markdownProxyUrl.isEmpty) fetchPages(urls)
+    else new HttpFetcher(maxRetries, timeoutMs,
+      useNativeMarkdown = false, markdownProxyUrl = None,
+      useHttpFastPath = useHttpFastPath, backoffUnitMs = backoffUnitMs,
+      validate = validate, converter = converter).fetchPages(urls)
 
   override def fetchPages(urls: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder

@@ -76,6 +76,10 @@ final class ParquetSnapshotTableIO(spark: SparkSession, rootDir: String) extends
 
   override def commit(phase: String, epoch: Int, tables: Map[String, DataFrame],
       appends: Map[String, DataFrame], counters: Map[String, Long]): Unit = {
+    // a table named in BOTH maps would write the same version dir twice
+    // and record it twice in the manifest (doubled rows on read)
+    val overlap = tables.keySet intersect appends.keySet
+    require(overlap.isEmpty, s"table(s) in both tables and appends: $overlap")
     val prev = loadManifest()
     val version = prev.map(_.getProperty("version", "0").toInt + 1).getOrElse(1)
     val next = new Properties()
@@ -109,18 +113,21 @@ final class ParquetSnapshotTableIO(spark: SparkSession, rootDir: String) extends
     allCounters.toSeq.sortBy(_._1).foreach { case (k, v) =>
       next.setProperty(s"counter.$k", v.toString)
     }
-    // per-commit I/O ledger line (lineage evidence: commit bytes per epoch)
+    val tmp = root.resolve(s"manifest.tmp.$version")
+    val out = Files.newOutputStream(tmp)
+    try next.store(out, null) finally out.close()
+    Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    // per-commit I/O ledger line (lineage evidence) — written AFTER the
+    // atomic pointer move so a crash can only lose a line, never record a
+    // commit that did not happen (a phantom line would double-count bytes
+    // when the epoch re-runs idempotently)
     val byteJson = bytes.map { case (n, b) => s""""$n":$b""" }.mkString(",")
     Files.write(root.resolve("commits.jsonl"),
       (s"""{"phase":"$phase","epoch":$epoch,"version":$version,""" +
         s""""bytes":{$byteJson},"bytes_commit":${bytes.valuesIterator.sum}}""" + "\n")
         .getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
-    val tmp = root.resolve(s"manifest.tmp.$version")
-    val out = Files.newOutputStream(tmp)
-    try next.store(out, null) finally out.close()
-    Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
   }
 
   override def read(table: String): Option[DataFrame] =
