@@ -58,12 +58,16 @@ object Bench {
     // first-query session setup
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (_, sec) = timed {
-        try fn(spark, sfDir).count()
+      // noop sink, NOT count(): count() lets Catalyst prune the projected
+      // expression columns and eliminate sorts, so map-only queries (url
+      // canonicalize, hashes, langid, classify, …) would time the bare
+      // parquet scan instead of the operator being benchmarked
+      val (ok, sec) = timed {
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
       }
-      name -> sec
+      name -> (if (ok) sec else -1.0) // -1 = failed, excluded from total
     }
 
     // full-engine end-to-end throughput at this parallelism (context number)
@@ -73,7 +77,7 @@ object Bench {
       epochSeconds = 60)
     def runEngine(s: SparkSession): (Long, Double) = {
       val io = new graft.sources.ParquetSnapshotTableIO(
-        s, Files.createTempDirectory("graft-bench-engine").toString)
+        s, graft.util.TempDirs.create("graft-bench-engine"))
       val web = graft.fixtures.FixtureGen.webGraphDF(s, engineParams)
       val imgs = graft.fixtures.FixtureGen.imagesDF(s, engineParams)
       val engine = new graft.epoch.CrawlEngine(s, engCfg,
@@ -118,7 +122,7 @@ object Bench {
     // the headline is the best QUALIFYING pair — both are reported
     val effN4n = math.max(eff28, eff832)
 
-    val total = queryTimes.map(_._2).sum
+    val total = queryTimes.map(_._2).filter(_ >= 0).sum
     val qs = queryTimes.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val scaling =
       f"""{"kernel_rows":$kernelRows,"rps_c2":$rps2%.1f,"rps_c8":$rps8%.1f,"rps_c32":$rps32%.1f,""" +
@@ -139,7 +143,7 @@ object Bench {
            |same deterministic fetch+verify workload (synthesize → decode →
            |PSNR≥40dB gate → phash check — the throughput-defining per-URL
            |stage of the engine) at three parallelism levels on one machine,
-           |best-of-2 after full JIT prewarm.
+           |interleaved round-robin best-of-4 after full JIT prewarm.
            |
            || level | rows | rows/sec |
            ||---|---|---|

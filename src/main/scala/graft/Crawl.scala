@@ -30,8 +30,13 @@ object Crawl {
       ssrfCheck: String => Boolean = u => !Ssrf.isSsrf(u),
       stopAfterFetchEpoch: Option[Int] = None): CrawlEngine = {
     import spark.implicits._
-    val seeds: Map[String, String] = cfg.seedUrls.map(u =>
-      graft.util.PyUrl.host(graft.util.PyUrl.canonicalize(u)) -> u).toMap
+    val seedPairs = cfg.seedUrls.map(u =>
+      graft.util.PyUrl.host(graft.util.PyUrl.canonicalize(u)) -> u)
+    // fail the one-seed-per-host contract here, BEFORE the bootstrap
+    // fetches issue real robots/sitemap requests for a doomed config
+    require(seedPairs.map(_._1).distinct.size == seedPairs.size,
+      s"one seed per host (reference: one base_url per job); got ${cfg.seedUrls}")
+    val seeds: Map[String, String] = seedPairs.toMap
     val policies = BootstrapFetch.robotsPolicies(seeds, validate = ssrfCheck)
     val bodies = BootstrapFetch.sitemapBodies(seeds, policies, validate = ssrfCheck)
     val engine = new CrawlEngine(

@@ -80,11 +80,21 @@ object SparkEntry {
       "SELECT doc_id + 1000000 AS doc_id, concat('mutate ', substring(text, 8)) AS text " +
       "FROM documents WHERE doc_id % 10 = 0"
 
-  /** augmented embeddings: exact copies of vec_id < 25 under id+1000000. */
-  private def augEmbs(s: SparkSession, dir: String): DataFrame = {
-    val e = embs(s, dir)
-    e.unionByName(e.where(col("vec_id") < 25).select(
-      (col("vec_id") + 1000000).as("vec_id"), col("embedding"), col("label")))
+  /** q24/q34 shared construction: embeddings augmented with exact copies
+    * (+1e6) and perturbed near-copies (+2e6, x·0.995+0.002) of vec_id < 25,
+    * then multi-band LSH pairs filtered to same-base candidates. BOTH
+    * queries and BOTH oracles assume this exact pair set — one definition. */
+  private def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val lt25 = e.where(col("vec_id") < 25)
+    val aug = e
+      .unionByName(lt25.select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+      .unionByName(lt25.select((col("vec_id") + 2000000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(0.995) + lit(0.002)).as("embedding")))
+    Dedup.embeddingPairs(aug, col("vec_id"), col("embedding"),
+        dim = 64, numBands = 16, bandPlanes = 4, threshold = 0.95)
+      .where(col("id_a") % 1000000 === col("id_b") % 1000000)
   }
 
   // =====================================================================
@@ -258,20 +268,10 @@ object SparkEntry {
         .select("qid", "id", "rank").orderBy("qid", "rank")
     }),
     "q24_embedding_neardup" -> ((s, d) => {
-      // exact copies (+1e6) AND perturbed near-copies (+2e6, x·0.995+0.002)
-      // at threshold 0.95 — the multi-band recall case single-band LSH
-      // structurally missed (round-1 verdict What's-wrong #4)
-      val e = embs(s, d).select(col("vec_id"),
-        col("embedding").cast("array<double>").as("embedding"))
-      val lt25 = e.where(col("vec_id") < 25)
-      val aug = e
-        .unionByName(lt25.select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
-        .unionByName(lt25.select((col("vec_id") + 2000000).as("vec_id"),
-          transform(col("embedding"), x => x * lit(0.995) + lit(0.002)).as("embedding")))
-      Dedup.embeddingPairs(aug, col("vec_id"), col("embedding"),
-          dim = 64, numBands = 16, bandPlanes = 4, threshold = 0.95)
-        .where(col("id_a") % 1000000 === col("id_b") % 1000000)
-        .select("id_a", "id_b").orderBy("id_a", "id_b")
+      // exact copies (+1e6) AND perturbed near-copies (+2e6) at threshold
+      // 0.95 — the multi-band recall case single-band LSH structurally
+      // missed (round-1 verdict What's-wrong #4)
+      nearDupPairs(s, d).select("id_a", "id_b").orderBy("id_a", "id_b")
     }),
     "q32_chunking" -> ((s, d) => {
       // C9 — semantic H1-H3 chunking over constructed markdown; the oracle
@@ -322,17 +322,7 @@ object SparkEntry {
     "q34_neardup_resolve" -> ((s, d) => {
       // pairs → keep/drop decisions (connected components, min-id keeper):
       // the step that turns q24's near-dup PAIRS into a dedup verdict table
-      val e = embs(s, d).select(col("vec_id"),
-        col("embedding").cast("array<double>").as("embedding"))
-      val lt25 = e.where(col("vec_id") < 25)
-      val aug = e
-        .unionByName(lt25.select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
-        .unionByName(lt25.select((col("vec_id") + 2000000).as("vec_id"),
-          transform(col("embedding"), x => x * lit(0.995) + lit(0.002)).as("embedding")))
-      val pairs = Dedup.embeddingPairs(aug, col("vec_id"), col("embedding"),
-          dim = 64, numBands = 16, bandPlanes = 4, threshold = 0.95)
-        .where(col("id_a") % 1000000 === col("id_b") % 1000000)
-      Dedup.resolveKeepers(pairs).select("id", "keep_id").orderBy("id")
+      Dedup.resolveKeepers(nearDupPairs(s, d)).select("id", "keep_id").orderBy("id")
     }),
 
     // ---- generated oracles (OracleGen) ----
@@ -381,7 +371,7 @@ object SparkEntry {
       val cfg = graft.model.CrawlConfig(
         seedUrls = graft.fixtures.FixtureGen.seeds(params), maxDepth = 5)
       val io = new graft.sources.ParquetSnapshotTableIO(
-        s, java.nio.file.Files.createTempDirectory("graft-q29").toString)
+        s, graft.util.TempDirs.create("graft-q29"))
       val engine = new graft.epoch.CrawlEngine(s, cfg,
         new graft.sources.FixtureFetcher(graft.fixtures.FixtureGen.webGraphDF(s, params)),
         graft.fixtures.FixtureGen.imagesDF(s, params), io,
@@ -399,7 +389,7 @@ object SparkEntry {
     val cfg = graft.model.CrawlConfig(
       seedUrls = graft.fixtures.FixtureGen.seeds(params), maxDepth = 4)
     val io = new graft.sources.ParquetSnapshotTableIO(
-      spark, java.nio.file.Files.createTempDirectory("graft-entry").toString)
+      spark, graft.util.TempDirs.create("graft-entry"))
     val engine = new graft.epoch.CrawlEngine(spark, cfg,
       new graft.sources.FixtureFetcher(graft.fixtures.FixtureGen.webGraphDF(spark, params)),
       graft.fixtures.FixtureGen.imagesDF(spark, params), io,

@@ -16,6 +16,16 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // remove any previous run's output FIRST: a query that fails before
+      // its write starts must not leave stale parquet for the driver to
+      // compare as if it were this run's result (silent false pass)
+      val target = Paths.get(s"$outDir/$name")
+      if (Files.exists(target)) {
+        val st = Files.walk(target)
+        try st.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => { val _ = Files.deleteIfExists(f) })
+        finally st.close()
+      }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
