@@ -130,13 +130,14 @@ object Chunker {
       else if (pyStrip(text).nonEmpty) Seq(text) else Seq.empty
     if (nativeTokenCount.exists(_ * 4 <= chunkSize)) return whole
     if (text.length <= chunkSize) return whole
-    chunkByHeadings(text, chunkSize).getOrElse {
-      val sized = chunkBySize(text, chunkSize)
-      if (sized.nonEmpty) sized else Seq(pyStrip(text))
-    }
+    // chunkBySize is non-empty on this path (text.length > chunkSize ends
+    // at its final `Seq(pyStrip(text))` fallback), so no guard needed
+    chunkByHeadings(text, chunkSize).getOrElse(chunkBySize(text, chunkSize))
   }
 
-  private val chunksUdf = udf((t: String) => chunkMarkdown(t))
+  // null markdown rows (failed fetches) must not NPE the stage
+  private val chunksUdf = udf((t: String) =>
+    if (t == null) Seq.empty[String] else chunkMarkdown(t))
 
   /** DataFrame surface: one row per chunk (id, chunk_idx from 1, chunk). */
   def chunks(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
@@ -177,8 +178,10 @@ object Cleanup {
     else true
   }
 
-  /** skip | cleanup | heavy — identical decision order to classify_chunk. */
+  /** skip | cleanup | heavy — identical decision order to classify_chunk.
+    * Null-safe: null classifies as skip (nothing to clean). */
   def classifyChunk(markdown: String): String = {
+    if (markdown == null) return "skip"
     val lower = markdown.toLowerCase(java.util.Locale.ROOT)
     val hasNoise = NoiseIndicators.exists(lower.contains)
     if (codeDensity(markdown) > 0.6) "skip"

@@ -51,14 +51,17 @@ object Structured {
   /** Main-content region: first of main/article/[role=main]/body, else the
     * whole document (`structured.py:170-177`). */
   def mainContent(html: String): String = {
+    // the role=main pattern captures its OWN tag name and closes on the
+    // matching </tag> (a bare </[a-z]+> would stop at the first inner
+    // closing tag and truncate the region to its first child)
     val pats = Seq(
-      "(?is)<main\\b[^>]*>(.*?)</main>",
-      "(?is)<article\\b[^>]*>(.*?)</article>",
-      "(?is)<[a-z]+\\b[^>]*\\brole=[\"']main[\"'][^>]*>(.*?)</[a-z]+>",
-      "(?is)<body\\b[^>]*>(.*?)</body>")
-    pats.view.flatMap { p =>
+      "(?is)<main\\b[^>]*>(.*?)</main>" -> 1,
+      "(?is)<article\\b[^>]*>(.*?)</article>" -> 1,
+      "(?is)<([a-z]+)\\b[^>]*\\brole=[\"']main[\"'][^>]*>(.*?)</\\1>" -> 2,
+      "(?is)<body\\b[^>]*>(.*?)</body>" -> 1)
+    pats.view.flatMap { case (p, g) =>
       val m = java.util.regex.Pattern.compile(p).matcher(html)
-      if (m.find()) Some(m.group(1)) else None
+      if (m.find()) Some(m.group(g)) else None
     }.headOption.getOrElse(html)
   }
 
@@ -66,8 +69,10 @@ object Structured {
     "(?is)<(h[1-6]|pre|code|table|ul|ol|blockquote|img|p)\\b[^>]*>")
 
   private def attr(tag: String, name: String): Option[String] = {
+    // (?<![\w-]) not \b: a word boundary alone lets `src=` match inside
+    // `data-src=` (hyphen is a boundary), extracting the wrong attribute
     val m = java.util.regex.Pattern
-      .compile(s"(?is)\\b$name\\s*=\\s*[\"']([^\"']*)[\"']").matcher(tag)
+      .compile(s"(?is)(?<![\\w-])$name\\s*=\\s*[\"']([^\"']*)[\"']").matcher(tag)
     if (m.find()) Some(m.group(1)) else None
   }
 
@@ -77,6 +82,8 @@ object Structured {
     val flat = mainContent(html)
       .replaceAll("(?is)<(script|style)\\b[^>]*>.*?</\\1>", " ")
       .replaceAll("(?is)</?(div|section|article|main|aside|nav|header|span)[^>]*>", " ")
+    val flatLower = flat.toLowerCase(java.util.Locale.ROOT) // hoisted: one
+    // pass, not one full-document lowercase per block
     val out = scala.collection.mutable.ArrayBuffer.empty[Block]
     val m = BlockOpen.matcher(flat)
     var pos = 0
@@ -91,8 +98,7 @@ object Structured {
         }
         pos = openEnd
       } else {
-        val close = flat.toLowerCase(java.util.Locale.ROOT)
-          .indexOf(s"</$tag", openEnd)
+        val close = flatLower.indexOf(s"</$tag", openEnd)
         val inner = if (close >= 0) flat.substring(openEnd, close) else ""
         val next = if (close >= 0)
           math.max(close + tag.length + 3, flat.indexOf('>', close) + 1)
@@ -127,9 +133,19 @@ object Structured {
               rows += cells.toSeq
             }
             if (rows.nonEmpty) {
-              // reference: json.dumps(rows); compact separators here
-              val json = rows.map(_.map(c =>
-                "\"" + c.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+              // reference: json.dumps(rows); compact separators here.
+              // Control chars must be escaped too or the JSON is invalid.
+              def jstr(c: String): String = {
+                val sb = new java.lang.StringBuilder("\"")
+                c.foreach {
+                  case '\\' => sb.append("\\\\")
+                  case '"' => sb.append("\\\"")
+                  case ch if ch < ' ' => sb.append(f"\\u${ch.toInt}%04x")
+                  case ch => sb.append(ch)
+                }
+                sb.append("\"").toString
+              }
+              val json = rows.map(_.map(jstr)
                 .mkString("[", ",", "]")).mkString("[", ",", "]")
               out += Block("table", json, None, None, None)
             }
@@ -156,8 +172,11 @@ object Structured {
     out.toSeq
   }
 
-  private val titleUdf = udf((html: String) => title(html))
-  private val blocksUdf = udf((html: String) => parseBlocks(html))
+  // null html rows (failed fetches) must not NPE the stage
+  private val titleUdf = udf((html: String) =>
+    if (html == null) None else title(html))
+  private val blocksUdf = udf((html: String) =>
+    if (html == null) Seq.empty[Block] else parseBlocks(html))
 
   /** D5 operator: (url, html) → StructuredPage rows
     * (url, title, blocks: array<struct<blockType,content,level,language,alt>>). */

@@ -50,23 +50,35 @@ object UrlFilters {
   /** rstrip('/') as a column op. */
   def rstripSlash(c: Column): Column = regexp_replace(c, "/+$", "")
 
-  /** F3 — language predicate over a (already-extracted) path column.
-    * `baseUrl` decides the no-prefix fallback exactly like the reference
-    * (`filter.py:131-149`): if the base path itself carries a language
-    * prefix, unprefixed URLs are excluded; otherwise included. */
-  def matchesLanguage(pathCol: Column, language: String, baseUrl: String): Column = {
+  /** The language when-chain shared by the single-seed and multi-seed
+    * filters — ONE definition so the target/others precedence can never
+    * diverge between them. `baseHasLang`: whether the seed's own path
+    * carries a language prefix (a literal for the single-seed path, a
+    * joined column for multi-seed). */
+  private def languagePredicate(pathCol: Column, language: String,
+      baseHasLang: Column): Column = {
     if (language == "all") return lit(true)
     val pathLower = lower(pathCol)
     val target = LanguagePatterns.getOrElse(language, Seq(s"/$language/"))
     val others = (LanguagePatterns.keySet - language).toSeq.sorted
       .flatMap(LanguagePatterns(_))
-    val basePathLower = PyUrl.urlparse(baseUrl).path.toLowerCase(java.util.Locale.ROOT)
-    val baseHasLanguage =
-      LanguagePatterns.valuesIterator.flatten.exists(basePathLower.contains)
     when(containsAny(pathLower, target), lit(true))
       .when(containsAny(pathLower, others), lit(false))
-      .otherwise(lit(!baseHasLanguage))
+      .otherwise(!baseHasLang)
   }
+
+  /** Whether a base URL's own path carries any language prefix. */
+  def baseHasLanguage(baseUrl: String): Boolean = {
+    val basePathLower = PyUrl.urlparse(baseUrl).path.toLowerCase(java.util.Locale.ROOT)
+    LanguagePatterns.valuesIterator.flatten.exists(basePathLower.contains)
+  }
+
+  /** F3 — language predicate over a (already-extracted) path column.
+    * `baseUrl` decides the no-prefix fallback exactly like the reference
+    * (`filter.py:131-149`): if the base path itself carries a language
+    * prefix, unprefixed URLs are excluded; otherwise included. */
+  def matchesLanguage(pathCol: Column, language: String, baseUrl: String): Column =
+    languagePredicate(pathCol, language, lit(baseHasLanguage(baseUrl)))
 
   /** F2 — the deterministic URL filter, as a single DataFrame transform.
     * Input: any df with `urlCol`; output: distinct, lexicographically sorted
@@ -107,30 +119,16 @@ object UrlFilters {
       language: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val allLangPats = LanguagePatterns.valuesIterator.flatten.toSeq
     val seedRows = seeds.toSeq.sortBy(_._1).map { case (host, baseUrl) =>
       val bp = PyUrl.urlparse(baseUrl)
       val basePath = { var p = bp.path; while (p.endsWith("/")) p = p.dropRight(1); p }
-      val baseHasLang = allLangPats.exists(
-        bp.path.toLowerCase(java.util.Locale.ROOT).contains)
-      (host, basePath, baseHasLang)
+      (host, basePath, baseHasLanguage(baseUrl))
     }
     val seedsDf = broadcast(seedRows.toDF("host", "basePath", "baseHasLang"))
 
     val path = rstripSlash(urlfns.url_path(col("urlNorm")))
     val scheme = urlfns.url_scheme(col("urlNorm"))
-    val langPred = {
-      if (language == "all") lit(true)
-      else {
-        val pathLower = lower(col("path"))
-        val target = LanguagePatterns.getOrElse(language, Seq(s"/$language/"))
-        val others = (LanguagePatterns.keySet - language).toSeq.sorted
-          .flatMap(LanguagePatterns(_))
-        when(containsAny(pathLower, target), lit(true))
-          .when(containsAny(pathLower, others), lit(false))
-          .otherwise(!col("baseHasLang"))
-      }
-    }
+    val langPred = languagePredicate(col("path"), language, col("baseHasLang"))
     df.select(col("urlNorm"), col("host"), path.as("path"), scheme.as("scheme"))
       .join(seedsDf, Seq("host"), "inner") // host ∉ seeds → dropped (other domain)
       .where(startswith(col("path"), col("basePath")))

@@ -104,15 +104,18 @@ object HtmlToMarkdown {
     * .content with ≥200 chars of inner HTML, else the whole body. Static
     * regex scope — no DOM/JS rendering exists in this container. */
   def extractMain(html: String): String = {
+    // role/id/class patterns capture their OWN tag name and close on the
+    // matching </tag> — a bare </[a-z]+> stops at the first inner closing
+    // tag and truncates the region to its first child
     val pats = Seq(
-      "(?is)<main\\b[^>]*>(.*?)</main>",
-      "(?is)<article\\b[^>]*>(.*?)</article>",
-      "(?is)<[a-z]+\\b[^>]*\\brole=[\"']main[\"'][^>]*>(.*?)</[a-z]+>",
-      "(?is)<[a-z]+\\b[^>]*\\bid=[\"']content[\"'][^>]*>(.*?)</[a-z]+>",
-      "(?is)<[a-z]+\\b[^>]*\\bclass=[\"'][^\"']*\\bcontent\\b[^\"']*[\"'][^>]*>(.*?)</[a-z]+>")
-    pats.view.flatMap { p =>
+      "(?is)<main\\b[^>]*>(.*?)</main>" -> 1,
+      "(?is)<article\\b[^>]*>(.*?)</article>" -> 1,
+      "(?is)<([a-z]+)\\b[^>]*\\brole=[\"']main[\"'][^>]*>(.*?)</\\1>" -> 2,
+      "(?is)<([a-z]+)\\b[^>]*\\bid=[\"']content[\"'][^>]*>(.*?)</\\1>" -> 2,
+      "(?is)<([a-z]+)\\b[^>]*\\bclass=[\"'][^\"']*\\bcontent\\b[^\"']*[\"'][^>]*>(.*?)</\\1>" -> 2)
+    pats.view.flatMap { case (p, g) =>
       val m = java.util.regex.Pattern.compile(p).matcher(html)
-      if (m.find() && m.group(1).length >= 200) Some(m.group(1)) else None
+      if (m.find() && m.group(g).length >= 200) Some(m.group(g)) else None
     }.headOption.getOrElse {
       val m = java.util.regex.Pattern.compile("(?is)<body\\b[^>]*>(.*?)</body>").matcher(html)
       if (m.find()) m.group(1) else html

@@ -36,6 +36,36 @@ class StructuredChunkerSpec extends SparkSpec {
     assert(b(7).content == "pic.png" && b(7).alt.contains("a pic"))
   }
 
+  test("structured: role=main region spans the whole element; data-src not mistaken for src") {
+    val html = "<html><body><p>outside</p>" +
+      "<div role='main'><p>first para</p><p>second para</p><h2>Late</h2></div></body></html>"
+    val b = Structured.parseBlocks(html)
+    // a lazy close-on-any-tag regex would truncate after "first para"
+    assert(b.map(_.blockType) == Seq("paragraph", "paragraph", "heading"))
+    assert(b(1).content == "second para" && b(2).content == "Late")
+    val img = Structured.parseBlocks(
+      "<body><img data-src='lazy.gif' src='real.png' alt='x'/></body>")
+    assert(img.head.content == "real.png")
+  }
+
+  test("structured: table JSON escapes control characters; null inputs are safe") {
+    val b = Structured.parseBlocks(
+      "<body><table><tr><td>line\nbreak</td><td>tab\there</td></tr></table></body>")
+    val json = b.head.content
+    assert(json == "[[\"line\\u000abreak\",\"tab\\u0009here\"]]")
+    // valid JSON end to end
+    assert(!json.contains("\n") && !json.contains("\t"))
+    assert(Structured.parseBlocks("<body></body>").isEmpty)
+    // null html/markdown rows flow through the UDF surfaces without NPE
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("u1", null: String)).toDF("url", "html")
+    assert(Structured.toStructured(df, col("url"), col("html"))
+      .selectExpr("size(blocks)").as[Int].head() == 0)
+    assert(Chunker.chunks(df, col("url"), col("html")).count() == 0)
+    assert(Cleanup.classifyChunk(null) == "skip")
+  }
+
   test("chunker: size-based fallback with 200-char overlap and 50-char gate") {
     // no headings → size path; paragraph boundary preferred
     val para = ("alpha beta gamma delta " * 12).trim // ~275 chars
