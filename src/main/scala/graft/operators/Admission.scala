@@ -198,7 +198,10 @@ object Relevance {
     * candidates the scorer lost keep worst-priority, ordering ties break
     * lexicographically. Returns (urlNorm, host, priority). */
   def prioritize(candidates: DataFrame, scorer: RelevanceScorer): DataFrame = {
-    val scored = scorer.score(candidates)
+    // project the scorer output down to its contract FIRST: a scorer that
+    // also echoes `host` (or anything else) would otherwise make the join
+    // below emit ambiguous columns and fail mid-crawl
+    val scored = scorer.score(candidates).select("urlNorm", "score")
       .join(candidates.select("urlNorm"), Seq("urlNorm"), "left_semi") // J3
     candidates
       .join(scored, Seq("urlNorm"), "left_outer")

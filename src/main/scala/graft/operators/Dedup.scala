@@ -58,6 +58,11 @@ object Dedup {
     * one sweep, then per-band hashes — O(len + distinct·numHashes) per row.
     */
   def minhashBands(text: String, k: Int, numBands: Int, rowsPerBand: Int): Array[Long] = {
+    // null/short texts get NO bands (empty array → dropped by posexplode):
+    // emitting the all-MaxValue signature instead would put every tiny doc
+    // in ONE shared bucket and blow the candidate self-join up to O(m²)
+    // (all discarded later by the exact verify — pure wasted shuffle)
+    if (text == null || text.length < k) return Array.empty[Long]
     val numHashes = numBands * rowsPerBand
     val mins = Array.fill(numHashes)(Long.MaxValue)
     if (text.length >= k) {
@@ -120,7 +125,7 @@ object Dedup {
       shingleK: Int = 5, numBands: Int = 16, rowsPerBand: Int = 2,
       threshold: Double = 0.8): DataFrame = {
     val bandsUdf = udf((t: String) => minhashBands(t, shingleK, numBands, rowsPerBand))
-    val base = df.select(idCol.as("id"), textCol.as("text"))
+    val base = df.select(idCol.as("id"), textCol.as("text")).where(col("text").isNotNull)
     val banded = base
       .select(col("id"), posexplode(bandsUdf(col("text"))).as(Seq("band", "bandHash")))
     val l = banded.as("l"); val r = banded.as("r")
@@ -206,7 +211,8 @@ object Dedup {
     * majority vote; ties → 0). UDF: per-bit voting isn't expressible as a
     * compact column expression; the UDF runs fully distributed. */
   val simhash64: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (tokens: Seq[String]) =>
+    udf { (tokens0: Seq[String]) =>
+      val tokens = if (tokens0 == null) Seq.empty[String] else tokens0
       val counts = new Array[Int](64)
       val md = java.security.MessageDigest.getInstance("MD5")
       tokens.foreach { t =>
@@ -229,7 +235,7 @@ object Dedup {
     require(64 % numBands == 0, s"maxHamming+1 must divide 64, got $numBands")
     val bandBits = 64 / numBands
     val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
-    val hashed = df.select(idCol.as("id"),
+    val hashed = df.where(textCol.isNotNull).select(idCol.as("id"),
       simhash64(split(trim(textCol), "\\s+")).as("sim"))
     val banded = hashed.select(col("id"), col("sim"),
       explode(array((0 until numBands).map(b =>
@@ -266,6 +272,10 @@ object Dedup {
     * same left-fold projections (bit-identical to the signBitsRange
     * column form: sequential d-ascending sum, >= 0 sign). */
   def signBandKeys(v: Seq[Double], dim: Int, numBands: Int, bandPlanes: Int): Array[Long] = {
+    // null / too-short / all-zero vectors get no bands: the zero vector's
+    // cosine is NaN (never ≥ threshold) and its all-ones bucket key would
+    // otherwise collect every degenerate row into one hot bucket
+    if (v == null || v.length < dim || !v.exists(_ != 0.0)) return Array.empty[Long]
     val out = new Array[Long](numBands)
     var b = 0
     while (b < numBands) {
@@ -290,6 +300,7 @@ object Dedup {
       threshold: Double = 0.95): DataFrame = {
     val bandsUdf = udf((v: Seq[Double]) => signBandKeys(v, dim, numBands, bandPlanes))
     val keyed = df.select(idCol.as("id"), vecCol.cast("array<double>").as("v"))
+      .where(col("v").isNotNull)
     val banded = keyed.select(col("id"),
       posexplode(bandsUdf(col("v"))).as(Seq("band", "key")))
     val l = banded.as("l"); val r = banded.as("r")

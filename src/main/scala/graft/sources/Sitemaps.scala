@@ -90,25 +90,36 @@ object Sitemaps {
     var pending = roots.toDF("sitemap_url")
     var visited = pending
     var collected = Seq.empty[DataFrame]
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var round = 0
     var continue = true
     while (continue && round < maxRounds) {
       val batch = pending.join(parsed, Seq("sitemap_url")).cache()
+      cached += batch
       collected :+= batch.select(explode($"urls").as("url"))
       val children = batch.select(explode($"children").as("sitemap_url")).distinct()
         .join(visited, Seq("sitemap_url"), "left_anti")
       if (children.isEmpty) continue = false
       else { visited = visited.unionByName(children); pending = children; round += 1 }
     }
-    if (collected.isEmpty) return spark.emptyDataset[(String, String)].toDF("urlNorm", "host")
+    if (continue) // never silent: dropped children diverge from expandPure
+      System.err.println(s"[graft] WARN sitemap expansion truncated at " +
+        s"$maxRounds rounds; deeper index children were not followed")
+    if (collected.isEmpty) {
+      (parsed +: cached.toSeq).foreach(_.unpersist())
+      return spark.emptyDataset[(String, String)].toDF("urlNorm", "host")
+    }
     val all = collected.reduce(_ unionByName _)
-    all
+    val result = all
       .withColumn("host", urlfns.url_host($"url")) // RAW netloc, pre-normalize
       .withColumn("rawPath", regexp_replace(urlfns.url_path($"url"), "/+$", ""))
       .join(seedsDf, Seq("host"), "inner") // case-sensitive netloc equality
       .where($"basePath" === "" || startswith($"rawPath", $"basePath"))
       .select(urlfns.url_canonicalize($"url").as("urlNorm"), $"host")
       .distinct()
+      .localCheckpoint(true) // materialize, then release the round caches
+    (parsed +: cached.toSeq).foreach(_.unpersist())
+    result
   }
 
   /** Standard sitemap roots for a seed, scheme inherited from the seed

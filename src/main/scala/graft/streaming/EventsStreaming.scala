@@ -39,14 +39,19 @@ object EventsStreaming {
   }
 
   final case class FrontierReq(host: String, urlNorm: String, priority: Long)
-  final case class HostBudgetState(admittedTotal: Long)
+  final case class HostBudgetState(
+      admittedTotal: Long, pending: Seq[FrontierReq] = Seq.empty)
   final case class Admitted(host: String, urlNorm: String, admittedSeq: Long)
 
   /** Per-host stateful admission: at most `budgetPerBatch` URLs per host per
     * micro-batch, cumulative count kept in state — the W3 politeness window
     * expressed as `flatMapGroupsWithState` for a continuously-arriving
-    * frontier. Deterministic: requests sorted by (priority, urlNorm) within
-    * the group before admission. */
+    * frontier. Requests over budget are DEFERRED in state (not dropped —
+    * a token bucket must never lose frontier URLs) and re-emitted ahead of
+    * newer arrivals on the host's next batch; a continuous deployment adds
+    * a ProcessingTimeTimeout heartbeat to flush a quiet host's tail.
+    * Deterministic: the merged pending+incoming queue is sorted by
+    * (priority, urlNorm) before admission. */
   def politenessThrottle(reqs: Dataset[FrontierReq], budgetPerBatch: Int): Dataset[Admitted] = {
     import reqs.sparkSession.implicits._
     reqs.groupByKey(_.host)
@@ -54,9 +59,10 @@ object EventsStreaming {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (host: String, it: Iterator[FrontierReq], state: GroupState[HostBudgetState]) =>
           val prev = state.getOption.getOrElse(HostBudgetState(0L))
-          val batch = it.toSeq.sortBy(r => (r.priority, r.urlNorm)).take(budgetPerBatch)
-          state.update(HostBudgetState(prev.admittedTotal + batch.size))
-          batch.zipWithIndex.iterator.map { case (r, i) =>
+          val queue = (prev.pending ++ it.toSeq).sortBy(r => (r.priority, r.urlNorm))
+          val (admit, defer) = queue.splitAt(budgetPerBatch)
+          state.update(HostBudgetState(prev.admittedTotal + admit.size, defer))
+          admit.zipWithIndex.iterator.map { case (r, i) =>
             Admitted(host, r.urlNorm, prev.admittedTotal + i + 1)
           }
       }

@@ -191,10 +191,12 @@ class SourcesStreamingSpec extends SparkSpec {
     q.awaitTermination(60000)
     val got = spark.sql("SELECT host, urlNorm, admittedSeq FROM stream_throttle")
       .as[(String, String, Long)].collect().toSet
-    // per micro-batch at most 2 per host; cumulative sequence continues
+    // per micro-batch at most 2 per host; over-budget requests are DEFERRED
+    // in state (never dropped) and admitted on the host's next batch
     val h1 = got.filter(_._1 == "h1.test")
-    assert(h1.map(_._3).toSeq.sorted == h1.map(_._3).toSeq.sorted.distinct)
-    assert(h1.nonEmpty && h1.forall(_._3 <= 4))
+    assert(h1.map(_._2) == Set("a", "b", "c", "d").map(u => s"https://h1.test/$u"),
+      s"deferred requests lost: $h1")
+    assert(h1.map(_._3) == Set(1L, 2L, 3L, 4L)) // cumulative sequence
     assert(got.exists(_._1 == "h2.test"))
   }
 }
