@@ -20,6 +20,52 @@ import graft.sources.{BootstrapFetch, Fetcher, HttpFetcher, ParquetSnapshotTable
   */
 object Crawl {
 
+  /** spark-submit entry (`--class graft.Crawl`, README deployment recipe):
+    * {{{
+    * graft.Crawl --state-dir s3://…/state --images s3://…/images.parquet \
+    *   [--max-depth 3] [--max-urls 1000] [--delay-ms 500] \
+    *   [--epoch-seconds 30] [--num-buckets 32] [--language en] \
+    *   [--warm-cache <parquet>] seedUrl [seedUrl …]
+    * }}}
+    * Builds the session from the submit conf, reads the image table, runs
+    * the crawl to completion, and prints the final ledger counters. */
+  def main(args: Array[String]): Unit = {
+    def usage(msg: String): Nothing = {
+      System.err.println(s"error: $msg\nusage: graft.Crawl --state-dir DIR " +
+        "--images PARQUET [--max-depth N] [--max-urls N] [--delay-ms N] " +
+        "[--epoch-seconds N] [--num-buckets N] [--language L] " +
+        "[--warm-cache PARQUET] seedUrl [seedUrl ...]")
+      sys.exit(2)
+    }
+    val opts = scala.collection.mutable.Map.empty[String, String]
+    val seeds = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (a.startsWith("--")) {
+        if (i + 1 >= args.length) usage(s"missing value for $a")
+        opts(a.stripPrefix("--")) = args(i + 1); i += 2
+      } else { seeds += a; i += 1 }
+    }
+    if (seeds.isEmpty) usage("at least one seed URL")
+    val stateDir = opts.getOrElse("state-dir", usage("--state-dir required"))
+    val imagesPath = opts.getOrElse("images", usage("--images required"))
+    val cfg = CrawlConfig(
+      seedUrls = seeds.toSeq,
+      delayMs = opts.get("delay-ms").map(_.toInt).getOrElse(500),
+      maxDepth = opts.get("max-depth").map(_.toInt).getOrElse(3),
+      language = opts.getOrElse("language", "en"),
+      maxUrls = opts.get("max-urls").map(_.toInt).getOrElse(1000),
+      epochSeconds = opts.get("epoch-seconds").map(_.toInt).getOrElse(30),
+      numBuckets = opts.get("num-buckets").map(_.toInt).getOrElse(32))
+    val spark = SparkSession.builder().appName("graft-crawl").getOrCreate()
+    val engine = run(spark, cfg, stateDir,
+      images = spark.read.parquet(imagesPath),
+      warmCache = opts.get("warm-cache").map(spark.read.parquet(_)))
+    println(s"crawl done: ${engine.orderLog.count()} URLs dispatched; " +
+      s"counters=${engine.table("ledger").map(_ => "ledger committed").getOrElse("none")}")
+  }
+
   def run(spark: SparkSession, cfg: CrawlConfig, stateDir: String,
       /** image table the fetch phase joins refs against
         * (image_id, bytes, w, h, fmt, caption, phash). */
@@ -27,8 +73,19 @@ object Crawl {
       fetcher: Option[Fetcher] = None,
       scorer: RelevanceScorer = IdentityScorer,
       warmCache: Option[DataFrame] = None,
-      ssrfCheck: String => Boolean = u => !Ssrf.isSsrf(u),
-      stopAfterFetchEpoch: Option[Int] = None): CrawlEngine = {
+      /** Production default RESOLVES named hosts through DNS before the
+        * private-range check (reference `validate_url_not_ssrf` →
+        * `socket.gethostbyname`); tests against loopback fixtures inject
+        * their own. */
+      ssrfCheck: String => Boolean = u => !Ssrf.isSsrfResolving(u),
+      stopAfterFetchEpoch: Option[Int] = None,
+      /** Post-scrape output pipeline (reference `runner.py:543-620` runs
+        * chunk→classify→cleanup inline per page): when true and the crawl
+        * ran to completion, ok pages are chunked (C9), classified (O3/O4),
+        * selectively cleaned, and committed as the `chunks` table. */
+      postprocess: Boolean = true,
+      chunkCleaner: graft.operators.Postprocess.ChunkCleaner =
+        graft.operators.Postprocess.IdentityCleaner): CrawlEngine = {
     import spark.implicits._
     val seedPairs = cfg.seedUrls.map(u =>
       graft.util.PyUrl.host(graft.util.PyUrl.canonicalize(u)) -> u)
@@ -39,11 +96,12 @@ object Crawl {
     val seeds: Map[String, String] = seedPairs.toMap
     val policies = BootstrapFetch.robotsPolicies(seeds, validate = ssrfCheck)
     val bodies = BootstrapFetch.sitemapBodies(seeds, policies, validate = ssrfCheck)
+    val io = new ParquetSnapshotTableIO(spark, stateDir)
     val engine = new CrawlEngine(
       spark, cfg,
       fetcher.getOrElse(new HttpFetcher(validate = ssrfCheck)),
       images,
-      new ParquetSnapshotTableIO(spark, stateDir),
+      io,
       policies,
       sitemaps =
         if (bodies.nonEmpty) Some(bodies.toDF("sitemap_url", "body", "gzipped"))
@@ -52,6 +110,16 @@ object Crawl {
       warmCache = warmCache,
       ssrfCheck = ssrfCheck)
     engine.run(stopAfterFetchEpoch = stopAfterFetchEpoch)
+    // post-scrape pipeline over the committed ok pages (page_cache carries
+    // exactly the ok markdown, one row per urlNorm) — snapshot table, so a
+    // re-run replaces it; skipped when the crawl was paused mid-flight
+    if (postprocess && stopAfterFetchEpoch.isEmpty)
+      engine.table("page_cache").foreach { pc =>
+        import org.apache.spark.sql.functions.col
+        val chunks = graft.operators.Postprocess.chunksTable(
+          pc, col("urlNorm"), col("content"), chunkCleaner)
+        io.commit("postprocess", 0, tables = Map("chunks" -> chunks))
+      }
     engine
   }
 }

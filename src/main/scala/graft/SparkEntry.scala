@@ -30,6 +30,17 @@ object SparkEntry {
 
   private def cents(c: Column): Column = round(c * 100).cast("long")
 
+  /** Zone-free epoch micros for a TIMESTAMP_NTZ column: derived purely from
+    * wall-clock fields (date + h/m/s.micros), so NO session-timezone
+    * conversion exists anywhere — `unix_micros(ntz.cast("timestamp"))` went
+    * through NTZ→LTZ and shifted by the harness zone offset (the one red
+    * driver row in rounds 1-2). DuckDB's `epoch_us(ts)` on a naive TIMESTAMP
+    * is the same wall-clock-as-UTC interpretation. */
+  private def ntzMicros(c: Column): Column =
+    unix_date(c.cast("date")) * 86400000000L +
+      hour(c) * 3600000000L + minute(c) * 60000000L +
+      (date_part(lit("SECOND"), c) * 1000000).cast("long")
+
   // ---- shared synthesized-input SQL (identical text runs in Spark & DuckDB) ----
 
   /** q10 input: URL spellings exercising every canonicalization rule. */
@@ -151,20 +162,19 @@ object SparkEntry {
         .orderBy("hour", "event_type")
     }),
     "q09_sessionize" -> ((s, d) => {
-      // events.ts is TIMESTAMP_NTZ; the NTZ→LTZ cast below interprets the
-      // wall-clock in the session timezone, so pin it — otherwise start_us
-      // shifts by the harness's zone offset vs the DuckDB oracle's epoch_us.
-      s.conf.set("spark.sql.session.timeZone", "UTC")
+      // events.ts is TIMESTAMP_NTZ; micros come from [[ntzMicros]] (pure
+      // wall-clock fields) so no session-timezone conversion exists on
+      // either side of the oracle comparison.
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       events(s, d)
-        .withColumn("prev_us", lag(unix_micros(col("ts").cast("timestamp")), 1).over(w))
+        .withColumn("us", ntzMicros(col("ts")))
+        .withColumn("prev_us", lag(col("us"), 1).over(w))
         .withColumn("new_s",
-          when(col("prev_us").isNull ||
-            unix_micros(col("ts").cast("timestamp")) - col("prev_us") > 1800000000L, 1).otherwise(0))
+          when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1).otherwise(0))
         .withColumn("session_id", sum(col("new_s")).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .groupBy("user_id", "session_id")
-        .agg(count(lit(1)).as("n_events"), min(unix_micros(col("ts").cast("timestamp"))).as("start_us"))
+        .agg(count(lit(1)).as("n_events"), min(col("us")).as("start_us"))
         .orderBy("user_id", "session_id")
     }),
 

@@ -49,9 +49,11 @@ final class CrawlEngine(
     /** D8/O8 — warm page cache from a prior crawl (the reference's 24h-TTL
       * disk cache, `src/scraper/cache.py`): rows with the page-observation
       * schema; cache hits skip the fetcher and surface fetchMethod="cache".
-      * Every run appends its ok pages to its own `page_cache` table, which
-      * a later run can pass here. TTL enforced by the caller as an epoch
-      * predicate on that table (deterministic analog of the 24h rule).
+      * Every run appends its ok pages (+ `cachedEpoch`) to its own
+      * `page_cache` table, which a later run can pass here. TTL is
+      * enforced BY DEFAULT via `cfg.warmCacheTtl` on `cachedEpoch` (see
+      * [[warmCacheFresh]]) — expired rows are re-fetched like the
+      * reference's 24h rule (`cache.py:75-88`).
       * Contract: one row per urlNorm — a single run's page_cache satisfies
       * this; dedupe (keep latest epoch) when unioning caches across runs. */
     warmCache: Option[DataFrame] = None,
@@ -225,6 +227,23 @@ final class CrawlEngine(
     org.apache.spark.util.sketch.BloomFilter] = null
   private def contentKey = concat_ws(" ", $"host", $"contentHash")
 
+  /** S9 TTL enforcement (reference `cache.py:23-44,75-88` — the 24h rule
+    * as a deterministic epoch-age predicate, applied BY DEFAULT): rows
+    * older than `cfg.warmCacheTtl` epochs relative to the donor cache's
+    * own newest `cachedEpoch` are dropped here, so the fetch path re-
+    * fetches them. Caches without the column (pre-TTL donors) are treated
+    * as uniformly fresh, documented compatibility. Computed lazily ONCE
+    * per engine (one tiny max() action), not per epoch. */
+  private[graft] lazy val warmCacheFresh: Option[DataFrame] = warmCache.map { c =>
+    if (!c.columns.contains("cachedEpoch")) c
+    else {
+      val newest = c.agg(max($"cachedEpoch".cast("long"))).head()
+      if (newest.isNullAt(0)) c
+      else c.where($"cachedEpoch".cast("long") >
+        lit(newest.getLong(0) - cfg.warmCacheTtl))
+    }
+  }
+
   /** The live frontier: committed base ∖ accumulated per-epoch dequeue
     * deltas. Each fetch epoch APPENDS its dequeued urlNorms (commit I/O
     * proportional to the epoch's dequeue, not the frontier — the 10^10-URL
@@ -246,6 +265,7 @@ final class CrawlEngine(
     if (deqCount == 0) { deq.unpersist(); return 0L }
 
     val obs = Observation(s"fetch_epoch_$epoch")
+    val obsImg = Observation(s"fetch_epoch_${epoch}_images")
     // F6 at fetch time: the reference re-validates SSRF inside every fetch
     // level (page.py:25,58,85,268); rejected rows never reach a transport
     // and classify as failed. (HttpFetcher additionally re-validates every
@@ -266,7 +286,7 @@ final class CrawlEngine(
     // cache (fetchMethod="cache"), misses go to the transport. Blocked
     // pages are never cached (runner.py:522-524) so a hit is always safe.
     var warmHits: DataFrame = null // cached per-epoch; released below
-    val fetchedPages = warmCache match {
+    val fetchedPages = warmCacheFresh match {
       case None =>
         val (ok, rejected) = ssrfSplit(deq.select("urlNorm", "host"))
         fetcher.fetchPages(ok).unionByName(ssrfFailedRows(rejected))
@@ -341,11 +361,17 @@ final class CrawlEngine(
           .when($"blocked", lit("blocked"))
           .when($"disp_ok".isNotNull, lit("ok"))
           .otherwise(lit("skipped")))
-      .observe(obs,
-        count(when($"disposition" === "ok", 1)).as("pages_ok"),
-        count(when($"disposition" === "failed", 1)).as("pages_failed"),
-        count(when($"disposition" === "blocked", 1)).as("pages_blocked"),
-        count(when($"disposition" === "skipped", 1)).as("pages_skipped"))
+      .observe(obs, count(when($"disposition" === "ok", 1)).as("pages_ok"),
+        (Seq(
+          count(when($"disposition" === "failed", 1)).as("pages_failed"),
+          count(when($"disposition" === "blocked", 1)).as("pages_blocked"),
+          count(when($"disposition" === "skipped", 1)).as("pages_skipped")) ++
+          // A2 fetch-method histogram rides the same action (was a separate
+          // groupBy().collect() job per epoch — round-2 q29 fixed cost)
+          CrawlEngine.knownMethods.map(m =>
+            count(when($"fetchMethod" === m, 1)).as(s"method_$m")) :+
+          count(when(!$"fetchMethod".isin(CrawlEngine.knownMethods: _*), 1))
+            .as("method_other")): _*)
       .cache()
 
     val orderLogNew = classified.select(
@@ -368,11 +394,12 @@ final class CrawlEngine(
         $"urlNorm".as("url"), $"fetchMethod".as("fetch_method"),
         $"loadMs".as("load_ms"), lit(epoch).as("epoch"),
         $"validPixels", $"validCaption")
+      // J7 image/validation counters ride the `fetched` commit write (were
+      // two separate count() jobs per epoch — round-2 q29 fixed cost)
+      .observe(obsImg, count(lit(1)).as("images"),
+        count(when(!$"validPixels" || !$"validCaption", 1)).as("invalid_rows"))
       .cache()
-    val invalid = fetchedNew.where(!$"validPixels" || !$"validCaption").count()
 
-    val methodCounts = classified.groupBy("fetchMethod").count()
-      .as[(String, Long)].collect().toMap
     // delta-append the dequeued set; materialize (compact) only every K
     // epochs — What's-wrong #2 fix: no O(frontier) rewrite per epoch
     val compact = epoch % cfg.compactEveryEpochs == 0
@@ -395,12 +422,12 @@ final class CrawlEngine(
       .withColumn("epoch", lit(epoch))
       .withColumn("phase", lit("fetch"))
 
-    val obsCounters: Map[String, Long] =
-      try obs.get.map { case (k, v) => k -> v.asInstanceOf[Long] }
+    def observed(o: Observation, what: String): Map[String, Long] =
+      try o.get.map { case (k, v) => k -> v.asInstanceOf[Long] }
       catch { case e: Exception =>
-        // degrade but never silently: an epoch without disposition counters
-        // means the metrics pipeline broke, not that nothing happened
-        System.err.println(s"[graft] WARN fetch epoch $epoch: disposition " +
+        // degrade but never silently: an epoch without counters means the
+        // metrics pipeline broke, not that nothing happened
+        System.err.println(s"[graft] WARN fetch epoch $epoch: $what " +
           s"observation lost (${e.getClass.getSimpleName}: ${e.getMessage})")
         Map.empty
       }
@@ -410,15 +437,17 @@ final class CrawlEngine(
         "order_log" -> orderLogNew,
         "seen_content" -> okPages.select($"host", $"contentHash"),
         // S9 — page-cache sink: ok pages only (never blocked/failed),
-        // reusable as `warmCache` by a later crawl
+        // reusable as `warmCache` by a later crawl; `cachedEpoch` is the
+        // TTL clock a consuming run ages rows against
         "page_cache" -> okPages.select(
-          Fetcher.pageObservationSchema.fieldNames.map(col).toIndexedSeq: _*),
+          Fetcher.pageObservationSchema.fieldNames.map(col).toIndexedSeq: _*)
+          .withColumn("cachedEpoch", lit(epoch)),
         "ledger" -> lineage,
         "fetched" -> fetchedNew.drop("validPixels", "validCaption")),
-      counters = obsCounters ++
-        methodCounts.map { case (k, v) => s"method_$k" -> v } ++
-        Map("dequeued" -> deqCount, "images" -> fetchedNew.count(),
-          "invalid_rows" -> invalid))
+      // by-name: evaluated inside commit AFTER the data writes, which are
+      // the actions that populate both observations — zero extra jobs
+      counters = observed(obs, "disposition") ++ observed(obsImg, "image") +
+        ("dequeued" -> deqCount))
     // fold this epoch's ok (host, hash) delta into the carried Bloom
     val contentDelta = Seen.buildBloom(
       okPages.select(contentKey.as("urlNorm")),
@@ -526,6 +555,15 @@ final class CrawlEngine(
     // continues from the last committed epoch (cancel() targets the run in
     // flight, not the engine's future)
     cancelRequested = false
+    // drop carried Blooms so a same-instance resume rebuilds them from the
+    // committed snapshot: the delta fold runs AFTER io.commit, so a cancel
+    // or failure that lands between commit and fold would leave a carried
+    // Bloom permanently missing that epoch's keys — bloom-negative rows
+    // skip the exact anti-join and already-seen URLs would be re-admitted
+    seenBloom = null
+    contentBloom = null
+    if (seenBloomBc != null) { seenBloomBc.unpersist(); seenBloomBc = null }
+    if (contentBloomBc != null) { contentBloomBc.unpersist(); contentBloomBc = null }
     graft.operators.Preflight.validate(spark, fetcher, scorer) // F10
     spark.sparkContext.setJobGroup(jobGroup, "graft crawl engine",
       interruptOnCancel = true)
@@ -567,6 +605,8 @@ final class CrawlEngine(
         }
       case Some(("fetch", e)) =>
         fetchFrom(e + 1, stopAfterFetchEpoch)
+      case Some(("postprocess", _)) =>
+        () // crawl + post-scrape pipeline complete; nothing to resume
       case Some((other, _)) =>
         throw new IllegalStateException(s"unknown phase $other")
     }
@@ -576,4 +616,14 @@ final class CrawlEngine(
   def seen: DataFrame = io.read("seen").get
   def fetched: DataFrame = io.read("fetched").get
   def table(name: String): Option[DataFrame] = io.read(name)
+}
+
+object CrawlEngine {
+  /** Every fetchMethod the chain can emit (A2 histogram domain): the five
+    * chain levels (`Fetcher`), the warm-cache hit, and the SSRF gate.
+    * The observation adds a `method_other` catch-all so a new level that
+    * forgets to extend this list shows up in the ledger instead of
+    * vanishing. */
+  val knownMethods: Seq[String] =
+    Seq("native", "proxy", "http_fast", "playwright", "cache", "ssrf_blocked", "none")
 }

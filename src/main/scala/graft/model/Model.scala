@@ -82,7 +82,19 @@ final case class CrawlConfig(
     /** fetch-phase frontier compaction period: the pending table is stored
       * as base ∖ appended dequeue deltas and rewritten only every K epochs,
       * so per-epoch commit I/O is O(dequeued), not O(frontier). */
-    compactEveryEpochs: Int = 8) {
+    compactEveryEpochs: Int = 8,
+    /** S9 warm-cache TTL in donor-run epochs (the deterministic analog of
+      * the reference's 24h disk-cache TTL, `src/scraper/cache.py:23-44`).
+      * None derives the 24h analog from `epochSeconds`; enforced by
+      * default — cache rows older than this (relative to the donor cache's
+      * newest epoch) are re-fetched, not served. */
+    warmCacheTtlEpochs: Option[Int] = None) {
+
+  /** Effective TTL: explicit, or 24h expressed in this config's epochs. */
+  def warmCacheTtl: Int =
+    warmCacheTtlEpochs.getOrElse(math.max(1, 86400 / epochSeconds))
+
+  require(warmCacheTtlEpochs.forall(_ >= 1), "warmCacheTtlEpochs >= 1")
   require(seedUrls.nonEmpty, "at least one seed URL")
   require(delayMs >= 100 && delayMs <= 60000, "delay_ms in [100, 60000]") // models.py:27
   require(maxConcurrent >= 1 && maxConcurrent <= 10, "max_concurrent in [1, 10]") // models.py:28

@@ -83,6 +83,22 @@ object Ssrf {
     else parseInetAton(h)
   }
 
+  /** Resolving variant for REAL transports (reference
+    * `validate_url_not_ssrf` resolves via `socket.gethostbyname` before the
+    * private-range check): named hosts go through DNS; resolution failure
+    * admits (the reference's gaierror pass — the fetch then fails
+    * naturally). Never used for numeric-literal hosts (those are parsed,
+    * not resolved — see [[isSsrf]]). */
+  def resolvingIp(host: String): Option[java.net.InetAddress] =
+    try Some(java.net.InetAddress.getByName(host))
+    catch { case _: java.net.UnknownHostException => None }
+
+  /** [[isSsrf]] with real DNS resolution — the default for production
+    * transports ([[graft.Crawl]], `HttpFetcher`); a name resolving into
+    * 10/8 or 169.254/16 is rejected like the reference. The literal-only
+    * [[isSsrf]] default remains for the zero-egress sandbox and tests. */
+  def isSsrfResolving(url: String): Boolean = isSsrf(url, resolvingIp)
+
   /** True if the URL must be rejected (F6, `security.py:19-32`):
     *  - no hostname → reject (reference raises);
     *  - numeric-literal host → private-range check without DNS; numeric

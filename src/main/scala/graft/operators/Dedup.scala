@@ -226,23 +226,75 @@ object Dedup {
       out
     }
 
-  /** SimHash near-dup pairs: band the 64-bit hash into (maxHamming+1)
-    * equal-width keys (pigeonhole: any pair with hamming ≤ maxHamming
-    * shares at least one exact band), bucket-join, verify hamming. */
-  def simhashPairs(df: DataFrame, idCol: Column, textCol: Column,
-      maxHamming: Int = 3): DataFrame = {
-    val numBands = maxHamming + 1
-    require(64 % numBands == 0, s"maxHamming+1 must divide 64, got $numBands")
-    val bandBits = 64 / numBands
+  /** All 16-bit keys within Hamming distance ≤ `radius` of `key` —
+    * enumerated as increasing-index flip combinations, so each key appears
+    * exactly once. radius ≤ 3 → ≤ 697 probes. */
+  private[graft] def hammingBall(key: Long, bits: Int, radius: Int): Array[Long] = {
+    val out = scala.collection.mutable.ArrayBuffer(key)
+    def rec(start: Int, left: Int, cur: Long): Unit = if (left > 0) {
+      var i = start
+      while (i < bits) {
+        val nk = cur ^ (1L << i)
+        out += nk
+        rec(i + 1, left - 1, nk)
+        i += 1
+      }
+    }
+    rec(0, radius, key)
+    out.toArray
+  }
+
+  /** Block count / width / per-block probe radius for a hamming budget:
+    * small budgets (≤ 3) band exactly into maxHamming+1 blocks of ≥ 16
+    * bits; larger budgets keep 4 × 16-bit blocks and probe each block
+    * within radius ⌊maxHamming/4⌋ — multi-index hashing (Norouzi &
+    * Punjani & Fleet, "Fast Search in Hamming Space with Multi-Index
+    * Hashing", CVPR 2012). Generalized pigeonhole: hamming ≤ h over m
+    * blocks ⇒ some block differs by ≤ ⌊h/m⌋. Band keys therefore NEVER
+    * narrow below 16 bits — the round-2 scale hazard where maxHamming=7
+    * meant 8-bit keys = 256 buckets/band and an O(n²/256) candidate join
+    * at 10^9 docs; here buckets stay 2^16/band for ≤ 697 probes/row. */
+  private[graft] def simhashBandPlan(maxHamming: Int): (Int, Int, Int) = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming in [0, 15] (probe count explodes beyond), got $maxHamming")
+    if (maxHamming <= 3) (maxHamming + 1, 64 / (maxHamming + 1), 0)
+    else (4, 16, maxHamming / 4)
+  }
+
+  /** (id, sim, band, key) exact band keys + the probe expansion (keys
+    * within the per-block radius) — exposed for the bucket-size spec. */
+  private[graft] def simhashBanded(hashed: DataFrame, maxHamming: Int)
+      : (DataFrame, DataFrame) = {
+    val (numBands, bandBits, radius) = simhashBandPlan(maxHamming)
     val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
-    val hashed = df.where(textCol.isNotNull).select(idCol.as("id"),
-      simhash64(split(trim(textCol), "\\s+")).as("sim"))
-    val banded = hashed.select(col("id"), col("sim"),
+    val exact = hashed.select(col("id"), col("sim"),
       explode(array((0 until numBands).map(b =>
         struct(lit(b).as("band"),
           shiftrightunsigned(col("sim"), b * bandBits).bitwiseAND(lit(mask)).as("key"))): _*)).as("b"))
       .select(col("id"), col("sim"), col("b.band"), col("b.key"))
-    val l = banded.as("l"); val r = banded.as("r")
+    val probes =
+      if (radius == 0) exact
+      else {
+        val bits = bandBits; val r = radius
+        val ball = udf((key: Long) => hammingBall(key, bits, r))
+        exact.select(col("id"), col("sim"), col("band"),
+          explode(ball(col("key"))).as("key"))
+      }
+    (exact, probes)
+  }
+
+  /** SimHash near-dup pairs: band the 64-bit hash per [[simhashBandPlan]]
+    * (exact pigeonhole bands for small budgets, 16-bit multi-index blocks
+    * with radius probes for large ones — complete either way), bucket-join
+    * exact keys against probe keys, verify hamming exactly. */
+  def simhashPairs(df: DataFrame, idCol: Column, textCol: Column,
+      maxHamming: Int = 3): DataFrame = {
+    val hashed = df.where(textCol.isNotNull).select(idCol.as("id"),
+      simhash64(split(trim(textCol), "\\s+")).as("sim"))
+    val (exact, probes) = simhashBanded(hashed, maxHamming)
+    // pair (a, b): some block has hamming ≤ radius, so a's EXACT key is in
+    // b's probe ball for that block — exact⋈probe finds every such pair
+    val l = exact.as("l"); val r = probes.as("r")
     val hamming = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
     l.join(r,
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&

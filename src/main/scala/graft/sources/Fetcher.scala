@@ -163,6 +163,35 @@ object MarkdownConverters {
   def available: Seq[String] = registry.keys.toSeq.sorted
 }
 
+/** S8 seam — the rendered-DOM client the heavy level delegates to
+  * (reference: Playwright page render + 7-selector DOM walk,
+  * `src/scraper/page.py:247-284`). The default is the static GET below (no
+  * browser ships in this container — admitted scope limit); a cluster
+  * deployment swaps in a Playwright/CDP-backed implementation without
+  * touching the chain: same per-request SSRF-validated `get`, same retry /
+  * backoff envelope around it. */
+trait RenderClient extends Serializable {
+  /** Render `url` to its final DOM HTML. `get` is the chain's pooled,
+    * SSRF-validated transport (one GET with manual redirect following);
+    * implementations that drive their own browser MUST still consult it —
+    * or the injected validator — per navigation to keep F6 intact.
+    * Returns (status, contentType, html); None = SSRF-rejected. */
+  def render(url: String, get: RenderClient.Get): Option[(Int, String, String)]
+}
+
+object RenderClient {
+  type Get = (String, Seq[(String, String)]) => Option[(Int, String, String)]
+
+  /** Default: plain validated GET — the rendered DOM equals the static
+    * body. JS-built content is invisible at this level (COVERAGE.md S8). */
+  object Static extends RenderClient {
+    override def render(url: String, get: Get): Option[(Int, String, String)] =
+      get(url, Seq(
+        "Accept" -> "text/html,application/xhtml+xml,*/*;q=0.8",
+        "User-Agent" -> "graft/0.1 (documentation crawler)"))
+  }
+}
+
 /** Real transport for cluster use — the reference's 5-level fetch fallback
   * chain (F4/S5-S8, `runner.py:414-525`), re-expressed per-row inside one
   * distributed operator. Level order and gates:
@@ -198,12 +227,18 @@ final class HttpFetcher(
     useHttpFastPath: Boolean = true,
     /** ms unit for the heavy level's 2^attempt backoff; 0 in tests. */
     backoffUnitMs: Long = 1000L,
-    /** SSRF admission for every request incl. redirect hops; tests inject
-      * a permissive validator to reach the loopback fixture server. */
-    validate: String => Boolean = u => !graft.operators.Ssrf.isSsrf(u),
+    /** SSRF admission for every request incl. redirect hops. The default
+      * RESOLVES named hosts through DNS before the private-range check
+      * (reference `validate_url_not_ssrf` → `socket.gethostbyname` — a name
+      * pointing at 10/8 or 169.254/16 is rejected); tests inject a
+      * permissive validator to reach the loopback fixture server. */
+    validate: String => Boolean = u => !graft.operators.Ssrf.isSsrfResolving(u),
     /** HTML→Markdown backend (PR 3.4 registry; `_converter.convert` in
       * runner.py:418,516). */
-    converter: MarkdownConverter = MarkdownConverters.Markdownify) extends Fetcher {
+    converter: MarkdownConverter = MarkdownConverters.Markdownify,
+    /** S8 heavy-level renderer (static GET by default; a cluster deploy
+      * injects a browser-backed [[RenderClient]]). */
+    renderer: RenderClient = RenderClient.Static) extends Fetcher {
   import Fetcher.pageObservationSchema
 
   /** Discovery must see HTML (links): run the chain without the markdown
@@ -215,7 +250,8 @@ final class HttpFetcher(
     else new HttpFetcher(maxRetries, timeoutMs,
       useNativeMarkdown = false, markdownProxyUrl = None,
       useHttpFastPath = useHttpFastPath, backoffUnitMs = backoffUnitMs,
-      validate = validate, converter = converter).fetchPages(urls)
+      validate = validate, converter = converter,
+      renderer = renderer).fetchPages(urls)
 
   override def fetchPages(urls: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
@@ -229,6 +265,7 @@ final class HttpFetcher(
     val backoffMs = backoffUnitMs
     val admit = validate
     val conv = converter
+    val rend = renderer
     urls.select("urlNorm", "host").mapPartitions { it =>
       // lazy per-partition client (O11 pool analog)
       lazy val client = java.net.http.HttpClient.newBuilder()
@@ -335,9 +372,9 @@ final class HttpFetcher(
           var done = false
           while (!done && attempt <= retries) {
             try {
-              get(url, Seq(
-                "Accept" -> "text/html,application/xhtml+xml,*/*;q=0.8",
-                "User-Agent" -> "graft/0.1 (documentation crawler)")) match {
+              // S8 render seam: Static = the validated GET; a browser-
+              // backed client returns the JS-rendered DOM instead
+              rend.render(url, get) match {
                 case None => ssrfBlocked = true; done = true
                 case Some((st, ct, body)) =>
                   status = st; ctype = ct; rawHtml = if (ct.contains("text/html")) body else ""

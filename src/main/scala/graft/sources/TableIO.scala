@@ -23,10 +23,16 @@ trait TableIO {
 
   /** Atomically publish (phase, epoch): `tables` are full replacements
     * (snapshot), `appends` add a new data file set to an append-mode table
-    * (the Iceberg fast-append analog — per-epoch deltas, no rewrite). */
+    * (the Iceberg fast-append analog — per-epoch deltas, no rewrite).
+    *
+    * `counters` is BY-NAME and evaluated after the data writes, before the
+    * manifest pointer move: callers can source counters from
+    * `Observation`s attached to the written DataFrames, so disposition /
+    * histogram / validation counts ride the write actions instead of
+    * costing extra per-epoch jobs (the round-2 q29 regression). */
   def commit(phase: String, epoch: Int, tables: Map[String, DataFrame],
       appends: Map[String, DataFrame] = Map.empty,
-      counters: Map[String, Long] = Map.empty): Unit
+      counters: => Map[String, Long] = Map.empty): Unit
 
   /** Latest committed snapshot of a table, if any. */
   def read(table: String): Option[DataFrame]
@@ -47,6 +53,116 @@ object TableIO {
       s"PARTITIONED BY (bucket($buckets, $bucketCol))"
 }
 
+/** Iceberg backend for real clusters — same contract, same pointer-commit
+  * design as the parquet impl: data tables are written first, then ONE row
+  * appended to a `graft_manifest` table records (phase, epoch, per-table
+  * snapshot ids, counters). That single append is the atomic pointer;
+  * reads time-travel (`VERSION AS OF`) to the recorded snapshot ids, so a
+  * crash between data write and manifest append leaves orphan snapshots
+  * that no reader references (and an idempotent epoch re-run is safe:
+  * duplicate appended data sits in snapshots the manifest never points
+  * at). Operational requirement: snapshot expiry must retain
+  * manifest-referenced snapshots (`expire_snapshots` older-than the
+  * oldest manifest row still needed for resume).
+  *
+  * No Iceberg runtime jar ships in this sandbox, so construction is gated
+  * on [[IcebergTableIO.available]]; the SQL builders are pure and
+  * unit-tested, the live path runs on any cluster with
+  * `iceberg-spark-runtime` and a configured catalog.
+  */
+final class IcebergTableIO(spark: SparkSession,
+    /** catalog.namespace prefix, e.g. "prod.graft_crawl42". */
+    db: String,
+    bucketCol: String = "host", numBuckets: Int = 32) extends TableIO {
+  require(IcebergTableIO.available,
+    "Iceberg runtime not on the classpath; add iceberg-spark-runtime and " +
+      "configure spark.sql.catalog.<name> (sandbox uses ParquetSnapshotTableIO)")
+
+  import IcebergTableIO._
+
+  private def fqn(table: String) = s"$db.graft_$table"
+  private def manifestFqn = s"$db.graft_manifest"
+
+  private def ensureManifest(): Unit =
+    spark.sql(manifestDDL(manifestFqn))
+
+  private def latestSnapshotId(table: String): Long =
+    spark.sql(latestSnapshotSql(fqn(table))).head().getLong(0)
+
+  private def manifestTail(): Option[org.apache.spark.sql.Row] = {
+    ensureManifest()
+    spark.sql(s"SELECT * FROM $manifestFqn ORDER BY version DESC LIMIT 1")
+      .collect().headOption
+  }
+
+  override def commit(phase: String, epoch: Int, tables: Map[String, DataFrame],
+      appends: Map[String, DataFrame], counters: => Map[String, Long]): Unit = {
+    val overlap = tables.keySet intersect appends.keySet
+    require(overlap.isEmpty, s"table(s) in both tables and appends: $overlap")
+    val prev = manifestTail()
+    val prevEntries: Map[String, Long] = prev.map { r =>
+      r.getAs[Map[String, Long]]("entries")
+    }.getOrElse(Map.empty)
+    val version = prev.map(_.getAs[Int]("version") + 1).getOrElse(1)
+    val written = scala.collection.mutable.Map.empty[String, Long]
+    tables.toSeq.sortBy(_._1).foreach { case (name, df) =>
+      spark.sql(TableIO.icebergDDL(fqn(name),
+        df.schema.toDDL, bucketCol = bucketColFor(df, bucketCol), numBuckets))
+      df.writeTo(fqn(name)).overwritePartitions()
+      written(name) = latestSnapshotId(name)
+    }
+    appends.toSeq.sortBy(_._1).foreach { case (name, df) =>
+      spark.sql(TableIO.icebergDDL(fqn(name),
+        df.schema.toDDL, bucketCol = bucketColFor(df, bucketCol), numBuckets))
+      df.writeTo(fqn(name)).append()
+      written(name) = latestSnapshotId(name)
+    }
+    // counters by-name: evaluated after the data writes (same contract as
+    // the parquet impl — Observation-sourced counters ride the writes)
+    val cs = counters
+    val entries = prevEntries ++ written
+    import spark.implicits._
+    Seq((version, phase, epoch, entries, cs))
+      .toDF("version", "phase", "epoch", "entries", "counters")
+      .writeTo(manifestFqn).append() // THE atomic pointer move
+  }
+
+  override def read(table: String): Option[DataFrame] =
+    manifestTail().flatMap { r =>
+      r.getAs[Map[String, Long]]("entries").get(table).map { snap =>
+        spark.sql(s"SELECT * FROM ${fqn(table)} VERSION AS OF $snap")
+      }
+    }
+
+  override def lastCommitted: Option[(String, Int)] =
+    manifestTail().map(r => (r.getAs[String]("phase"), r.getAs[Int]("epoch")))
+
+  override def lastCounters: Map[String, Long] =
+    manifestTail().map(_.getAs[Map[String, Long]]("counters")).getOrElse(Map.empty)
+}
+
+object IcebergTableIO {
+  /** True when the Iceberg Spark runtime is on the classpath. */
+  lazy val available: Boolean =
+    try { Class.forName("org.apache.iceberg.spark.SparkCatalog"); true }
+    catch { case _: ClassNotFoundException => false }
+
+  /** Bucket-partition on `preferred` when the frame has it, else its first
+    * column (manifest/counter tables have no host column). */
+  private[graft] def bucketColFor(df: DataFrame, preferred: String): String =
+    if (df.columns.contains(preferred)) preferred else df.columns.head
+
+  private[graft] def manifestDDL(fqn: String): String =
+    s"CREATE TABLE IF NOT EXISTS $fqn (" +
+      "version INT, phase STRING, epoch INT, " +
+      "entries MAP<STRING, BIGINT>, counters MAP<STRING, BIGINT>) " +
+      "USING iceberg"
+
+  private[graft] def latestSnapshotSql(fqn: String): String =
+    s"SELECT snapshot_id FROM $fqn.snapshots " +
+      "ORDER BY committed_at DESC, snapshot_id DESC LIMIT 1"
+}
+
 /** Parquet + manifest-pointer implementation. Layout:
   * {{{
   * root/
@@ -54,7 +170,16 @@ object TableIO {
   *   data/<table>/v<N>/  (parquet files; append-mode tables list many dirs)
   * }}}
   */
-final class ParquetSnapshotTableIO(spark: SparkSession, rootDir: String) extends TableIO {
+final class ParquetSnapshotTableIO(spark: SparkSession, rootDir: String,
+    /** File count for per-epoch delta appends. Deltas are O(dequeue) by
+      * design (SURVEY §4.2), so they are shuffled down to this many files
+      * before the write — without it a 73-row append fans out to one tiny
+      * file per shuffle partition and every later `read` re-lists hundreds
+      * of dirs (the round-2 q29 regression). `repartition` (not `coalesce`)
+      * so the upstream compute — fetch, PSNR decode — keeps full
+      * parallelism and only the tiny written delta funnels. Size for the
+      * target scale: ~1 file per 64-128 MB of expected delta. */
+    appendPartitions: Int = 1) extends TableIO {
   private val root: Path = Paths.get(rootDir)
   Files.createDirectories(root.resolve("data"))
 
@@ -75,7 +200,7 @@ final class ParquetSnapshotTableIO(spark: SparkSession, rootDir: String) extends
   }
 
   override def commit(phase: String, epoch: Int, tables: Map[String, DataFrame],
-      appends: Map[String, DataFrame], counters: Map[String, Long]): Unit = {
+      appends: Map[String, DataFrame], counters: => Map[String, Long]): Unit = {
     // a table named in BOTH maps would write the same version dir twice
     // and record it twice in the manifest (doubled rows on read)
     val overlap = tables.keySet intersect appends.keySet
@@ -98,7 +223,8 @@ final class ParquetSnapshotTableIO(spark: SparkSession, rootDir: String) extends
     }
     appends.toSeq.sortBy(_._1).foreach { case (name, df) =>
       val dir = s"data/$name/v$version"
-      df.write.mode(SaveMode.Overwrite).parquet(root.resolve(dir).toString)
+      df.repartition(appendPartitions)
+        .write.mode(SaveMode.Overwrite).parquet(root.resolve(dir).toString)
       bytes(name) = dirBytes(root.resolve(dir))
       val existing = Option(next.getProperty(s"table.$name"))
       next.setProperty(s"table.$name",
@@ -107,6 +233,8 @@ final class ParquetSnapshotTableIO(spark: SparkSession, rootDir: String) extends
     next.setProperty("phase", phase)
     next.setProperty("epoch", epoch.toString)
     next.setProperty("version", version.toString)
+    // counters is by-name: evaluate only now, after the data writes, so
+    // Observation-sourced counters are already populated by the write jobs
     val allCounters = counters ++
       bytes.map { case (n, b) => s"bytes_$n" -> b } +
       ("bytes_commit" -> bytes.valuesIterator.sum)

@@ -43,36 +43,54 @@ object EventsStreaming {
       admittedTotal: Long, pending: Seq[FrontierReq] = Seq.empty)
   final case class Admitted(host: String, urlNorm: String, admittedSeq: Long)
 
+  /** One state transition of the per-host token bucket — pure, so the
+    * timeout (quiet-host drain) branch is unit-testable without a clock:
+    * merge deferred tail + incoming, sort by (priority, urlNorm), admit up
+    * to `budget`, defer the rest. */
+  def advanceBudget(host: String, prev: HostBudgetState,
+      incoming: Seq[FrontierReq], budget: Int): (HostBudgetState, Seq[Admitted]) = {
+    val queue = (prev.pending ++ incoming).sortBy(r => (r.priority, r.urlNorm))
+    val (admit, defer) = queue.splitAt(budget)
+    (HostBudgetState(prev.admittedTotal + admit.size, defer),
+      admit.zipWithIndex.map { case (r, i) =>
+        Admitted(host, r.urlNorm, prev.admittedTotal + i + 1)
+      })
+  }
+
   /** Per-host stateful admission: at most `budgetPerBatch` URLs per host per
     * micro-batch, cumulative count kept in state — the W3 politeness window
     * expressed as `flatMapGroupsWithState` for a continuously-arriving
     * frontier. Requests over budget are DEFERRED in state (not dropped —
     * a token bucket must never lose frontier URLs) and re-emitted ahead of
-    * newer arrivals on the host's next batch; a continuous deployment adds
-    * a ProcessingTimeTimeout heartbeat to flush a quiet host's tail.
-    * Deterministic: the merged pending+incoming queue is sorted by
-    * (priority, urlNorm) before admission. */
-  def politenessThrottle(reqs: Dataset[FrontierReq], budgetPerBatch: Int): Dataset[Admitted] = {
+    * newer arrivals on the host's next batch. A host with a deferred tail
+    * arms a ProcessingTimeTimeout heartbeat so a QUIET host (no new input)
+    * still drains `budgetPerBatch` per `drainIntervalMs` instead of
+    * stranding its tail forever. Deterministic: the merged pending+incoming
+    * queue is sorted by (priority, urlNorm) before admission. */
+  def politenessThrottle(reqs: Dataset[FrontierReq], budgetPerBatch: Int,
+      drainIntervalMs: Long = 1000L): Dataset[Admitted] = {
     import reqs.sparkSession.implicits._
     reqs.groupByKey(_.host)
       .flatMapGroupsWithState[HostBudgetState, Admitted](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
         (host: String, it: Iterator[FrontierReq], state: GroupState[HostBudgetState]) =>
           val prev = state.getOption.getOrElse(HostBudgetState(0L))
-          val queue = (prev.pending ++ it.toSeq).sortBy(r => (r.priority, r.urlNorm))
-          val (admit, defer) = queue.splitAt(budgetPerBatch)
-          state.update(HostBudgetState(prev.admittedTotal + admit.size, defer))
-          admit.zipWithIndex.iterator.map { case (r, i) =>
-            Admitted(host, r.urlNorm, prev.admittedTotal + i + 1)
-          }
+          val incoming = if (state.hasTimedOut) Seq.empty else it.toSeq
+          val (next, admitted) = advanceBudget(host, prev, incoming, budgetPerBatch)
+          state.update(next)
+          if (next.pending.nonEmpty) state.setTimeoutDuration(drainIntervalMs)
+          admitted.iterator
       }
   }
 
   /** Drive [[politenessThrottle]] over a rate-limited file stream of
     * frontier requests (for tests/demo): returns the query writing to a
-    * memory sink. */
+    * memory sink. Continuous ProcessingTime trigger — the timeout-based
+    * quiet-host drain needs the stream to keep ticking (AvailableNow
+    * would spin no-data batches forever against timeout-bearing state);
+    * the caller polls the sink and stops the query. */
   def throttleQuery(spark: SparkSession, frontierDir: String, queryName: String,
-      budgetPerBatch: Int): StreamingQuery = {
+      budgetPerBatch: Int, drainIntervalMs: Long = 1000L): StreamingQuery = {
     import spark.implicits._
     val schema = StructType(Seq(
       StructField("host", StringType), StructField("urlNorm", StringType),
@@ -80,9 +98,9 @@ object EventsStreaming {
     val reqs = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(frontierDir)
       .as[FrontierReq]
-    politenessThrottle(reqs, budgetPerBatch)
+    politenessThrottle(reqs, budgetPerBatch, drainIntervalMs)
       .writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName(queryName)
-      .trigger(Trigger.AvailableNow()).start()
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
   }
 }

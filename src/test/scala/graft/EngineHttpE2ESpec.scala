@@ -135,6 +135,14 @@ class EngineHttpE2ESpec extends SparkSpec {
       val disp = engine.orderLog.select("urlNorm", "disposition")
         .as[(String, String)].collect().toMap
       assert(disp == Map(s"$base/docs/s1" -> "ok", s"$base/docs/s2" -> "ok"))
+      // post-scrape pipeline (Crawl facade default): every ok page chunked
+      // + classified into the committed `chunks` table (runner.py:543-620)
+      val chunks = engine.table("chunks").get
+      assert(chunks.columns.toSet == Set("url", "chunk_idx", "level", "chunk"))
+      val chunkUrls = chunks.select("url").distinct().as[String].collect().toSet
+      assert(chunkUrls == Set(s"$base/docs/s1", s"$base/docs/s2"))
+      assert(chunks.select("level").as[String].collect()
+        .forall(Set("skip", "cleanup", "heavy")))
     } finally server.stop(0)
   }
 }

@@ -14,6 +14,23 @@ class EntrySpec extends SparkSpec {
     assert(df.columns.toSet == Set("image_id", "url", "fmt", "caption", "phash", "epoch"))
   }
 
+  test("q09_sessionize is invariant under session timezone (driver-zone failure mode)") {
+    // Rounds 1-2: q09 was the one red driver row — an NTZ→LTZ cast shifted
+    // start_us by the harness's zone offset. The rewrite derives micros from
+    // wall-clock fields only; running the SAME query under three zones
+    // (one with DST) must produce bit-identical results.
+    val dir = "/root/testdata/sf0.001"
+    def run(tz: String): Seq[org.apache.spark.sql.Row] = {
+      spark.conf.set("spark.sql.session.timeZone", tz)
+      try SparkEntry.queries("q09_sessionize")(spark, dir).collect().toSeq
+      finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+    }
+    val utc = run("UTC")
+    assert(utc.nonEmpty)
+    assert(run("America/New_York") == utc)
+    assert(run("Asia/Tokyo") == utc)
+  }
+
   test("batched multimodal transform: thumbnails with typed schema") {
     val images = FixtureGen.imagesDF(spark, 24L)
     val thumbs = ImageBatch.thumbnails(images, 16, 16, batchSize = 8)

@@ -157,6 +157,42 @@ class GoldenReplaySpec extends SparkSpec {
       engine.orderLog.where($"disposition" === "blocked").count())
   }
 
+  test("S9 TTL: expired warm-cache rows are re-fetched (cache.py:75-88 parity)") {
+    val cache = engine.table("page_cache").get
+    val ttl = cfg.warmCacheTtl
+    // victim must be a page whose FIXTURE fetch label isn't "cache"
+    // (FixtureGen assigns method j%5 — a re-fetched "cache"-labeled page
+    // would be indistinguishable from a warm-cache hit)
+    val victim = engine.orderLog
+      .where($"disposition" === "ok" && $"fetchMethod" =!= "cache")
+      .orderBy("urlNorm").select("urlNorm").as[String].head()
+    // age ONE row past the TTL (expiry is relative to the cache's newest
+    // cachedEpoch, so subtracting ttl from the victim always expires it)
+    val aged = cache.withColumn("cachedEpoch",
+      when($"urlNorm" === victim, $"cachedEpoch" - ttl).otherwise($"cachedEpoch"))
+    val dir = Files.createTempDirectory("graft-ttl").toString
+    val e3 = new CrawlEngine(
+      spark, cfg, new FixtureFetcher(webGraph), images,
+      new ParquetSnapshotTableIO(spark, dir), policies,
+      sitemaps = Some(FixtureGen.sitemapsDF(spark, params)),
+      warmCache = Some(aged))
+    e3.run()
+    // the expired row went through a real fetch, not the cache …
+    val victimMethod = e3.orderLog.where($"urlNorm" === victim)
+      .select("fetchMethod").as[String].head()
+    assert(victimMethod != "cache", s"expired cache row served as cache hit")
+    // … fresh rows are still cache-served, and the outcome is unchanged
+    val others = e3.orderLog
+      .where($"disposition" === "ok" && $"urlNorm" =!= victim)
+      .select("fetchMethod").as[String].collect()
+    assert(others.contains("cache"))
+    val a = e3.orderLog.select("host", "priority", "urlNorm", "disposition")
+      .as[(String, Long, String, String)].collect().toSet
+    val b = engine.orderLog.select("host", "priority", "urlNorm", "disposition")
+      .as[(String, Long, String, String)].collect().toSet
+    assert(a == b)
+  }
+
   test("A4: maxUrls cap hit — deterministic lexicographic admission, stable across runs") {
     // host 0 (pure BFS host) reaches far more than cap=15 URLs; the engine
     // must stop at the cap, selecting the lexicographically-first fresh

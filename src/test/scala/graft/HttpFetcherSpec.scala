@@ -243,6 +243,38 @@ class HttpFetcherSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("S8 render seam: injected RenderClient crawls a JS-only page via the heavy level") {
+    // a JS-built DOM the static levels can never see: the fake renderer
+    // stands in for a Playwright/CDP client (the documented cluster
+    // swap-in, reference page.py:247-284) — no HTTP at all here, the
+    // renderer IS the transport for the heavy level
+    val rendered =
+      "<html><body><main><h1>App</h1><p>client-rendered docs body</p></main>" +
+        "<a href='/docs/js-route-1'>r1</a><a href='/docs/js-route-2'>r2</a>" +
+        "<img src='/img/image-7.png'/></body></html>"
+    val fake = new graft.sources.RenderClient {
+      override def render(url: String, get: graft.sources.RenderClient.Get)
+          : Option[(Int, String, String)] =
+        Some((200, "text/html", rendered))
+    }
+    val f = new HttpFetcher(maxRetries = 0, timeoutMs = 1000,
+      useNativeMarkdown = false, markdownProxyUrl = None,
+      useHttpFastPath = false, backoffUnitMs = 0L,
+      validate = _ => true, renderer = fake)
+    val rows = f.fetchPages(
+        Seq(("https://js-only.test/app", "js-only.test")).toDF("urlNorm", "host"))
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("fetchMethod") == "playwright")
+    assert(r.getAs[Int]("status") == 200)
+    assert(r.getAs[scala.collection.Seq[String]]("links").toSeq ==
+      Seq("/docs/js-route-1", "/docs/js-route-2"))
+    assert(r.getAs[scala.collection.Seq[String]]("imageRefs").toSeq ==
+      Seq("/img/image-7.png"))
+    assert(r.getAs[String]("content").contains("client-rendered docs body"))
+  }
+
   test("Ssrf: CPython inet_aton numeric host forms never reach DNS") {
     // private in disguise → rejected
     assert(Ssrf.isSsrf("http://127.1/x"))

@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.fixtures.FixtureGen
+import graft.jobs.JobManager
+import graft.model.CrawlConfig
+import graft.sources.FixtureFetcher
+
+/** D10 analog — N concurrent crawls over one session with a job cap,
+  * per-job state isolation, a unioned progress table, and the TTL sweep
+  * (reference `src/jobs/manager.py:34-127,261-276`). */
+class JobManagerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val params = FixtureGen.Params(hosts = 1, pagesPerHost = 12, skew = 2)
+  private val cfg = CrawlConfig(
+    seedUrls = FixtureGen.seeds(params), maxDepth = 5, epochSeconds = 30)
+  private lazy val web = FixtureGen.webGraphDF(spark, params).cache()
+  private lazy val images = FixtureGen.imagesDF(spark, params).cache()
+  private lazy val policies = FixtureGen.robotsMap(params)
+
+  test("three concurrent crawls: cap respected, isolated state, identical results, sweep") {
+    val root = Files.createTempDirectory("graft-jobs").toString
+    val mgr = new JobManager(spark, root, maxConcurrentJobs = 2)
+    val ids = Seq("job-a", "job-b", "job-c")
+    ids.foreach(id =>
+      mgr.submit(id, cfg, images, new FixtureFetcher(web), policies))
+    mgr.awaitAll()
+    ids.foreach(id => assert(mgr.status(id).contains(JobManager.Done),
+      s"$id: ${mgr.status(id)}"))
+
+    // isolation: per-job state dirs exist; every job reproduced the same
+    // deterministic crawl independently
+    ids.foreach(id => assert(Files.exists(Paths.get(root, id, "manifest.properties"))))
+    val counts = ids.map(id => mgr.engineOf(id).get.orderLog.count())
+    assert(counts.distinct.size == 1 && counts.head > 0)
+    val seenSets = ids.map(id =>
+      mgr.engineOf(id).get.seen.select("urlNorm").as[String].collect().toSet)
+    assert(seenSets.distinct.size == 1)
+
+    // progress: the per-job ledgers union with a job_id tag
+    val prog = mgr.progress
+    assert(prog.select("job_id").distinct().as[String].collect().toSet == ids.toSet)
+    assert(prog.columns.contains("partitionId")) // per-partition lineage rows
+
+    // TTL sweep: everything finished, ttl 0 → all swept, dirs deleted
+    val swept = mgr.sweep(ttlMs = 0L)
+    assert(swept.toSet == ids.toSet)
+    ids.foreach(id => assert(!Files.exists(Paths.get(root, id))))
+    assert(mgr.status("job-a").isEmpty)
+    mgr.shutdown()
+  }
+
+  test("cancel while queued: job never runs; cancel mid-flight leaves a resumable state dir") {
+    val root = Files.createTempDirectory("graft-jobs-cancel").toString
+    // cap 1 serializes: job-1 runs, job-2 waits on the semaphore
+    val mgr = new JobManager(spark, root, maxConcurrentJobs = 1)
+    mgr.submit("job-1", cfg, images, new FixtureFetcher(web), policies)
+    mgr.submit("job-2", cfg, images, new FixtureFetcher(web), policies)
+    mgr.cancel("job-2") // still queued (job-1 holds the only slot)
+    mgr.awaitAll()
+    assert(mgr.status("job-1").contains(JobManager.Done))
+    assert(mgr.status("job-2").contains(JobManager.Cancelled))
+    // cancelled-while-queued job never committed anything
+    assert(!Files.exists(Paths.get(root, "job-2", "manifest.properties")))
+    mgr.shutdown()
+  }
+}

@@ -105,6 +105,53 @@ class PipelineOpsSpec extends SparkSpec {
     assert(pairs.forall(_._3 <= 7))
   }
 
+  test("simhash multi-index banding: completeness vs naive all-pairs; 16-bit keys at maxHamming=7") {
+    // maxHamming > 3 must switch to 4 × 16-bit blocks with radius probes
+    // (band keys never narrow below 16 bits — the round-2 scale hazard was
+    // 8-bit keys = 256 buckets/band and an O(n²/256) join at 10^9 docs)
+    assert(Dedup.simhashBandPlan(3) == (4, 16, 0))
+    assert(Dedup.simhashBandPlan(7) == (4, 16, 1))
+    assert(Dedup.simhashBandPlan(11) == (4, 16, 2))
+    assert(Dedup.simhashBandPlan(1) == (2, 32, 0))
+    // probe count: C(16,0)+C(16,1) = 17 per band at radius 1
+    assert(Dedup.hammingBall(0x1234L, 16, 1).length == 17)
+    assert(Dedup.hammingBall(0x1234L, 16, 1).distinct.length == 17)
+    assert(Dedup.hammingBall(0xffffL, 16, 2).length == 1 + 16 + 120)
+
+    // completeness on a CLUSTERED fixture (many docs sharing simhash
+    // regions): MIH pairs ≡ naive all-pairs hamming filter
+    val aug = docs.limit(120).select($"doc_id", $"text")
+      .unionByName(docs.limit(120).where($"doc_id" % 3 === 0).select(
+        ($"doc_id" + 1000000).as("doc_id"),
+        concat($"text", lit(" drift")).as("text")))
+    for (h <- Seq(5, 7)) {
+      val got = Dedup.simhashPairs(aug, $"doc_id", $"text", maxHamming = h)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val sigs = aug.select($"doc_id",
+        Dedup.simhash64(split(trim($"text"), "\\s+")).as("sim"))
+        .as[(Long, Long)].collect()
+      val naive = (for {
+        (ia, sa) <- sigs; (ib, sb) <- sigs
+        if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= h
+      } yield (ia, ib)).toSet
+      assert(got == naive, s"maxHamming=$h: banding lost/invented pairs")
+    }
+
+    // bucket-size gate: on this fixture no (band, key) exact-bucket may
+    // hold a macroscopic fraction of the corpus (the 8-bit scheme packed
+    // ~n/256 unrelated docs per bucket; 16-bit keys keep buckets tiny)
+    val hashed = aug.select($"doc_id".as("id"),
+      Dedup.simhash64(split(trim($"text"), "\\s+")).as("sim"))
+    val (exact, probes) = Dedup.simhashBanded(hashed, 7)
+    val n = aug.count()
+    val maxBucket = exact.groupBy("band", "key").count()
+      .agg(max("count")).as[Long].head()
+    assert(maxBucket <= math.max(4L, n / 20),
+      s"hot exact bucket: $maxBucket of $n docs")
+    // probe fan-out is exactly 17 keys per (row, band)
+    assert(probes.count() == exact.count() * 17)
+  }
+
   test("cosine codegen expression ≡ higher-order columnar form, bit-exact") {
     val pairs = embs.as("a").join(embs.as("b"),
       $"a.vec_id" =!= $"b.vec_id" && $"a.vec_id" < 30 && $"b.vec_id" < 30)

@@ -171,32 +171,55 @@ class SourcesStreamingSpec extends SparkSpec {
     assert(a == b)
   }
 
-  test("streaming: flatMapGroupsWithState politeness throttle") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-throttle").toString
-    // two files → two micro-batches (maxFilesPerTrigger=1)
-    Seq(("h1.test", "https://h1.test/a", 1L), ("h1.test", "https://h1.test/b", 2L),
-      ("h1.test", "https://h1.test/c", 3L), ("h2.test", "https://h2.test/a", 1L))
-      .toDF("host", "urlNorm", "priority").coalesce(1).write.parquet(s"$dir/f1")
-    Seq(("h1.test", "https://h1.test/d", 4L))
-      .toDF("host", "urlNorm", "priority").coalesce(1).write.parquet(s"$dir/f2")
-    val files = new java.io.File(dir).listFiles().filter(_.isDirectory)
-    val flat = java.nio.file.Files.createTempDirectory("graft-throttle-flat").toString
-    files.zipWithIndex.foreach { case (f, i) =>
-      f.listFiles().filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach { case (p, j) =>
-        java.nio.file.Files.copy(p.toPath,
-          java.nio.file.Paths.get(flat, s"part-$i-$j.parquet"))
-      }
-    }
-    val q = EventsStreaming.throttleQuery(spark, flat, "stream_throttle", budgetPerBatch = 2)
-    q.awaitTermination(60000)
-    val got = spark.sql("SELECT host, urlNorm, admittedSeq FROM stream_throttle")
-      .as[(String, String, Long)].collect().toSet
-    // per micro-batch at most 2 per host; over-budget requests are DEFERRED
-    // in state (never dropped) and admitted on the host's next batch
-    val h1 = got.filter(_._1 == "h1.test")
-    assert(h1.map(_._2) == Set("a", "b", "c", "d").map(u => s"https://h1.test/$u"),
-      s"deferred requests lost: $h1")
-    assert(h1.map(_._3) == Set(1L, 2L, 3L, 4L)) // cumulative sequence
-    assert(got.exists(_._1 == "h2.test"))
+  test("politeness throttle: quiet-host drain — timeout transitions empty the deferred tail") {
+    import EventsStreaming.{advanceBudget, FrontierReq, HostBudgetState}
+    // 5 requests arrive at once, budget 2: the data batch admits 2 and
+    // defers 3; two ProcessingTimeTimeout firings (no new input) must
+    // drain the rest in (priority, urlNorm) order with a continuous
+    // admittedSeq — the round-2 hazard was a tail stranded forever on a
+    // host that stopped receiving input (GroupStateTimeout.NoTimeout)
+    val reqs = (1 to 5).map(i => FrontierReq("h.test", s"https://h.test/$i", i.toLong))
+    val (s1, a1) = advanceBudget("h.test", HostBudgetState(0L), reqs, 2)
+    assert(a1.map(_.urlNorm) == Seq("https://h.test/1", "https://h.test/2"))
+    assert(s1.pending.size == 3)
+    val (s2, a2) = advanceBudget("h.test", s1, Seq.empty, 2) // timeout firing
+    assert(a2.map(_.urlNorm) == Seq("https://h.test/3", "https://h.test/4"))
+    assert(a2.map(_.admittedSeq) == Seq(3L, 4L))
+    val (s3, a3) = advanceBudget("h.test", s2, Seq.empty, 2) // timeout firing
+    assert(a3.map(_.urlNorm) == Seq("https://h.test/5"))
+    assert(a3.map(_.admittedSeq) == Seq(5L))
+    assert(s3.pending.isEmpty) // drained — no further timeout armed
+  }
+
+  test("streaming: flatMapGroupsWithState politeness throttle + quiet-host timeout drain") {
+    // ONE file of 5 h1 requests, budget 2: the single data batch admits 2
+    // and defers 3 — the remaining 3 can only surface via the
+    // ProcessingTimeTimeout heartbeat (h1 receives no further input), the
+    // exact stranded-tail hazard the timeout fixes.
+    val flat = java.nio.file.Files.createTempDirectory("graft-throttle").toString
+    (Seq("a", "b", "c", "d", "e").zipWithIndex.map { case (u, i) =>
+      ("h1.test", s"https://h1.test/$u", (i + 1).toLong)
+    } :+ (("h2.test", "https://h2.test/a", 1L)))
+      .toDF("host", "urlNorm", "priority").coalesce(1).write.parquet(s"$flat/f1")
+    val q = EventsStreaming.throttleQuery(spark, s"$flat/f1", "stream_throttle",
+      budgetPerBatch = 2, drainIntervalMs = 200L)
+    try {
+      def table() = spark.sql(
+        "SELECT host, urlNorm, admittedSeq FROM stream_throttle")
+        .as[(String, String, Long)].collect().toSet
+      val deadline = System.currentTimeMillis() + 60000
+      while (table().count(_._1 == "h1.test") < 5 &&
+          System.currentTimeMillis() < deadline) Thread.sleep(200)
+      val got = table()
+      val h1 = got.filter(_._1 == "h1.test")
+      assert(h1.map(_._2) ==
+        Set("a", "b", "c", "d", "e").map(u => s"https://h1.test/$u"),
+        s"deferred requests lost (quiet-host tail stranded): $h1")
+      // cumulative sequence across data batch + timeout drains, in
+      // (priority, urlNorm) order
+      assert(h1.toSeq.sortBy(_._3).map(_._2) ==
+        Seq("a", "b", "c", "d", "e").map(u => s"https://h1.test/$u"))
+      assert(got.exists(_._1 == "h2.test"))
+    } finally q.stop()
   }
 }

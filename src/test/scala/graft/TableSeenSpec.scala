@@ -59,6 +59,28 @@ class TableSeenSpec extends SparkSpec {
         "PARTITIONED BY (bucket(256, host))")
   }
 
+  test("IcebergTableIO: SQL builders; graceful degrade without the runtime jar") {
+    import graft.sources.IcebergTableIO
+    // the sandbox ships no Iceberg runtime — the backend must refuse
+    // construction with actionable guidance, not fail mid-crawl
+    assert(!IcebergTableIO.available)
+    val e = intercept[IllegalArgumentException] {
+      new IcebergTableIO(spark, "prod.graft_crawl")
+    }
+    assert(e.getMessage.contains("iceberg-spark-runtime"))
+    // pure SQL builders (the live path's exact statements)
+    assert(IcebergTableIO.manifestDDL("prod.g.graft_manifest") ==
+      "CREATE TABLE IF NOT EXISTS prod.g.graft_manifest (version INT, " +
+        "phase STRING, epoch INT, entries MAP<STRING, BIGINT>, " +
+        "counters MAP<STRING, BIGINT>) USING iceberg")
+    assert(IcebergTableIO.latestSnapshotSql("prod.g.graft_seen") ==
+      "SELECT snapshot_id FROM prod.g.graft_seen.snapshots " +
+        "ORDER BY committed_at DESC, snapshot_id DESC LIMIT 1")
+    val withHost = Seq(("u", "h")).toDF("urlNorm", "host")
+    assert(IcebergTableIO.bucketColFor(withHost, "host") == "host")
+    assert(IcebergTableIO.bucketColFor(withHost.drop("host"), "host") == "urlNorm")
+  }
+
   test("ledger: per-partition lineage rows checkpointed per fetch epoch") {
     // reuse a tiny engine run
     val params = graft.fixtures.FixtureGen.Params(hosts = 2, pagesPerHost = 15)
