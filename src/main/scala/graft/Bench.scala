@@ -81,8 +81,9 @@ object Bench {
     def runEngine(s: SparkSession): (Long, Double) = {
       val io = new graft.sources.ParquetSnapshotTableIO(
         s, graft.util.TempDirs.create("graft-bench-engine"))
-      val web = graft.fixtures.FixtureGen.webGraphDF(s, engineParams)
-      val imgs = graft.fixtures.FixtureGen.imagesDF(s, engineParams)
+      // cached: uncached, every epoch's scans re-encode all fixture images
+      val web = graft.fixtures.FixtureGen.webGraphDF(s, engineParams).cache()
+      val imgs = graft.fixtures.FixtureGen.imagesDF(s, engineParams).cache()
       val engine = new graft.epoch.CrawlEngine(s, engCfg,
         new graft.sources.FixtureFetcher(web), imgs, io,
         graft.fixtures.FixtureGen.robotsMap(engineParams))

@@ -382,11 +382,15 @@ object SparkEntry {
         seedUrls = graft.fixtures.FixtureGen.seeds(params), maxDepth = 5)
       val io = new graft.sources.ParquetSnapshotTableIO(
         s, graft.util.TempDirs.create("graft-q29"))
+      // cache the synthetic web + image tables: every epoch's jobs scan
+      // them, and uncached each scan re-encodes all fixture images
+      val web = graft.fixtures.FixtureGen.webGraphDF(s, params).cache()
+      val imgs = graft.fixtures.FixtureGen.imagesDF(s, params).cache()
       val engine = new graft.epoch.CrawlEngine(s, cfg,
-        new graft.sources.FixtureFetcher(graft.fixtures.FixtureGen.webGraphDF(s, params)),
-        graft.fixtures.FixtureGen.imagesDF(s, params), io,
+        new graft.sources.FixtureFetcher(web), imgs, io,
         graft.fixtures.FixtureGen.robotsMap(params))
-      engine.run()
+      try engine.run()
+      finally { web.unpersist(); imgs.unpersist() }
       engine.orderLog.select("host", "priority", "urlNorm", "disposition")
         .orderBy("host", "priority")
     })
@@ -400,9 +404,10 @@ object SparkEntry {
       seedUrls = graft.fixtures.FixtureGen.seeds(params), maxDepth = 4)
     val io = new graft.sources.ParquetSnapshotTableIO(
       spark, graft.util.TempDirs.create("graft-entry"))
+    val web = graft.fixtures.FixtureGen.webGraphDF(spark, params).cache()
+    val imgs = graft.fixtures.FixtureGen.imagesDF(spark, params).cache()
     val engine = new graft.epoch.CrawlEngine(spark, cfg,
-      new graft.sources.FixtureFetcher(graft.fixtures.FixtureGen.webGraphDF(spark, params)),
-      graft.fixtures.FixtureGen.imagesDF(spark, params), io,
+      new graft.sources.FixtureFetcher(web), imgs, io,
       graft.fixtures.FixtureGen.robotsMap(params))
     engine.run()
     engine.fetched.select("image_id", "url", "fmt", "caption", "phash", "epoch")

@@ -106,6 +106,33 @@ final class CrawlEngine(
   private var seenBloomBc: org.apache.spark.broadcast.Broadcast[
     org.apache.spark.util.sketch.BloomFilter] = null
 
+  /** Static gates for the zero-job Bloom-delta fold (cfg.bloomDeltaCollectMax):
+    * an epoch's delta size is bounded by config — per-host cap × hosts in
+    * discovery, Σ politeness budgets in fetch — so the choice between
+    * "collect keys through an Observation riding an existing action" and
+    * "dedicated treeAggregate job" is made once, before any plan builds. */
+  private lazy val seenDeltaCollectable: Boolean =
+    policies.size.toLong * cfg.maxUrls <= cfg.bloomDeltaCollectMax
+  private lazy val contentDeltaCollectable: Boolean =
+    policies.values.map(p => cfg.hostBudget(p.crawlDelaySec).toLong).sum <=
+      cfg.bloomDeltaCollectMax
+
+  private def foldBloom(current: org.apache.spark.util.sketch.BloomFilter,
+      keys: scala.collection.Seq[String]): org.apache.spark.util.sketch.BloomFilter = {
+    val b = if (current != null) current
+      else org.apache.spark.util.sketch.BloomFilter.create(
+        cfg.bloomExpectedItems, cfg.bloomFpp)
+    keys.foreach(b.putString)
+    b
+  }
+
+  private def observedKeys(o: Observation): scala.collection.Seq[String] =
+    o.get.get("keys") match {
+      case Some(s: scala.collection.Seq[_]) =>
+        s.collect { case x: String => x }
+      case _ => Seq.empty
+    }
+
   /** One BFS epoch per depth; commits (seen, level_next, host_counts)
     * atomically. */
   private def discoverFrom(startDepth: Int, startLevel: DataFrame,
@@ -135,13 +162,17 @@ final class CrawlEngine(
       // cascade strategies pre-populated it.
       val seenCounts = io.read("host_counts").getOrElse(
         seen.groupBy("host").agg(count(lit(1)).cast("long").as("seenCnt")))
-      val admitted = fresh0
+      val obsSeenKeys = Observation(s"discover_keys_$depth")
+      val admitted0 = fresh0
         .join(seenCounts, Seq("host"), "left")
         .na.fill(0L, Seq("seenCnt"))
         .withColumn("rn", row_number().over(Window.partitionBy("host").orderBy("urlNorm")))
         .where($"rn" <= lit(cfg.maxUrls.toLong) - $"seenCnt")
         .select($"urlNorm", $"host", lit(depth).as("depth"))
-        .cache()
+      val admitted = (if (seenDeltaCollectable)
+          // Bloom-delta keys ride the count() below — no per-epoch treeAggregate
+          admitted0.observe(obsSeenKeys, collect_set($"urlNorm").as("keys"))
+        else admitted0).cache()
       val admittedCount = admitted.count()
       val newCounts = seenCounts.unionByName(
           admitted.groupBy("host").agg(count(lit(1)).cast("long").as("seenCnt")))
@@ -171,10 +202,16 @@ final class CrawlEngine(
         appends = Map("seen" -> admitted),
         counters = Map("admitted" -> admittedCount, "depth" -> depth.toLong))
       // fold only the epoch delta into the carried Bloom (north rule:
-      // per-epoch treeAggregate rebuild — over the delta, merged broadcast)
+      // per-epoch treeAggregate rebuild — over the delta, merged
+      // broadcast); statically-small deltas fold from the observation
+      // collected by the count() above instead of a dedicated job
       if (admittedCount > 0) {
-        val delta = Seen.buildBloom(admitted, cfg.bloomExpectedItems, cfg.bloomFpp)
-        if (seenBloom == null) seenBloom = delta else seenBloom.mergeInPlace(delta)
+        if (seenDeltaCollectable)
+          seenBloom = foldBloom(seenBloom, observedKeys(obsSeenKeys))
+        else {
+          val delta = Seen.buildBloom(admitted, cfg.bloomExpectedItems, cfg.bloomFpp)
+          if (seenBloom == null) seenBloom = delta else seenBloom.mergeInPlace(delta)
+        }
       }
       admitted.unpersist()
       if (stopAfterDepth.contains(depth)) return false // paused (ST2)
@@ -354,13 +391,20 @@ final class CrawlEngine(
       })
       .select($"urlNorm").withColumn("disp_ok", lit(true))
 
-    val classified = pages
+    val obsKeys = Observation(s"fetch_epoch_${epoch}_keys")
+    val classified0 = pages
       .join(okRows, Seq("urlNorm"), "left_outer")
       .withColumn("disposition",
         when(!isHtmlOk, lit("failed"))
           .when($"blocked", lit("blocked"))
           .when($"disp_ok".isNotNull, lit("ok"))
           .otherwise(lit("skipped")))
+    val classified = (if (contentDeltaCollectable)
+        // cross-epoch dedup Bloom delta keys (ok pages' host+hash) ride
+        // the count() below — no per-epoch treeAggregate job
+        classified0.observe(obsKeys,
+          collect_set(when($"disposition" === "ok", contentKey)).as("keys"))
+      else classified0)
       .observe(obs, count(when($"disposition" === "ok", 1)).as("pages_ok"),
         (Seq(
           count(when($"disposition" === "failed", 1)).as("pages_failed"),
@@ -373,6 +417,11 @@ final class CrawlEngine(
           count(when(!$"fetchMethod".isin(CrawlEngine.knownMethods: _*), 1))
             .as("method_other")): _*)
       .cache()
+    // one action materializes the classified cache COMPLETELY before the
+    // commit: (a) both observations fire with full (not per-job partial)
+    // metrics, (b) the commit's parallel table writes then read the cache
+    // instead of racing to compute it
+    classified.count()
 
     val orderLogNew = classified.select(
       $"host", $"priority", $"urlNorm", $"disposition",
@@ -448,12 +497,18 @@ final class CrawlEngine(
       // the actions that populate both observations — zero extra jobs
       counters = observed(obs, "disposition") ++ observed(obsImg, "image") +
         ("dequeued" -> deqCount))
-    // fold this epoch's ok (host, hash) delta into the carried Bloom
-    val contentDelta = Seen.buildBloom(
-      okPages.select(contentKey.as("urlNorm")),
-      cfg.bloomExpectedItems, cfg.bloomFpp)
-    if (contentBloom == null) contentBloom = contentDelta
-    else contentBloom.mergeInPlace(contentDelta)
+    // fold this epoch's ok (host, hash) delta into the carried Bloom —
+    // from the observation when statically small (no job), else via the
+    // distributed treeAggregate build
+    if (contentDeltaCollectable)
+      contentBloom = foldBloom(contentBloom, observedKeys(obsKeys))
+    else {
+      val contentDelta = Seen.buildBloom(
+        okPages.select(contentKey.as("urlNorm")),
+        cfg.bloomExpectedItems, cfg.bloomFpp)
+      if (contentBloom == null) contentBloom = contentDelta
+      else contentBloom.mergeInPlace(contentDelta)
+    }
     deq.unpersist(); pages.unpersist(); classified.unpersist(); fetchedNew.unpersist()
     if (warmHits != null) warmHits.unpersist()
     deqCount

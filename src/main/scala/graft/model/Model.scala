@@ -83,6 +83,13 @@ final case class CrawlConfig(
       * as base ∖ appended dequeue deltas and rewritten only every K epochs,
       * so per-epoch commit I/O is O(dequeued), not O(frontier). */
     compactEveryEpochs: Int = 8,
+    /** When an epoch's Bloom-delta key count is STATICALLY bounded below
+      * this (politeness budgets / per-host caps × hosts), the delta is
+      * collected through an `Observation` riding an already-running action
+      * and folded driver-side — zero extra jobs per epoch. Above it, the
+      * distributed treeAggregate build runs instead (the 10^10-URL path).
+      */
+    bloomDeltaCollectMax: Long = 100000L,
     /** S9 warm-cache TTL in donor-run epochs (the deterministic analog of
       * the reference's 24h disk-cache TTL, `src/scraper/cache.py:23-44`).
       * None derives the 24h analog from `epochSeconds`; enforced by

@@ -199,6 +199,15 @@ final class ParquetSnapshotTableIO(spark: SparkSession, rootDir: String,
     finally s.close()
   }
 
+  /** Concurrent-write pool: the per-epoch tables are independent, so their
+    * write jobs run in parallel — commit wall-time is the SLOWEST table,
+    * not the sum (at toy scale this is the dominant per-epoch fixed cost;
+    * on a cluster it hides commit latency the same way). Daemon threads;
+    * caller's job group is re-applied per thread so cancel() still aborts
+    * in-flight commit writes. */
+  private val writePool = java.util.concurrent.Executors.newFixedThreadPool(
+    6, (r: Runnable) => { val t = new Thread(r, "graft-commit"); t.setDaemon(true); t })
+
   override def commit(phase: String, epoch: Int, tables: Map[String, DataFrame],
       appends: Map[String, DataFrame], counters: => Map[String, Long]): Unit = {
     // a table named in BOTH maps would write the same version dir twice
@@ -214,18 +223,37 @@ final class ParquetSnapshotTableIO(spark: SparkSession, rootDir: String,
         if (k.startsWith("table.")) next.setProperty(k, p.getProperty(k))
       }
     }
-    val bytes = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    tables.toSeq.sortBy(_._1).foreach { case (name, df) =>
-      val dir = s"data/$name/v$version"
-      df.write.mode(SaveMode.Overwrite).parquet(root.resolve(dir).toString)
-      bytes(name) = dirBytes(root.resolve(dir))
-      next.setProperty(s"table.$name", dir)
+    val sc = spark.sparkContext
+    val jobGroup = Option(sc.getLocalProperty("spark.jobGroup.id"))
+    val interrupt = Option(sc.getLocalProperty("spark.job.interruptOnCancel"))
+    def writeOne(name: String, df: DataFrame, isAppend: Boolean): (String, Long) = {
+      jobGroup.foreach(g =>
+        sc.setJobGroup(g, s"commit $phase/$epoch $name", interrupt.contains("true")))
+      try {
+        val dir = s"data/$name/v$version"
+        val out = if (isAppend) df.repartition(appendPartitions) else df
+        out.write.mode(SaveMode.Overwrite).parquet(root.resolve(dir).toString)
+        name -> dirBytes(root.resolve(dir))
+      } finally sc.clearJobGroup()
     }
-    appends.toSeq.sortBy(_._1).foreach { case (name, df) =>
+    val work: Seq[(String, DataFrame, Boolean)] =
+      tables.toSeq.sortBy(_._1).map { case (n, d) => (n, d, false) } ++
+        appends.toSeq.sortBy(_._1).map { case (n, d) => (n, d, true) }
+    val futures = work.map { case (n, d, a) =>
+      writePool.submit(new java.util.concurrent.Callable[(String, Long)] {
+        override def call(): (String, Long) = writeOne(n, d, a)
+      })
+    }
+    // propagate the FIRST failure; a failed write means no manifest move,
+    // so the epoch is simply uncommitted (idempotent re-run)
+    val written = futures.map(_.get())
+    val bytes = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    written.foreach { case (n, b) => bytes(n) = b }
+    tables.keySet.toSeq.sorted.foreach { name =>
+      next.setProperty(s"table.$name", s"data/$name/v$version")
+    }
+    appends.keySet.toSeq.sorted.foreach { name =>
       val dir = s"data/$name/v$version"
-      df.repartition(appendPartitions)
-        .write.mode(SaveMode.Overwrite).parquet(root.resolve(dir).toString)
-      bytes(name) = dirBytes(root.resolve(dir))
       val existing = Option(next.getProperty(s"table.$name"))
       next.setProperty(s"table.$name",
         existing.map(e => s"$e,$dir").getOrElse(dir))
