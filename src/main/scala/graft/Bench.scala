@@ -88,6 +88,7 @@ object Bench {
         new graft.sources.FixtureFetcher(web), imgs, io,
         graft.fixtures.FixtureGen.robotsMap(engineParams))
       val (_, sec) = timed(engine.run())
+      web.unpersist(); imgs.unpersist()
       (engine.orderLog.count(), sec)
     }
     val (engineUrls, engineSec) = runEngine(spark)

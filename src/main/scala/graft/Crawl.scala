@@ -22,16 +22,23 @@ object Crawl {
 
   /** spark-submit entry (`--class graft.Crawl`, README deployment recipe):
     * {{{
-    * graft.Crawl --state-dir s3://…/state --images s3://…/images.parquet \
+    * graft.Crawl --iceberg-db prod.graft_crawl42 --images s3://…/images.parquet \
     *   [--max-depth 3] [--max-urls 1000] [--delay-ms 500] \
     *   [--epoch-seconds 30] [--num-buckets 32] [--language en] \
     *   [--warm-cache <parquet>] seedUrl [seedUrl …]
     * }}}
-    * Builds the session from the submit conf, reads the image table, runs
-    * the crawl to completion, and prints the final ledger counters. */
+    * `--iceberg-db` selects the Iceberg table backend (cluster path);
+    * `--state-dir` selects the parquet-snapshot store, whose manifest is
+    * java.nio-local — a driver-local or locally-mounted directory, NOT an
+    * object-store URL. Builds the session from the submit conf, reads the
+    * image table, runs the crawl to completion, prints the dispatch count. */
   def main(args: Array[String]): Unit = {
+    val known = Set("state-dir", "iceberg-db", "images", "max-depth",
+      "max-urls", "delay-ms", "epoch-seconds", "num-buckets", "language",
+      "warm-cache")
     def usage(msg: String): Nothing = {
-      System.err.println(s"error: $msg\nusage: graft.Crawl --state-dir DIR " +
+      System.err.println(s"error: $msg\nusage: graft.Crawl " +
+        "(--state-dir LOCAL_OR_DFS_DIR | --iceberg-db catalog.namespace) " +
         "--images PARQUET [--max-depth N] [--max-urls N] [--delay-ms N] " +
         "[--epoch-seconds N] [--num-buckets N] [--language L] " +
         "[--warm-cache PARQUET] seedUrl [seedUrl ...]")
@@ -43,12 +50,23 @@ object Crawl {
     while (i < args.length) {
       val a = args(i)
       if (a.startsWith("--")) {
-        if (i + 1 >= args.length) usage(s"missing value for $a")
-        opts(a.stripPrefix("--")) = args(i + 1); i += 2
+        val key = a.stripPrefix("--")
+        if (!known.contains(key)) usage(s"unknown option $a") // typos must
+        if (i + 1 >= args.length) usage(s"missing value for $a") // not run
+        opts(key) = args(i + 1); i += 2 // a default-config crawl silently
       } else { seeds += a; i += 1 }
     }
     if (seeds.isEmpty) usage("at least one seed URL")
-    val stateDir = opts.getOrElse("state-dir", usage("--state-dir required"))
+    val stateDir = opts.get("state-dir")
+    val icebergDb = opts.get("iceberg-db")
+    if (stateDir.isEmpty && icebergDb.isEmpty)
+      usage("--state-dir or --iceberg-db required")
+    // the parquet-snapshot backend keeps its manifest via java.nio — a
+    // LOCAL (or locally-mounted DFS) path; object stores go through the
+    // Iceberg backend instead
+    stateDir.filter(_.contains("://")).foreach(d =>
+      usage(s"--state-dir $d is not a local path; use --iceberg-db for " +
+        "object-store state (ParquetSnapshotTableIO manifests are java.nio)"))
     val imagesPath = opts.getOrElse("images", usage("--images required"))
     val cfg = CrawlConfig(
       seedUrls = seeds.toSeq,
@@ -59,9 +77,12 @@ object Crawl {
       epochSeconds = opts.get("epoch-seconds").map(_.toInt).getOrElse(30),
       numBuckets = opts.get("num-buckets").map(_.toInt).getOrElse(32))
     val spark = SparkSession.builder().appName("graft-crawl").getOrCreate()
-    val engine = run(spark, cfg, stateDir,
+    val backend: Option[graft.sources.TableIO] = icebergDb.map(db =>
+      new graft.sources.IcebergTableIO(spark, db, numBuckets = cfg.numBuckets))
+    val engine = run(spark, cfg, stateDir.getOrElse(""),
       images = spark.read.parquet(imagesPath),
-      warmCache = opts.get("warm-cache").map(spark.read.parquet(_)))
+      warmCache = opts.get("warm-cache").map(spark.read.parquet(_)),
+      io = backend)
     println(s"crawl done: ${engine.orderLog.count()} URLs dispatched; " +
       s"counters=${engine.table("ledger").map(_ => "ledger committed").getOrElse("none")}")
   }
@@ -85,7 +106,10 @@ object Crawl {
         * selectively cleaned, and committed as the `chunks` table. */
       postprocess: Boolean = true,
       chunkCleaner: graft.operators.Postprocess.ChunkCleaner =
-        graft.operators.Postprocess.IdentityCleaner): CrawlEngine = {
+        graft.operators.Postprocess.IdentityCleaner,
+      /** table backend override (e.g. [[graft.sources.IcebergTableIO]] on
+        * a cluster); default = parquet-snapshot store at `stateDir`. */
+      io: Option[graft.sources.TableIO] = None): CrawlEngine = {
     import spark.implicits._
     val seedPairs = cfg.seedUrls.map(u =>
       graft.util.PyUrl.host(graft.util.PyUrl.canonicalize(u)) -> u)
@@ -96,12 +120,12 @@ object Crawl {
     val seeds: Map[String, String] = seedPairs.toMap
     val policies = BootstrapFetch.robotsPolicies(seeds, validate = ssrfCheck)
     val bodies = BootstrapFetch.sitemapBodies(seeds, policies, validate = ssrfCheck)
-    val io = new ParquetSnapshotTableIO(spark, stateDir)
+    val tableIo = io.getOrElse(new ParquetSnapshotTableIO(spark, stateDir))
     val engine = new CrawlEngine(
       spark, cfg,
       fetcher.getOrElse(new HttpFetcher(validate = ssrfCheck)),
       images,
-      io,
+      tableIo,
       policies,
       sitemaps =
         if (bodies.nonEmpty) Some(bodies.toDF("sitemap_url", "body", "gzipped"))
@@ -118,7 +142,7 @@ object Crawl {
         import org.apache.spark.sql.functions.col
         val chunks = graft.operators.Postprocess.chunksTable(
           pc, col("urlNorm"), col("content"), chunkCleaner)
-        io.commit("postprocess", 0, tables = Map("chunks" -> chunks))
+        tableIo.commit("postprocess", 0, tables = Map("chunks" -> chunks))
       }
     engine
   }

@@ -409,7 +409,9 @@ object SparkEntry {
     val engine = new graft.epoch.CrawlEngine(spark, cfg,
       new graft.sources.FixtureFetcher(web), imgs, io,
       graft.fixtures.FixtureGen.robotsMap(params))
-    engine.run()
+    // the result reads committed parquet, so the fixture caches release now
+    try engine.run()
+    finally { web.unpersist(); imgs.unpersist() }
     engine.fetched.select("image_id", "url", "fmt", "caption", "phash", "epoch")
   }
 

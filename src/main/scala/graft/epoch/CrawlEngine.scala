@@ -414,7 +414,10 @@ final class CrawlEngine(
           // groupBy().collect() job per epoch — round-2 q29 fixed cost)
           CrawlEngine.knownMethods.map(m =>
             count(when($"fetchMethod" === m, 1)).as(s"method_$m")) :+
-          count(when(!$"fetchMethod".isin(CrawlEngine.knownMethods: _*), 1))
+          // null-safe: a null fetchMethod must land in method_other, not
+          // vanish (bare !isin is NULL for null input → not counted)
+          count(when($"fetchMethod".isNull ||
+            !$"fetchMethod".isin(CrawlEngine.knownMethods: _*), 1))
             .as("method_other")): _*)
       .cache()
     // one action materializes the classified cache COMPLETELY before the
@@ -605,11 +608,18 @@ final class CrawlEngine(
   }
 
   def run(stopAfterFetchEpoch: Option[Int] = None,
-      stopAfterDiscoverDepth: Option[Int] = None): Unit = {
+      stopAfterDiscoverDepth: Option[Int] = None,
+      /** false = honor a cancel() that landed BEFORE this run started
+        * (JobManager's cancel-while-queued window: without it, a cancel
+        * racing the run start would be silently erased and the "cancelled"
+        * job would crawl to completion). Default true keeps the documented
+        * resume-after-cancel semantics for interactive reuse. */
+      clearPriorCancel: Boolean = true): Unit = {
     // a fresh run() clears any previous cancellation: resume-after-cancel
     // continues from the last committed epoch (cancel() targets the run in
     // flight, not the engine's future)
-    cancelRequested = false
+    if (clearPriorCancel) cancelRequested = false
+    if (cancelRequested) return
     // drop carried Blooms so a same-instance resume rebuilds them from the
     // committed snapshot: the delta fold runs AFTER io.commit, so a cancel
     // or failure that lands between commit and fold would leave a carried

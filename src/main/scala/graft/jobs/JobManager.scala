@@ -67,11 +67,19 @@ final class JobManager(
       override def run(): Unit = {
         slots.acquire()
         try {
-          // a cancel() that landed while queued must not start the crawl
-          if (job.status == Cancelled) return
-          job.status = Running
-          engine.run()
-          job.status = if (job.status == Cancelled) Cancelled else Done
+          // a cancel() that landed while queued must not start the crawl;
+          // the transition is locked so cancel() cannot interleave, and
+          // clearPriorCancel=false closes the remaining window (a cancel
+          // racing the run start sets engine.cancelRequested, which the
+          // engine then honors instead of resetting)
+          job.synchronized {
+            if (job.status == Cancelled) return
+            job.status = Running
+          }
+          engine.run(clearPriorCancel = false)
+          job.synchronized {
+            job.status = if (job.status == Cancelled) Cancelled else Done
+          }
         } catch {
           case e: Throwable => job.status = Failed(
             s"${e.getClass.getSimpleName}: ${e.getMessage}")
@@ -95,9 +103,11 @@ final class JobManager(
     * committed epoch stays the resume point in its state dir. */
   def cancel(jobId: String): Unit =
     Option(jobs.get(jobId)).foreach { j =>
-      if (j.status == Queued || j.status == Running) {
-        j.status = Cancelled
-        j.engine.cancel()
+      j.synchronized {
+        if (j.status == Queued || j.status == Running) {
+          j.status = Cancelled
+          j.engine.cancel()
+        }
       }
     }
 

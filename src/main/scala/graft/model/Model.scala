@@ -102,6 +102,9 @@ final case class CrawlConfig(
     warmCacheTtlEpochs.getOrElse(math.max(1, 86400 / epochSeconds))
 
   require(warmCacheTtlEpochs.forall(_ >= 1), "warmCacheTtlEpochs >= 1")
+  require(epochSeconds >= 1 && epochSeconds <= 86400,
+    "epochSeconds in [1, 86400]") // also keeps the derived 24h TTL >= 1
+  require(bloomDeltaCollectMax >= 0, "bloomDeltaCollectMax >= 0")
   require(seedUrls.nonEmpty, "at least one seed URL")
   require(delayMs >= 100 && delayMs <= 60000, "delay_ms in [100, 60000]") // models.py:27
   require(maxConcurrent >= 1 && maxConcurrent <= 10, "max_concurrent in [1, 10]") // models.py:28

@@ -108,7 +108,11 @@ final class IcebergTableIO(spark: SparkSession,
     tables.toSeq.sortBy(_._1).foreach { case (name, df) =>
       spark.sql(TableIO.icebergDDL(fqn(name),
         df.schema.toDDL, bucketCol = bucketColFor(df, bucketCol), numBuckets))
-      df.writeTo(fqn(name)).overwritePartitions()
+      // full-snapshot replacement: overwrite(true), NOT overwritePartitions
+      // — dynamic partition overwrite would keep stale rows in bucket
+      // partitions absent from the new frame (e.g. a fully-dequeued host's
+      // pending bucket), breaking the trait's snapshot contract
+      df.writeTo(fqn(name)).overwrite(org.apache.spark.sql.functions.lit(true))
       written(name) = latestSnapshotId(name)
     }
     appends.toSeq.sortBy(_._1).foreach { case (name, df) =>
@@ -199,14 +203,18 @@ final class ParquetSnapshotTableIO(spark: SparkSession, rootDir: String,
     finally s.close()
   }
 
-  /** Concurrent-write pool: the per-epoch tables are independent, so their
-    * write jobs run in parallel — commit wall-time is the SLOWEST table,
-    * not the sum (at toy scale this is the dominant per-epoch fixed cost;
-    * on a cluster it hides commit latency the same way). Daemon threads;
-    * caller's job group is re-applied per thread so cancel() still aborts
-    * in-flight commit writes. */
-  private val writePool = java.util.concurrent.Executors.newFixedThreadPool(
-    6, (r: Runnable) => { val t = new Thread(r, "graft-commit"); t.setDaemon(true); t })
+  /** Data-file count (tiny-file evidence for the commit ledger). */
+  private def dirDataFiles(dir: Path): Long = {
+    val s = Files.walk(dir)
+    try s.filter(p => Files.isRegularFile(p) &&
+      p.getFileName.toString.endsWith(".parquet")).count()
+    finally s.close()
+  }
+
+  // concurrent-write pool shared via the companion (one per JVM, not per
+  // instance — a JobManager creates an instance per job and sweep() has no
+  // IO lifecycle hook, so per-instance pools would leak threads)
+  private def writePool = ParquetSnapshotTableIO.writePool
 
   override def commit(phase: String, epoch: Int, tables: Map[String, DataFrame],
       appends: Map[String, DataFrame], counters: => Map[String, Long]): Unit = {
@@ -226,29 +234,30 @@ final class ParquetSnapshotTableIO(spark: SparkSession, rootDir: String,
     val sc = spark.sparkContext
     val jobGroup = Option(sc.getLocalProperty("spark.jobGroup.id"))
     val interrupt = Option(sc.getLocalProperty("spark.job.interruptOnCancel"))
-    def writeOne(name: String, df: DataFrame, isAppend: Boolean): (String, Long) = {
+    def writeOne(name: String, df: DataFrame, isAppend: Boolean): (String, Long, Long) = {
       jobGroup.foreach(g =>
         sc.setJobGroup(g, s"commit $phase/$epoch $name", interrupt.contains("true")))
       try {
         val dir = s"data/$name/v$version"
         val out = if (isAppend) df.repartition(appendPartitions) else df
         out.write.mode(SaveMode.Overwrite).parquet(root.resolve(dir).toString)
-        name -> dirBytes(root.resolve(dir))
+        (name, dirBytes(root.resolve(dir)), dirDataFiles(root.resolve(dir)))
       } finally sc.clearJobGroup()
     }
     val work: Seq[(String, DataFrame, Boolean)] =
       tables.toSeq.sortBy(_._1).map { case (n, d) => (n, d, false) } ++
         appends.toSeq.sortBy(_._1).map { case (n, d) => (n, d, true) }
     val futures = work.map { case (n, d, a) =>
-      writePool.submit(new java.util.concurrent.Callable[(String, Long)] {
-        override def call(): (String, Long) = writeOne(n, d, a)
+      writePool.submit(new java.util.concurrent.Callable[(String, Long, Long)] {
+        override def call(): (String, Long, Long) = writeOne(n, d, a)
       })
     }
     // propagate the FIRST failure; a failed write means no manifest move,
     // so the epoch is simply uncommitted (idempotent re-run)
     val written = futures.map(_.get())
     val bytes = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    written.foreach { case (n, b) => bytes(n) = b }
+    written.foreach { case (n, b, _) => bytes(n) = b }
+    val filesTotal = written.map(_._3).sum
     tables.keySet.toSeq.sorted.foreach { name =>
       next.setProperty(s"table.$name", s"data/$name/v$version")
     }
@@ -281,7 +290,8 @@ final class ParquetSnapshotTableIO(spark: SparkSession, rootDir: String,
     val byteJson = bytes.map { case (n, b) => s""""$n":$b""" }.mkString(",")
     Files.write(root.resolve("commits.jsonl"),
       (s"""{"phase":"$phase","epoch":$epoch,"version":$version,""" +
-        s""""bytes":{$byteJson},"bytes_commit":${bytes.valuesIterator.sum}}""" + "\n")
+        s""""bytes":{$byteJson},"bytes_commit":${bytes.valuesIterator.sum},""" +
+        s""""files_commit":$filesTotal}""" + "\n")
         .getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
   }
@@ -303,4 +313,19 @@ final class ParquetSnapshotTableIO(spark: SparkSession, rootDir: String,
       p.stringPropertyNames().asScala.filter(_.startsWith("counter."))
         .map(k => k.stripPrefix("counter.") -> p.getProperty(k).toLong).toMap
     }.getOrElse(Map.empty)
+}
+
+object ParquetSnapshotTableIO {
+  /** Per-epoch tables are independent, so commit writes run in parallel —
+    * commit wall-time is the SLOWEST table, not the sum (at toy scale the
+    * serialized writes were the dominant per-epoch fixed cost; on a
+    * cluster the same concurrency hides commit latency). One JVM-wide
+    * daemon pool shared by every instance; the caller's job group is
+    * re-applied per task so cancel() still aborts in-flight commit writes.
+    */
+  private[sources] lazy val writePool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(
+      6, (r: Runnable) => {
+        val t = new Thread(r, "graft-commit"); t.setDaemon(true); t
+      })
 }

@@ -21,9 +21,10 @@ object Soak {
       maxDepth = 8, epochSeconds = 120) // budget 240/host-epoch; host1 60
     val ioDir = java.nio.file.Files.createTempDirectory("graft-soak").toString
     val io = new graft.sources.ParquetSnapshotTableIO(spark, ioDir)
+    val web = graft.fixtures.FixtureGen.webGraphDF(spark, params).cache()
+    val imgs = graft.fixtures.FixtureGen.imagesDF(spark, params).cache()
     val engine = new graft.epoch.CrawlEngine(spark, cfg,
-      new graft.sources.FixtureFetcher(graft.fixtures.FixtureGen.webGraphDF(spark, params)),
-      graft.fixtures.FixtureGen.imagesDF(spark, params), io,
+      new graft.sources.FixtureFetcher(web), imgs, io,
       graft.fixtures.FixtureGen.robotsMap(params),
       sitemaps = Some(graft.fixtures.FixtureGen.sitemapsDF(spark, params)))
     val t0 = System.nanoTime()
@@ -45,17 +46,21 @@ object Soak {
       .map { l =>
         val e = "\"epoch\":(\\d+)".r.findFirstMatchIn(l).get.group(1).toInt
         val b = "\"bytes_commit\":(\\d+)".r.findFirstMatchIn(l).get.group(1).toLong
+        val f = "\"files_commit\":(\\d+)".r.findFirstMatchIn(l)
+          .map(_.group(1).toLong).getOrElse(-1L)
         val compacted = l.contains("\"pending\":")
-        (e, b, compacted)
+        (e, b, f, compacted)
       }
-    val (compactions, deltas) = fetchBytes.partition(_._3)
+    val (compactions, deltas) = fetchBytes.partition(_._4)
     def stats(xs: Seq[Long]): String =
       if (xs.isEmpty) "n/a"
       else f"n=${xs.size} avg=${xs.sum / xs.size}%d max=${xs.max}%d"
-    println(s"COMMIT-IO fetch delta epochs: ${stats(deltas.map(_._2).toSeq)}")
-    println(s"COMMIT-IO compaction epochs:  ${stats(compactions.map(_._2).toSeq)}")
-    fetchBytes.foreach { case (e, b, c) =>
-      println(f"  epoch $e%3d bytes=$b%9d${if (c) " (compaction)" else ""}")
+    println(s"COMMIT-IO fetch delta epochs: ${stats(deltas.map(_._2).toSeq)} " +
+      s"files/commit: ${stats(deltas.map(_._3).toSeq)}")
+    println(s"COMMIT-IO compaction epochs:  ${stats(compactions.map(_._2).toSeq)} " +
+      s"files/commit: ${stats(compactions.map(_._3).toSeq)}")
+    fetchBytes.foreach { case (e, b, f, c) =>
+      println(f"  epoch $e%3d bytes=$b%9d files=$f%3d${if (c) " (compaction)" else ""}")
     }
     spark.stop()
   }

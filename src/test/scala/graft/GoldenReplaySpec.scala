@@ -166,10 +166,13 @@ class GoldenReplaySpec extends SparkSpec {
     val victim = engine.orderLog
       .where($"disposition" === "ok" && $"fetchMethod" =!= "cache")
       .orderBy("urlNorm").select("urlNorm").as[String].head()
-    // age ONE row past the TTL (expiry is relative to the cache's newest
-    // cachedEpoch, so subtracting ttl from the victim always expires it)
+    // age ONE row past the TTL. The cutoff is relative to the AGED cache's
+    // own newest epoch, which shifts down if the victim happened to be the
+    // sole newest row — so pin the victim to (overall max − ttl − 1),
+    // which is expired no matter which row held the max.
+    val maxEpoch = cache.agg(max($"cachedEpoch")).as[Int].head()
     val aged = cache.withColumn("cachedEpoch",
-      when($"urlNorm" === victim, $"cachedEpoch" - ttl).otherwise($"cachedEpoch"))
+      when($"urlNorm" === victim, lit(maxEpoch - ttl - 1)).otherwise($"cachedEpoch"))
     val dir = Files.createTempDirectory("graft-ttl").toString
     val e3 = new CrawlEngine(
       spark, cfg, new FixtureFetcher(webGraph), images,

@@ -54,11 +54,19 @@ class JobManagerSpec extends SparkSpec {
 
   test("cancel while queued: job never runs; cancel mid-flight leaves a resumable state dir") {
     val root = Files.createTempDirectory("graft-jobs-cancel").toString
-    // cap 1 serializes: job-1 runs, job-2 waits on the semaphore
+    // cap 1 serializes: job-1 runs, job-2 waits on the semaphore. Submit
+    // order does NOT fix which thread wins the slot, so wait until job-1
+    // is actually Running before submitting job-2 — then job-2 is
+    // deterministically queued when the cancel lands.
     val mgr = new JobManager(spark, root, maxConcurrentJobs = 1)
     mgr.submit("job-1", cfg, images, new FixtureFetcher(web), policies)
+    val deadline = System.currentTimeMillis() + 60000
+    while (!mgr.status("job-1").contains(JobManager.Running) &&
+        !mgr.status("job-1").contains(JobManager.Done) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(10)
     mgr.submit("job-2", cfg, images, new FixtureFetcher(web), policies)
-    mgr.cancel("job-2") // still queued (job-1 holds the only slot)
+    mgr.cancel("job-2") // queued (job-1 holds the only slot) or just-started;
+    // either way the cancel must stick (clearPriorCancel=false path)
     mgr.awaitAll()
     assert(mgr.status("job-1").contains(JobManager.Done))
     assert(mgr.status("job-2").contains(JobManager.Cancelled))
