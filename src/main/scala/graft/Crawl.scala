@@ -68,7 +68,9 @@ object Crawl {
       usage(s"--state-dir $d is not a local path; use --iceberg-db for " +
         "object-store state (ParquetSnapshotTableIO manifests are java.nio)"))
     val imagesPath = opts.getOrElse("images", usage("--images required"))
-    val cfg = CrawlConfig(
+    // bad VALUES must reach usage() like bad flags do — not a raw
+    // NumberFormatException / require() stack trace
+    val cfg = try CrawlConfig(
       seedUrls = seeds.toSeq,
       delayMs = opts.get("delay-ms").map(_.toInt).getOrElse(500),
       maxDepth = opts.get("max-depth").map(_.toInt).getOrElse(3),
@@ -76,6 +78,10 @@ object Crawl {
       maxUrls = opts.get("max-urls").map(_.toInt).getOrElse(1000),
       epochSeconds = opts.get("epoch-seconds").map(_.toInt).getOrElse(30),
       numBuckets = opts.get("num-buckets").map(_.toInt).getOrElse(32))
+    catch {
+      case e: NumberFormatException => usage(s"non-numeric option value: ${e.getMessage}")
+      case e: IllegalArgumentException => usage(e.getMessage)
+    }
     val spark = SparkSession.builder().appName("graft-crawl").getOrCreate()
     val backend: Option[graft.sources.TableIO] = icebergDb.map(db =>
       new graft.sources.IcebergTableIO(spark, db, numBuckets = cfg.numBuckets))
@@ -94,11 +100,15 @@ object Crawl {
       fetcher: Option[Fetcher] = None,
       scorer: RelevanceScorer = IdentityScorer,
       warmCache: Option[DataFrame] = None,
-      /** Production default RESOLVES named hosts through DNS before the
-        * private-range check (reference `validate_url_not_ssrf` →
-        * `socket.gethostbyname`); tests against loopback fixtures inject
-        * their own. */
-      ssrfCheck: String => Boolean = u => !Ssrf.isSsrfResolving(u),
+      /** Row-level F6 gate (discovery/dequeue) — literal-IP only by
+        * default: a resolving check here would run blocking DNS inside a
+        * per-row UDF on every epoch. DNS-resolving validation (reference
+        * `validate_url_not_ssrf` → `socket.gethostbyname`) runs in the
+        * TRANSPORT instead — the default HttpFetcher layers
+        * `Ssrf.isSsrfResolving` onto this gate per request + redirect hop,
+        * touching only URLs actually fetched. Tests inject loopback-
+        * permissive gates AND their own fetcher. */
+      ssrfCheck: String => Boolean = u => !Ssrf.isSsrf(u),
       stopAfterFetchEpoch: Option[Int] = None,
       /** Post-scrape output pipeline (reference `runner.py:543-620` runs
         * chunk→classify→cleanup inline per page): when true and the crawl
@@ -123,7 +133,11 @@ object Crawl {
     val tableIo = io.getOrElse(new ParquetSnapshotTableIO(spark, stateDir))
     val engine = new CrawlEngine(
       spark, cfg,
-      fetcher.getOrElse(new HttpFetcher(validate = ssrfCheck)),
+      // default transport: caller's gate AND the DNS-resolving check — a
+      // name resolving into 10/8 or 169.254/16 is rejected at request
+      // time even when the cheap row gate admitted it
+      fetcher.getOrElse(new HttpFetcher(
+        validate = u => ssrfCheck(u) && !Ssrf.isSsrfResolving(u))),
       images,
       tableIo,
       policies,

@@ -81,8 +81,12 @@ final class JobManager(
             job.status = if (job.status == Cancelled) Cancelled else Done
           }
         } catch {
-          case e: Throwable => job.status = Failed(
-            s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          case e: Throwable => job.synchronized {
+            // a concurrent cancel() wins: the state dir is a valid resume
+            // point and the caller asked for the stop
+            if (job.status != Cancelled) job.status = Failed(
+              s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          }
         } finally {
           job.finishedAtMs = System.currentTimeMillis()
           slots.release()
@@ -145,8 +149,10 @@ final class JobManager(
     expired.foreach { id =>
       val dir = stateDir(id)
       if (Files.exists(dir)) {
-        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        val s = Files.walk(dir)
+        try s.sorted(java.util.Comparator.reverseOrder())
           .forEach(p => Files.delete(p))
+        finally s.close()
       }
       jobs.remove(id)
     }

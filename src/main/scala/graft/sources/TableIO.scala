@@ -86,8 +86,12 @@ final class IcebergTableIO(spark: SparkSession,
   private def ensureManifest(): Unit =
     spark.sql(manifestDDL(manifestFqn))
 
-  private def latestSnapshotId(table: String): Long =
-    spark.sql(latestSnapshotSql(fqn(table))).head().getLong(0)
+  /** None when the table has no snapshot yet (e.g. an empty append to a
+    * just-created table may not create one) — such tables are simply
+    * omitted from the manifest entry (read() treats them as absent, the
+    * same as a table never written). */
+  private def latestSnapshotId(table: String): Option[Long] =
+    spark.sql(latestSnapshotSql(fqn(table))).collect().headOption.map(_.getLong(0))
 
   private def manifestTail(): Option[org.apache.spark.sql.Row] = {
     ensureManifest()
@@ -113,13 +117,13 @@ final class IcebergTableIO(spark: SparkSession,
       // partitions absent from the new frame (e.g. a fully-dequeued host's
       // pending bucket), breaking the trait's snapshot contract
       df.writeTo(fqn(name)).overwrite(org.apache.spark.sql.functions.lit(true))
-      written(name) = latestSnapshotId(name)
+      latestSnapshotId(name).foreach(written(name) = _)
     }
     appends.toSeq.sortBy(_._1).foreach { case (name, df) =>
       spark.sql(TableIO.icebergDDL(fqn(name),
         df.schema.toDDL, bucketCol = bucketColFor(df, bucketCol), numBuckets))
       df.writeTo(fqn(name)).append()
-      written(name) = latestSnapshotId(name)
+      latestSnapshotId(name).foreach(written(name) = _)
     }
     // counters by-name: evaluated after the data writes (same contract as
     // the parquet impl — Observation-sourced counters ride the writes)
@@ -252,9 +256,13 @@ final class ParquetSnapshotTableIO(spark: SparkSession, rootDir: String,
         override def call(): (String, Long, Long) = writeOne(n, d, a)
       })
     }
-    // propagate the FIRST failure; a failed write means no manifest move,
-    // so the epoch is simply uncommitted (idempotent re-run)
-    val written = futures.map(_.get())
+    // wait for EVERY write to terminate before propagating the first
+    // failure: abandoning queued/in-flight siblings would leave orphan
+    // writers racing a resume's re-commit of the same version dirs (the
+    // manifest is unmoved, so a re-run reuses v<N>)
+    val results = futures.map(f => scala.util.Try(f.get()))
+    results.collectFirst { case scala.util.Failure(e) => e }.foreach(e => throw e)
+    val written = results.collect { case scala.util.Success(v) => v }
     val bytes = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     written.foreach { case (n, b, _) => bytes(n) = b }
     val filesTotal = written.map(_._3).sum

@@ -62,11 +62,13 @@ class JobManagerSpec extends SparkSpec {
     mgr.submit("job-1", cfg, images, new FixtureFetcher(web), policies)
     val deadline = System.currentTimeMillis() + 60000
     while (!mgr.status("job-1").contains(JobManager.Running) &&
-        !mgr.status("job-1").contains(JobManager.Done) &&
         System.currentTimeMillis() < deadline) Thread.sleep(10)
+    // a fixture crawl takes seconds and the poll is 10ms, so job-1 is
+    // mid-crawl here — assert it, because the never-committed check below
+    // is only meaningful while job-2 is deterministically queued
+    assert(mgr.status("job-1").contains(JobManager.Running))
     mgr.submit("job-2", cfg, images, new FixtureFetcher(web), policies)
-    mgr.cancel("job-2") // queued (job-1 holds the only slot) or just-started;
-    // either way the cancel must stick (clearPriorCancel=false path)
+    mgr.cancel("job-2") // queued: job-1 holds the only slot
     mgr.awaitAll()
     assert(mgr.status("job-1").contains(JobManager.Done))
     assert(mgr.status("job-2").contains(JobManager.Cancelled))
