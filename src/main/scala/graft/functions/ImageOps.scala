@@ -169,8 +169,12 @@ object ImageOps {
 
   /** Deterministic box-average resize (multimodal transform plumbing;
     * real implementation — decode→pool→encode). */
-  def resizeBox(bytes: Array[Byte], tw: Int, th: Int, fmt: String): Array[Byte] = {
-    val img = decode(bytes)
+  def resizeBox(bytes: Array[Byte], tw: Int, th: Int, fmt: String): Array[Byte] =
+    resizeBoxImg(decode(bytes), tw, th, fmt)
+
+  /** [[resizeBox]] over an ALREADY-DECODED image — callers that also need
+    * the dimensions decode once and reuse (decode dominates this path). */
+  def resizeBoxImg(img: BufferedImage, tw: Int, th: Int, fmt: String): Array[Byte] = {
     val w = img.getWidth; val h = img.getHeight
     val px = rgb(img)
     val out = new BufferedImage(tw, th, BufferedImage.TYPE_INT_RGB)

@@ -29,15 +29,18 @@ object ImageBatch {
     val enc = RowEncoder.encoderFor(outputSchema)
     images.select("image_id", "bytes", "fmt").mapPartitions { it =>
       // batch shape: process `batchSize` rows at a time (the arrow-batch
-      // analog); decoders resolved once per partition, not per row
+      // analog); DecoderRegistry.get is a map lookup (format varies per
+      // row, so per-row dispatch is the contract, not a cost)
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { row =>
           val id = row.getString(0)
           val bytes = row.getAs[Array[Byte]](1)
           val fmt = row.getString(2)
           val decoder = DecoderRegistry.get(fmt)
+          // ONE decode per row: dims and the resize share it (decode is
+          // the dominant cost of this stage)
           val img = decoder.decode(bytes)
-          val thumb = graft.functions.ImageOps.resizeBox(bytes, tw, th, "png")
+          val thumb = graft.functions.ImageOps.resizeBoxImg(img, tw, th, "png")
           Row(id, fmt, img.getWidth, img.getHeight, thumb,
             graft.functions.ImageOps.phash64(thumb))
         }

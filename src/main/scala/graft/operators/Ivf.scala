@@ -53,7 +53,10 @@ object Ivf {
   def train(corpus: DataFrame, dim: Int, k: Int, iters: Int = 3): Model = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // null / wrong-length rows would NPE or misindex inside the assign UDF
+    // (a single failed-upstream embed must not abort training)
     val vecs = corpus.select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .where($"v".isNotNull && size($"v") === dim)
     val init = vecs.orderBy("vec_id").limit(k).select("v")
       .as[Seq[Double]].collect().map(_.toArray)
     var model = Model(init)
@@ -88,6 +91,11 @@ object Ivf {
     }
     val indexed = corpus
       .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+      // same degenerate-row guard as train(); zero-norm rows additionally
+      // produce NaN cosine (Spark sorts NaN first — see Similarity)
+      .where($"v".isNotNull && size($"v") === model.centroids.headOption
+        .map(c => lit(c.length)).getOrElse(lit(0)) &&
+        aggregate($"v", lit(0.0), (acc, x) => acc + x * x) > 0.0)
       .withColumn("cluster", assignUdf(model)($"v"))
     val q0 = queries
       .select($"vec_id".as("qid"), $"embedding".cast("array<double>").as("qv"))

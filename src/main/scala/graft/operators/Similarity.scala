@@ -64,18 +64,37 @@ object Similarity {
     val v = vec.cast("array<double>")
     val bits: Seq[Column] = (0 until planeCount).map { p =>
       val proj = (0 until dim).map { d =>
-        element_at(v, d + 1) * lit(planeSign(planeStart + p, d))
+        // try_element_at: a shorter-than-dim vector yields NULL (bit 0)
+        // instead of INVALID_ARRAY_INDEX under ANSI mode (Spark 4 default)
+        // — one malformed row must not kill the job; callers filter
+        // degenerate rows before banding (see degenerateFilter)
+        try_element_at(v, lit(d + 1)) * lit(planeSign(planeStart + p, d))
       }.reduce(_ + _)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
 
+  /** Rows a cosine-space operator can say nothing about: null, wrong
+    * length, or zero norm (cosine = 0/0 = NaN, which Spark orders ABOVE
+    * every real value — an unguarded zero vector would rank #1 for every
+    * query). Applied to the corpus side of the top-k operators. */
+  private[operators] def wellFormed(vec: Column, dim: Int): Column =
+    vec.isNotNull && size(vec) === dim &&
+      aggregate(vec.cast("array<double>"), lit(0.0),
+        (acc, x) => acc + x * x) > 0.0
+
   /** Exact brute-force top-k neighbors for each query row.
     * queries is expected to be small (broadcast); corpus is scanned once.
     * Returns (qid, id, cos, rank ≤ k); self-matches excluded. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val c = corpus.select(col("vec_id").as("id"), col("embedding").as("v"))
+      // zero-norm / null corpus rows are droppable, not rankable: their
+      // cosine is NaN, and Spark sorts NaN above every real value, so one
+      // degenerate row would otherwise be every query's rank-1 neighbor
+      .where(col("v").isNotNull &&
+        aggregate(col("v").cast("array<double>"), lit(0.0),
+          (acc, x) => acc + x * x) > 0.0)
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val scored = c.join(broadcast(q), col("id") =!= col("qid"))
       // cross-shape by construction: brute force IS the full scan baseline
@@ -100,6 +119,7 @@ object Similarity {
         * sides shuffled; same results, different physical plan). */
       broadcastQueries: Boolean = true): DataFrame = {
     val c = corpus.select(col("vec_id").as("id"), col("embedding").as("v"))
+      .where(wellFormed(col("v"), dim)) // NaN-cosine / short-vector guard
       .withColumn("bucket", signBits(col("v"), dim, numPlanes))
     val probes = (0 until numPlanes).map(p => lit(1L << p)) :+ lit(0L)
     val q0 = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))

@@ -48,20 +48,40 @@ object Structured {
     if (m.find()) Some(getText(m.group(1))).filter(_.nonEmpty) else None
   }
 
+  /** Inner HTML from `from` to the close tag BALANCING the already-matched
+    * open tag: nested same-name elements are depth-tracked, so
+    * `<div role="main"><div>…</div><p>…</p></div>` yields the whole region
+    * (a lazy `(.*?)</tag>` regex stops at the first inner close and
+    * silently truncates the region to its first child). Unclosed → to end
+    * of document (lenient, like a real DOM parser's recovery). */
+  private def balancedInner(html: String, from: Int, tag: String): String = {
+    val p = java.util.regex.Pattern.compile(s"(?is)<$tag\\b[^>]*>|</$tag\\s*>")
+    val m = p.matcher(html)
+    var depth = 1
+    var pos = from
+    while (m.find(pos)) {
+      if (m.group().startsWith("</")) depth -= 1 else depth += 1
+      if (depth == 0) return html.substring(from, m.start())
+      pos = m.end()
+    }
+    html.substring(from)
+  }
+
   /** Main-content region: first of main/article/[role=main]/body, else the
-    * whole document (`structured.py:170-177`). */
+    * whole document (`structured.py:170-177`); regions close on the
+    * DEPTH-BALANCED end tag via [[balancedInner]]. */
   def mainContent(html: String): String = {
-    // the role=main pattern captures its OWN tag name and closes on the
-    // matching </tag> (a bare </[a-z]+> would stop at the first inner
-    // closing tag and truncate the region to its first child)
-    val pats = Seq(
-      "(?is)<main\\b[^>]*>(.*?)</main>" -> 1,
-      "(?is)<article\\b[^>]*>(.*?)</article>" -> 1,
-      "(?is)<([a-z]+)\\b[^>]*\\brole=[\"']main[\"'][^>]*>(.*?)</\\1>" -> 2,
-      "(?is)<body\\b[^>]*>(.*?)</body>" -> 1)
-    pats.view.flatMap { case (p, g) =>
+    val opens = Seq(
+      "(?is)<(main)\\b[^>]*>",
+      "(?is)<(article)\\b[^>]*>",
+      "(?is)<([a-z]+)\\b[^>]*\\brole=[\"']main[\"'][^>]*>",
+      "(?is)<(body)\\b[^>]*>")
+    opens.view.flatMap { p =>
       val m = java.util.regex.Pattern.compile(p).matcher(html)
-      if (m.find()) Some(m.group(g)) else None
+      if (m.find())
+        Some(balancedInner(html, m.end(),
+          m.group(1).toLowerCase(java.util.Locale.ROOT)))
+      else None
     }.headOption.getOrElse(html)
   }
 
@@ -70,10 +90,13 @@ object Structured {
 
   private def attr(tag: String, name: String): Option[String] = {
     // (?<![\w-]) not \b: a word boundary alone lets `src=` match inside
-    // `data-src=` (hyphen is a boundary), extracting the wrong attribute
+    // `data-src=` (hyphen is a boundary), extracting the wrong attribute.
+    // Quote alternation (not a [\"'] class): the value must close with the
+    // SAME quote that opened it — alt="dog's toy" keeps its apostrophe
+    // instead of truncating at it
     val m = java.util.regex.Pattern
-      .compile(s"(?is)(?<![\\w-])$name\\s*=\\s*[\"']([^\"']*)[\"']").matcher(tag)
-    if (m.find()) Some(m.group(1)) else None
+      .compile(s"""(?is)(?<![\\w-])$name\\s*=\\s*("([^"]*)"|'([^']*)')""").matcher(tag)
+    if (m.find()) Option(m.group(2)).orElse(Option(m.group(3))) else None
   }
 
   /** Parse the main-content region into typed blocks, document order. */

@@ -104,22 +104,41 @@ object HtmlToMarkdown {
     * .content with ≥200 chars of inner HTML, else the whole body. Static
     * regex scope — no DOM/JS rendering exists in this container. */
   def extractMain(html: String): String = {
-    // role/id/class patterns capture their OWN tag name and close on the
-    // matching </tag> — a bare </[a-z]+> stops at the first inner closing
-    // tag and truncates the region to its first child
+    // regions close on the DEPTH-BALANCED end tag: a lazy (.*?)</tag>
+    // stops at the first NESTED close (e.g. an inner <div> of
+    // <div role="main">) and truncates the region to its first child
     val pats = Seq(
-      "(?is)<main\\b[^>]*>(.*?)</main>" -> 1,
-      "(?is)<article\\b[^>]*>(.*?)</article>" -> 1,
-      "(?is)<([a-z]+)\\b[^>]*\\brole=[\"']main[\"'][^>]*>(.*?)</\\1>" -> 2,
-      "(?is)<([a-z]+)\\b[^>]*\\bid=[\"']content[\"'][^>]*>(.*?)</\\1>" -> 2,
-      "(?is)<([a-z]+)\\b[^>]*\\bclass=[\"'][^\"']*\\bcontent\\b[^\"']*[\"'][^>]*>(.*?)</\\1>" -> 2)
-    pats.view.flatMap { case (p, g) =>
+      "(?is)<(main)\\b[^>]*>",
+      "(?is)<(article)\\b[^>]*>",
+      "(?is)<([a-z]+)\\b[^>]*\\brole=[\"']main[\"'][^>]*>",
+      "(?is)<([a-z]+)\\b[^>]*\\bid=[\"']content[\"'][^>]*>",
+      "(?is)<([a-z]+)\\b[^>]*\\bclass=[\"'][^\"']*\\bcontent\\b[^\"']*[\"'][^>]*>")
+    pats.view.flatMap { p =>
       val m = java.util.regex.Pattern.compile(p).matcher(html)
-      if (m.find() && m.group(g).length >= 200) Some(m.group(g)) else None
+      if (m.find()) {
+        val inner = balancedInner(html, m.end(),
+          m.group(1).toLowerCase(java.util.Locale.ROOT))
+        if (inner.length >= 200) Some(inner) else None
+      } else None
     }.headOption.getOrElse {
-      val m = java.util.regex.Pattern.compile("(?is)<body\\b[^>]*>(.*?)</body>").matcher(html)
-      if (m.find()) m.group(1) else html
+      val m = java.util.regex.Pattern.compile("(?is)<(body)\\b[^>]*>").matcher(html)
+      if (m.find()) balancedInner(html, m.end(), "body") else html
     }
+  }
+
+  /** Inner HTML from `from` to the close tag balancing the already-matched
+    * open tag (depth-tracked; unclosed → to end, lenient DOM-recovery). */
+  private def balancedInner(html: String, from: Int, tag: String): String = {
+    val p = java.util.regex.Pattern.compile(s"(?is)<$tag\\b[^>]*>|</$tag\\s*>")
+    val m = p.matcher(html)
+    var depth = 1
+    var pos = from
+    while (m.find(pos)) {
+      if (m.group().startsWith("</")) depth -= 1 else depth += 1
+      if (depth == 0) return html.substring(from, m.start())
+      pos = m.end()
+    }
+    html.substring(from)
   }
 }
 

@@ -22,13 +22,31 @@ object Sitemaps {
 
   private val SitemapNs = "http://www.sitemaps.org/schemas/sitemap/0.9"
 
+  /** Strips a DOCTYPE declaration (with optional internal subset). */
+  private val DoctypeRe =
+    java.util.regex.Pattern.compile("(?s)<!DOCTYPE[^\\[>]*(\\[[^\\]]*\\])?[^>]*>")
+
   /** Parse one sitemap body → (page urls, child sitemap urls). Invalid XML
-    * or wrong root → both empty (error tolerance). */
+    * or wrong root → both empty (error tolerance).
+    *
+    * Entity posture matches defusedxml's DEFAULTS (`discovery.py:8` —
+    * forbid_dtd=False, forbid_entities=True): a body declaring ANY entity
+    * is rejected outright, but an entity-free DOCTYPE is tolerated (the
+    * declaration is stripped before the JDK parse, whose
+    * disallow-doctype-decl would otherwise reject sitemaps the reference
+    * accepts). */
   def parse(bytes: Array[Byte], gzipped: Boolean): (Seq[String], Seq[String]) = {
     try {
-      val raw =
+      val raw0 =
         if (gzipped) new GZIPInputStream(new ByteArrayInputStream(bytes)).readAllBytes()
         else bytes
+      val text = new String(raw0, java.nio.charset.StandardCharsets.UTF_8)
+      if (text.contains("<!ENTITY")) return (Seq.empty, Seq.empty) // EntitiesForbidden
+      val raw =
+        if (text.contains("<!DOCTYPE"))
+          DoctypeRe.matcher(text).replaceFirst("")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        else raw0
       val dbf = DocumentBuilderFactory.newInstance()
       dbf.setNamespaceAware(true)
       dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
@@ -83,11 +101,16 @@ object Sitemaps {
       (host, basePath)
     }
     val seedsDf = broadcast(seedRows.toDF("host", "basePath"))
+    // every sitemap carries the SEED HOST whose chain reached it: the
+    // reference admits a URL only when its netloc equals the host whose
+    // expansion discovered it (expandPure parity) — without the tag, a URL
+    // on host B listed in host A's sitemap would be admitted under B even
+    // though B's own chain never saw it
     val roots = seeds.toSeq.sortBy(_._1).flatMap { case (h, baseUrl) =>
-      standardRoots(baseUrl) ++
-        policies.get(h).map(_.sitemaps.toSeq).getOrElse(Seq.empty)
+      (standardRoots(baseUrl) ++
+        policies.get(h).map(_.sitemaps.toSeq).getOrElse(Seq.empty)).map(u => (u, h))
     }.distinct
-    var pending = roots.toDF("sitemap_url")
+    var pending = roots.toDF("sitemap_url", "seedHost")
     var visited = pending
     var collected = Seq.empty[DataFrame]
     val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -96,9 +119,10 @@ object Sitemaps {
     while (continue && round < maxRounds) {
       val batch = pending.join(parsed, Seq("sitemap_url")).cache()
       cached += batch
-      collected :+= batch.select(explode($"urls").as("url"))
-      val children = batch.select(explode($"children").as("sitemap_url")).distinct()
-        .join(visited, Seq("sitemap_url"), "left_anti")
+      collected :+= batch.select($"seedHost", explode($"urls").as("url"))
+      val children = batch
+        .select(explode($"children").as("sitemap_url"), $"seedHost").distinct()
+        .join(visited, Seq("sitemap_url", "seedHost"), "left_anti")
       if (children.isEmpty) continue = false
       else { visited = visited.unionByName(children); pending = children; round += 1 }
     }
@@ -112,6 +136,7 @@ object Sitemaps {
     val all = collected.reduce(_ unionByName _)
     val result = all
       .withColumn("host", urlfns.url_host($"url")) // RAW netloc, pre-normalize
+      .where($"host" === $"seedHost") // chain-origin equality (discovery.py:459)
       .withColumn("rawPath", regexp_replace(urlfns.url_path($"url"), "/+$", ""))
       .join(seedsDf, Seq("host"), "inner") // case-sensitive netloc equality
       .where($"basePath" === "" || startswith($"rawPath", $"basePath"))

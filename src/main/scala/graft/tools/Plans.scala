@@ -15,7 +15,7 @@ object Plans {
       "q01_pricing_agg", "q03_join_agg_nation", "q04_anti_join_unsold_parts",
       "q07_running_sum_supplier", "q11_url_filter", "q15_politeness_dequeue",
       "q16_frontier_admission", "q22_minhash_neardup", "q23_embedding_topk",
-      "q24_embedding_neardup", "q25_ann_lsh", "q31_structured_blocks",
+      "q24_embedding_neardup", "q25_ann_lsh", "q26_simhash_neardup", "q31_structured_blocks",
       "q32_chunking")
     val out = new StringBuilder
     interesting.foreach { name =>

@@ -187,7 +187,14 @@ object PyUrl {
     */
   def canonicalize(urlIn: String): String = {
     val MaxLen = 2000
-    val url = if (urlIn.length > MaxLen) urlIn.substring(0, MaxLen) else urlIn
+    // CPython slices by CODE POINTS (url[:2000]); Java substring counts
+    // UTF-16 units and can split a surrogate pair, leaving a lone
+    // surrogate that UTF8String later mangles — count code points and cut
+    // on a code-point boundary like the reference
+    val url =
+      if (urlIn.length <= MaxLen) urlIn // fast path: ≤2000 units ⇒ ≤2000 cps
+      else if (urlIn.codePointCount(0, urlIn.length) <= MaxLen) urlIn
+      else urlIn.substring(0, urlIn.offsetByCodePoints(0, MaxLen))
     val p = urlparse(url)
     if (p.scheme != "http" && p.scheme != "https" && p.scheme != "") return url
     val path =

@@ -163,6 +163,18 @@ class HttpFetcherSpec extends SparkSpec {
     assert(!md.contains("nav") && !md.contains("foot") && !md.contains("var a"))
   }
 
+  test("extractMain: nested same-tag elements close on the balanced end tag") {
+    // an inner <div> inside <div role=main> must not truncate the region
+    // to its first child (lazy (.*?)</div> stopped at the inner close)
+    val filler = "<p>" + ("main body prose sentence. " * 10) + "</p>"
+    val html = "<html><body><p>outside</p><div role='main'>" +
+      s"<div class='hero'>hero</div>$filler<p>tail paragraph</p></div>" +
+      "<p>post</p></body></html>"
+    val region = HtmlToMarkdown.extractMain(html)
+    assert(region.contains("tail paragraph"), s"region truncated: $region")
+    assert(!region.contains("post") && !region.contains("outside"))
+  }
+
   test("native level requires 200: markdown-typed error bodies fall through the chain") {
     val (server, base) = newServer()
     server.createContext("/page", (ex: HttpExchange) => {

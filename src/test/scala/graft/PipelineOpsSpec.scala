@@ -200,6 +200,38 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("degenerate embeddings: zero-norm, null, and short vectors never rank or crash") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val bad = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(9000001L, Seq.fill(64)(0.0f)),          // zero norm → cosine NaN
+        Row(9000002L, null),                        // failed upstream embed
+        Row(9000003L, Seq.fill(32)(0.5f))),         // wrong dimension
+      schema)
+    val corpus = embs.select("vec_id", "embedding").unionByName(bad)
+    val queries = embs.where($"vec_id" < 5)
+    // Spark orders NaN ABOVE every double: an unguarded zero vector would
+    // be rank-1 for every query; ANSI element_at on the short vector would
+    // kill the LSH job outright
+    val brute = Similarity.bruteForceTopK(corpus, queries, 3)
+      .select("id").as[Long].collect().toSet
+    // brute force has no dim contract (CosineSim scores the overlapping
+    // prefix of a short vector) — it guards NaN/null only
+    assert(brute.intersect(Set(9000001L, 9000002L)).isEmpty,
+      s"NaN/null row ranked in brute force: $brute")
+    val ann = Similarity.lshTopK(corpus, queries, 3, dim = 64, numPlanes = 6)
+      .select("id").as[Long].collect().toSet
+    val model = Ivf.train(corpus, dim = 64, k = 4, iters = 1)
+    val ivf = Ivf.topK(corpus, queries, model, k = 3, nProbe = 2)
+      .select("id").as[Long].collect().toSet
+    Seq(ann, ivf).foreach(ids =>
+      assert(ids.intersect(Set(9000001L, 9000002L, 9000003L)).isEmpty,
+        s"degenerate row ranked: $ids"))
+  }
+
   test("LSH ANN recall vs brute force") {
     val queries = embs.where($"vec_id" < 10)
     val brute = Similarity.bruteForceTopK(embs, queries, 5)

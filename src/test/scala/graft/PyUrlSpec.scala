@@ -46,6 +46,20 @@ class PyUrlSpec extends AnyFunSuite {
   test("unicode path survives") {
     assert(PyUrl.canonicalize("https://example.com/página").startsWith("https://example.com/"))
   }
+  test("2000-char truncation slices by code points, never mid-surrogate (CPython url[:2000])") {
+    // base puts a non-BMP char (2 UTF-16 units) straddling index 2000
+    val base = "https://example.com/" + "a" * 1979 // length 1999
+    val url = base + "😀" + "tail" * 50   // emoji starts at 1999
+    val out = PyUrl.canonicalize(url)
+    // CPython url[:2000] keeps 2000 CODE POINTS: the emoji is kept whole
+    assert(out.codePointCount(0, out.length) == 2000)
+    assert(out.endsWith("😀")) // not a lone high surrogate
+    assert(!out.exists(c => Character.isHighSurrogate(c) &&
+      out.indexOf(c) == out.length - 1))
+    // pure-BMP long URLs cut at exactly 2000 chars as before
+    val bmp = PyUrl.canonicalize("https://example.com/" + "b" * 3000)
+    assert(bmp.length == 2000)
+  }
   test("percent-encoding preserved") {
     assert(PyUrl.canonicalize("https://example.com/path%20with%20spaces").contains("%20"))
   }

@@ -48,6 +48,49 @@ class SourcesStreamingSpec extends SparkSpec {
     assert(u5.isEmpty)
   }
 
+  test("sitemap parse: entity-free DOCTYPE tolerated (defusedxml default); entities rejected") {
+    // defusedxml defaults: forbid_dtd=False, forbid_entities=True — an
+    // entity-free DOCTYPE-bearing sitemap must parse (round-2 rejected it)
+    val withDoctype =
+      ("""<?xml version="1.0"?><!DOCTYPE urlset>""" +
+        """<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">""" +
+        """<url><loc>https://a.test/docs/d1</loc></url></urlset>""").getBytes
+    val (u, _) = Sitemaps.parse(withDoctype, gzipped = false)
+    assert(u == Seq("https://a.test/docs/d1"))
+    // internal-subset DOCTYPE without entities also parses
+    val withSubset =
+      ("""<!DOCTYPE urlset [<!ELEMENT x (#PCDATA)>]>""" +
+        """<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">""" +
+        """<url><loc>https://a.test/docs/d2</loc></url></urlset>""").getBytes
+    assert(Sitemaps.parse(withSubset, gzipped = false)._1 == Seq("https://a.test/docs/d2"))
+    // any ENTITY declaration → rejected outright (EntitiesForbidden analog)
+    val withEntity =
+      ("""<!DOCTYPE urlset [<!ENTITY e "x">]>""" +
+        """<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">""" +
+        """<url><loc>https://a.test/docs/d3</loc></url></urlset>""").getBytes
+    assert(Sitemaps.parse(withEntity, gzipped = false)._1.isEmpty)
+  }
+
+  test("sitemap expandAll: URL on host B found only in host A's chain is NOT admitted") {
+    // expandPure(A) rejects it (netloc != A) and expandPure(B) never walks
+    // A's chain — the distributed expansion must agree (round-2 admitted it)
+    val rows = Seq(
+      ("https://a.test/sitemap.xml",
+        urlset("https://a.test/docs/own", "https://b.test/docs/foreign"), false),
+      ("https://b.test/sitemap.xml",
+        urlset("https://b.test/docs/own"), false))
+      .toDF("sitemap_url", "body", "gzipped")
+    val seeds = Map("a.test" -> "https://a.test/docs", "b.test" -> "https://b.test/docs")
+    val got = Sitemaps.expandAll(rows, seeds)
+      .select("urlNorm").as[String].collect().toSet
+    assert(got == Set("https://a.test/docs/own", "https://b.test/docs/own"),
+      s"cross-host sitemap URL leaked: $got")
+    val bodies = rows.as[(String, Array[Byte], Boolean)].collect()
+      .map { case (u, b, g) => u -> (b, g) }.toMap
+    assert(got == Sitemaps.expandPure(bodies, "a.test", "https://a.test/docs") ++
+      Sitemaps.expandPure(bodies, "b.test", "https://b.test/docs"))
+  }
+
   test("sitemap expandAll: nested index + gzip + domain/path filter + canonicalize") {
     val rows = Seq(
       ("https://a.test/sitemap.xml", index("https://a.test/sm1.xml", "https://a.test/sm2.xml.gz"), false),

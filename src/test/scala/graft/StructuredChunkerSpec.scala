@@ -48,6 +48,23 @@ class StructuredChunkerSpec extends SparkSpec {
     assert(img.head.content == "real.png")
   }
 
+  test("structured: nested same-tag elements inside role=main; attr keeps the other quote") {
+    // <div> nested inside <div role=main> — a lazy (.*?)</div> would stop
+    // at the INNER close and drop everything after the first child
+    val html = "<html><body><p>outside</p><div role='main'>" +
+      "<div class='hero'><p>hero text</p></div>" +
+      "<p>after nested</p><table><tr><td>cell</td></tr></table></div>" +
+      "<p>trailing outside</p></body></html>"
+    val b = Structured.parseBlocks(html)
+    assert(b.map(_.blockType) == Seq("paragraph", "paragraph", "table"),
+      s"nested-div truncation: $b")
+    assert(b(0).content == "hero text" && b(1).content == "after nested")
+    // attribute values keep the OTHER quote character intact
+    val img = Structured.parseBlocks(
+      """<body><img src="a.png" alt="dog's toy"/></body>""")
+    assert(img.head.alt.contains("dog's toy"))
+  }
+
   test("structured: table JSON escapes control characters; null inputs are safe") {
     val b = Structured.parseBlocks(
       "<body><table><tr><td>line\nbreak</td><td>tab\there</td></tr></table></body>")
