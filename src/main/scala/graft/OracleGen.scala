@@ -179,7 +179,10 @@ object OracleGen {
     val byFmt = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (fmt, rs) =>
       s"('$fmt', ${rs.size}, ${rs.count(_._2)}, ${rs.map(_._3).distinct.size})"
     }
-    s"""SELECT fmt, n, n_valid, n_phash
+    // empty VALUES is a DuckDB syntax error, not an empty result — guard
+    if (byFmt.isEmpty)
+      """SELECT '' AS fmt, 0 AS n, 0 AS n_valid, 0 AS n_phash WHERE 1 = 0"""
+    else s"""SELECT fmt, n, n_valid, n_phash
        FROM (VALUES ${byFmt.mkString(", ")}) AS t(fmt, n, n_valid, n_phash)
        ORDER BY fmt"""
   }
@@ -195,7 +198,10 @@ object OracleGen {
         s"('$host', ${i + 1}, '$url', '${res.dispositions(url)}')"
       }
     }
-    s"""SELECT host, priority, urlNorm, disposition
+    // empty VALUES is a DuckDB syntax error, not an empty result — guard
+    if (rows.isEmpty)
+      """SELECT '' AS host, 0 AS priority, '' AS urlNorm, '' AS disposition WHERE 1 = 0"""
+    else s"""SELECT host, priority, urlNorm, disposition
        FROM (VALUES ${rows.mkString(", ")}) AS t(host, priority, urlNorm, disposition)
        ORDER BY host, priority"""
   }

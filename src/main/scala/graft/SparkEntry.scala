@@ -267,8 +267,13 @@ object SparkEntry {
       val aug = base.unionByName(base.where(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 1000000).as("doc_id"),
           concat(lit("mutate "), expr("substring(text, 8)")).as("text")))
+      // 24 bands (not the default 16): the oracle is EXACT jaccard ≥ 0.5,
+      // so banding recall must be a near-certainty down to j = 0.5 even
+      // for the shortest fixture docs (~44 chars → j ≈ 0.57 for the head
+      // mutation; miss prob (1-j²)^24 ≈ 8e-5 vs 2e-3 at 16 bands — a
+      // fixture-regen lottery the driver gate must not be exposed to)
       Dedup.minhashPairs(aug, col("doc_id"), col("text"),
-          shingleK = 5, numBands = 16, rowsPerBand = 2, threshold = 0.5)
+          shingleK = 5, numBands = 24, rowsPerBand = 2, threshold = 0.5)
         .where(col("id_b") === col("id_a") + 1000000)
         .select("id_a", "id_b", "jaccard").orderBy("id_a")
     }),
@@ -594,14 +599,14 @@ object SparkEntry {
            AS INT) AS score
          FROM (SELECT doc_id, text,
                  CASE WHEN len(trim(text)) = 0 THEN 0
-                      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS words
+                      ELSE len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) END AS words
                FROM documents)
          ORDER BY doc_id""",
     "q20_token_counts" ->
       """SELECT doc_id,
            CASE WHEN len(trim(text)) = 0 THEN 0
-                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws,
-           len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+')) AS n_bpe
+                ELSE len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) END AS n_ws,
+           len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^ \t\n\x0b\f\ra-zA-Z0-9]+')) AS n_bpe
          FROM documents ORDER BY doc_id""",
     "q21_dedup_exact" ->
       s"""WITH aug AS ($augDocsSql)

@@ -28,15 +28,19 @@ object Chunker {
     "data-page-mode\\s*=",
     "suppressHydrationWarning").map(_.r)
 
+  // Python-\s class, NOT Java's ASCII \s: the reference compiles these
+  // with Unicode str semantics, so an NBSP-prefixed " On this page"
+  // is still a noise line there (Hashing.PyWs is the shared class)
+  private val Ws = s"[${graft.functions.Hashing.PyWs}]"
   private val NoiseLinePatterns = Seq(
-    "(?i)^\\s*On this page\\s*$",
-    "(?i)^\\s*Edit this page\\s*$",
-    "(?i)^\\s*Was this page helpful\\??\\s*$",
-    "(?i)^\\s*Last updated\\s*(on\\s+)?[\\d/\\-]+\\s*$",
-    "(?i)^\\s*Skip to (main )?content\\s*$",
-    "(?i)^\\s*Table of contents?\\s*$",
-    "(?i)^\\s*Previous\\s*$",
-    "(?i)^\\s*Next\\s*$").map(_.r)
+    s"(?i)^$Ws*On this page$Ws*$$",
+    s"(?i)^$Ws*Edit this page$Ws*$$",
+    s"(?i)^$Ws*Was this page helpful\\??$Ws*$$",
+    s"(?i)^$Ws*Last updated$Ws*(on$Ws+)?[\\d/\\-]+$Ws*$$",
+    s"(?i)^$Ws*Skip to (main )?content$Ws*$$",
+    s"(?i)^$Ws*Table of contents?$Ws*$$",
+    s"(?i)^$Ws*Previous$Ws*$$",
+    s"(?i)^$Ws*Next$Ws*$$").map(_.r)
 
   private val HeadingRe = "(?m)^(#{1,3})\\s+".r
   private val CodeFenceRe = "(?s)```.*?```".r
@@ -51,7 +55,7 @@ object Chunker {
     val cleaned = scala.collection.mutable.ArrayBuffer.empty[String]
     var inNoiseBlock = false
     text.split("\n", -1).foreach { line =>
-      val stripped = line.trim
+      val stripped = pyStrip(line) // Python str.strip(): Unicode whitespace
       if (stripped == "{" && !inNoiseBlock) inNoiseBlock = true
       else if (inNoiseBlock) {
         if (stripped == "}" || stripped == "};") inNoiseBlock = false
@@ -155,16 +159,24 @@ object Cleanup {
     "all rights reserved", "powered by")
 
   private val CodeBlockRe = "(?s)```.*?```".r
-  private val TableRowRe = "(?m)^\\|.+\\|$".r
-  private val TableSepRe = "(?m)^\\|[\\s\\-:|]+\\|$".r
+  // (?=\n|\z) not (?m)$: Java's multiline $ matches BEFORE a \r\n
+  // terminator while Python's only matches before \n — CRLF markdown must
+  // not count rows the reference's regex rejects
+  private val TableRowRe = "(?m)^\\|.+\\|(?=\n|\\z)".r
+  private val TableSepRe = "(?m)^\\|[\\s\\-:|]+\\|(?=\n|\\z)".r
   private val LatexPatterns = Seq(
     "\\\\frac\\{", "\\\\begin\\{", "\\\\end\\{", "\\\\[a-zA-Z]+\\{",
     "\\$[^$\\d][^$]*\\$").map(_.r)
   private val PriceRe = "\\$\\d+[\\d.,]*".r
 
+  /** Python len() counts CODE POINTS; Java .length counts UTF-16 units —
+    * astral-heavy chunks (emoji, CJK extensions) would otherwise cross the
+    * reference's thresholds at half the real length. */
+  private def cpLen(s: String): Int = s.codePointCount(0, s.length)
+
   def codeDensity(markdown: String): Double =
     if (markdown.isEmpty) 0.0
-    else CodeBlockRe.findAllIn(markdown).map(_.length).sum.toDouble / markdown.length
+    else CodeBlockRe.findAllIn(markdown).map(cpLen).sum.toDouble / cpLen(markdown)
 
   def hasBrokenTables(markdown: String): Boolean = {
     val rows = TableRowRe.findAllIn(markdown).size
@@ -184,11 +196,12 @@ object Cleanup {
     if (markdown == null) return "skip"
     val lower = markdown.toLowerCase(java.util.Locale.ROOT)
     val hasNoise = NoiseIndicators.exists(lower.contains)
+    val len = cpLen(markdown) // Python len(): code points
     if (codeDensity(markdown) > 0.6) "skip"
-    else if (markdown.length < 2000 && !hasNoise) "skip"
+    else if (len < 2000 && !hasNoise) "skip"
     else if (hasBrokenTables(markdown) || hasLatex(markdown)) "heavy"
     else if (hasNoise) "cleanup"
-    else if (markdown.length >= 2000) "cleanup"
+    else if (len >= 2000) "cleanup"
     else "skip"
   }
 

@@ -21,8 +21,10 @@ object Seen {
     val spark = seen.sparkSession
     import spark.implicits._
     val zero = BloomFilter.create(math.max(64L, expectedItems), fpp)
+    // null keys skipped: putString NPEs, and a null can never equi-join
+    // against the seen set anyway (see admitPartitioned)
     seen.select("urlNorm").as[String].rdd.treeAggregate(zero)(
-      seqOp = (bf, s) => { bf.putString(s); bf },
+      seqOp = (bf, s) => { if (s != null) bf.putString(s); bf },
       combOp = (a, b) => { a.mergeInPlace(b); a },
       depth = 2)
   }
@@ -37,7 +39,12 @@ object Seen {
     * far smaller shuffle when the frontier ≫ new links. */
   def admitPartitioned(candidates: DataFrame, seen: DataFrame,
       bloom: Broadcast[BloomFilter]): DataFrame = {
-    val mightContain = udf((s: String) => bloom.value.mightContainString(s))
+    // null-safe: a null urlNorm is "definitely new" (false) — the exact
+    // admit()'s left-anti also passes null keys through (an equi-join
+    // never matches null), so the two admission paths stay equivalent
+    // instead of the scale path NPE-ing where the exact path succeeds
+    val mightContain = udf((s: String) =>
+      s != null && bloom.value.mightContainString(s))
     val flagged = candidates.withColumn("__maybe", mightContain(col("urlNorm")))
     val definitelyNew = flagged.where(!col("__maybe")).drop("__maybe")
     val possible = flagged.where(col("__maybe")).drop("__maybe")

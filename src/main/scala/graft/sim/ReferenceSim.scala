@@ -20,6 +20,27 @@ import graft.util.PyUrl
   */
 object ReferenceSim {
 
+  /** Python `sorted()` / Spark `UTF8String` comparison order: CODE-POINT
+    * (= UTF-8 byte) lexicographic. Scala's default String ordering is
+    * UTF-16 code-UNIT order, which ranks supplementary characters
+    * (surrogate range 0xD800+) BELOW high-BMP chars like U+FFFD — the
+    * simulator must sort the way BOTH the reference and the engine do or
+    * the golden dispatch order diverges on non-BMP URLs. */
+  private[sim] val CpOrder: Ordering[String] = new Ordering[String] {
+    override def compare(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
+  }
+
   // ---- pure transcriptions shared with nothing Spark ----
 
   def contentHash(markdown: String): String = {
@@ -69,7 +90,7 @@ object ReferenceSim {
         else Some(s"${p.scheme}://${p.netloc}$path")
       }
     }.toSet
-    filtered.toSeq.sorted
+    filtered.toSeq.sorted(CpOrder)
   }
 
   // ---- the simulated crawl ----
@@ -141,7 +162,7 @@ object ReferenceSim {
     }
 
     // discovery output is sorted (discovery.py:606-607)
-    val discovered = visited.toSeq.sorted
+    val discovered = visited.toSeq.sorted(CpOrder)
     // filter_urls (runner.py:284)
     val filtered = filterUrls(discovered, baseUrl, language)
     // robots admission, order-preserving (runner.py:297-309)

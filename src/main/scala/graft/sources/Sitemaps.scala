@@ -26,8 +26,9 @@ object Sitemaps {
   private val DoctypeRe =
     java.util.regex.Pattern.compile("(?s)<!DOCTYPE[^\\[>]*(\\[[^\\]]*\\])?[^>]*>")
 
-  /** Parse one sitemap body → (page urls, child sitemap urls). Invalid XML
-    * or wrong root → both empty (error tolerance).
+  /** Parse one sitemap body → (page urls, child sitemap urls). Invalid
+    * XML → both empty (error tolerance); any root tag is accepted and
+    * searched document-wide, like the reference's findall('.//…').
     *
     * Entity posture matches defusedxml's DEFAULTS (`discovery.py:8` —
     * forbid_dtd=False, forbid_entities=True): a body declaring ANY entity
@@ -53,7 +54,6 @@ object Sitemaps {
       dbf.setXIncludeAware(false)
       dbf.setExpandEntityReferences(false)
       val doc = dbf.newDocumentBuilder().parse(new ByteArrayInputStream(raw))
-      val root = doc.getDocumentElement
       def locs(parent: String): Seq[String] = {
         val nodes = doc.getElementsByTagNameNS(SitemapNs, parent)
         (0 until nodes.getLength).flatMap { i =>
@@ -62,11 +62,12 @@ object Sitemaps {
           (0 until ls.getLength).map(j => ls.item(j).getTextContent.trim)
         }
       }
-      root.getLocalName match {
-        case "urlset"       => (locs("url"), Seq.empty)
-        case "sitemapindex" => (Seq.empty, locs("sitemap"))
-        case _              => (Seq.empty, Seq.empty)
-      }
+      // reference parity: findall('.//ns:url/ns:loc') AND
+      // findall('.//ns:sitemap/ns:loc') run on EVERY document regardless
+      // of root tag (`discovery.py` parses both element kinds wherever
+      // they appear — a sitemapindex with inline <url> entries, or a
+      // non-standard wrapper root, still yields its pages and children)
+      (locs("url"), locs("sitemap"))
     } catch { case _: Exception => (Seq.empty, Seq.empty) }
   }
 

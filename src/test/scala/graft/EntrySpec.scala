@@ -31,6 +31,31 @@ class EntrySpec extends SparkSpec {
     assert(run("Asia/Tokyo") == utc)
   }
 
+  test("fixture contract: documents text properties the q32/q33 generated oracles assume") {
+    // q32's 3-chunk reconstruction and q33's doc_id%6 → level table are
+    // valid ONLY under these text properties; if the driver regenerates
+    // fixtures differently, fail HERE with a pointer instead of a silent
+    // oracle/query divergence.
+    val noise = Seq("cookie", "privacy policy", "terms of service",
+      "subscribe", "toggle dark", "toggle light", "dark mode", "light mode",
+      "skip to content", "table of contents", "on this page",
+      "all rights reserved", "powered by")
+    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
+      val texts = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
+        .select("text").as[String].collect()
+      assert(texts.nonEmpty)
+      texts.foreach { t =>
+        assert(t.length >= 40 && t.length < 2000,
+          s"$sf: doc length ${t.length} outside the oracle-assumed range")
+        assert(!t.exists("\n#{`|$".contains(_)),
+          s"$sf: doc contains a chunk/classify-significant char")
+        val lower = t.toLowerCase(java.util.Locale.ROOT)
+        assert(!noise.exists(lower.contains),
+          s"$sf: doc contains a cleanup noise indicator")
+      }
+    }
+  }
+
   test("batched multimodal transform: thumbnails with typed schema") {
     val images = FixtureGen.imagesDF(spark, 24L)
     val thumbs = ImageBatch.thumbnails(images, 16, 16, batchSize = 8)
