@@ -30,16 +30,10 @@ object SparkEntry {
 
   private def cents(c: Column): Column = round(c * 100).cast("long")
 
-  /** Zone-free epoch micros for a TIMESTAMP_NTZ column: derived purely from
-    * wall-clock fields (date + h/m/s.micros), so NO session-timezone
-    * conversion exists anywhere — `unix_micros(ntz.cast("timestamp"))` went
-    * through NTZ→LTZ and shifted by the harness zone offset (the one red
-    * driver row in rounds 1-2). DuckDB's `epoch_us(ts)` on a naive TIMESTAMP
-    * is the same wall-clock-as-UTC interpretation. */
+  /** Zone-free epoch micros for TIMESTAMP_NTZ (see
+    * [[graft.functions.TimeFns.ntzEpochMicros]] — the q09 fix). */
   private def ntzMicros(c: Column): Column =
-    unix_date(c.cast("date")) * 86400000000L +
-      hour(c) * 3600000000L + minute(c) * 60000000L +
-      (date_part(lit("SECOND"), c) * 1000000).cast("long")
+    graft.functions.TimeFns.ntzEpochMicros(c)
 
   // ---- shared synthesized-input SQL (identical text runs in Spark & DuckDB) ----
 

@@ -323,26 +323,30 @@ final class CrawlEngine(
     // cache (fetchMethod="cache"), misses go to the transport. Blocked
     // pages are never cached (runner.py:522-524) so a hit is always safe.
     var warmHits: DataFrame = null // cached per-epoch; released below
+    // F6 splits the WHOLE dequeue before any serving path — cache hits
+    // included: a warm cache donated by a permissive run must not smuggle
+    // an SSRF-rejected URL past the gate as fetchMethod="cache" (the
+    // cache-less branch classifies the same URL ssrf_blocked)
+    val (deqOk, deqRejected) = ssrfSplit(deq.select("urlNorm", "host"))
     val fetchedPages = warmCacheFresh match {
       case None =>
-        val (ok, rejected) = ssrfSplit(deq.select("urlNorm", "host"))
-        fetcher.fetchPages(ok).unionByName(ssrfFailedRows(rejected))
+        fetcher.fetchPages(deqOk).unionByName(ssrfFailedRows(deqRejected))
       case Some(cache) =>
         // hit join: tiny dequeued batch probes the big cache (AQE
         // broadcasts the deq side — one cache scan, no shuffle)
-        val hits = deq.select("urlNorm", "host")
+        val hits = deqOk
           .join(cache.drop("host"), Seq("urlNorm"), "inner")
           .withColumn("fetchMethod", lit("cache"))
           .select(Fetcher.pageObservationSchema.fieldNames.map(col).toIndexedSeq: _*)
           .cache()
         warmHits = hits
-        // misses = deq ∖ hits — anti against the ≤|deq| HIT set, not the
+        // misses = deqOk ∖ hits — anti against the ≤|deq| HIT set, not the
         // full cache (a left-anti's broadcastable side is the right one,
         // so deq-anti-cache would shuffle the whole cache every epoch)
-        val misses = deq.select("urlNorm", "host")
+        val misses = deqOk
           .join(hits.select("urlNorm"), Seq("urlNorm"), "left_anti")
-        val (ok, rejected) = ssrfSplit(misses)
-        hits.unionByName(fetcher.fetchPages(ok)).unionByName(ssrfFailedRows(rejected))
+        hits.unionByName(fetcher.fetchPages(misses))
+          .unionByName(ssrfFailedRows(deqRejected))
     }
     val pages0 = fetchedPages
       .join(deq.select("urlNorm", "priority"), Seq("urlNorm"))

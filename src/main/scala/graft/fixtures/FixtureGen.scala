@@ -126,7 +126,7 @@ object FixtureGen {
     val globalIdx = hostOffsets(p)(h) + j
     val refs =
       if (ok) Seq(imageId(2 * globalIdx), imageId(2 * globalIdx + 1)) else Seq.empty
-    val method = Seq("cache", "native", "proxy", "http", "playwright")(j % 5)
+    val method = Seq("cache", "native", "proxy", "http_fast", "playwright")(j % 5) // the chain's real A2 labels
     Page(url, status, contentType, content, childLinks ++ noise, navLinks,
       refs, method, 50L + (j % 7) * 10L)
   }

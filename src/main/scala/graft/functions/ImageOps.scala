@@ -22,12 +22,7 @@ object ImageOps {
   // contention. In-memory streams only.
   ImageIO.setUseCache(false)
 
-  private def mix(z0: Long): Long = { // splitmix64 finalizer
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  private def mix(z0: Long): Long = graft.util.SplitMix64.mix(z0)
 
   /** Deterministic RGB pixel pattern for image id `i`: a 4×4 grid of
     * id-keyed color blocks (distinct phash signatures per id) with smooth
@@ -88,8 +83,12 @@ object ImageOps {
     bos.toByteArray
   }
 
+  /** null for unparseable bytes (ImageIO contract) — validation consumers
+    * below map null to "invalid", never NPE: a corrupt payload must
+    * CLASSIFY as invalid (J7's whole purpose), not crash the epoch into a
+    * resume loop that re-decodes the same bad bytes forever. */
   def decode(bytes: Array[Byte]): BufferedImage =
-    ImageIO.read(new ByteArrayInputStream(bytes))
+    if (bytes == null) null else ImageIO.read(new ByteArrayInputStream(bytes))
 
   private def rgb(img: BufferedImage): Array[Int] =
     img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
@@ -98,7 +97,7 @@ object ImageOps {
     * (stands in for +inf so the column stays a plain double). */
   def psnrDb(aBytes: Array[Byte], bBytes: Array[Byte]): Double = {
     val a = decode(aBytes); val b = decode(bBytes)
-    psnrImages(a, b)
+    if (a == null || b == null) -1.0 else psnrImages(a, b)
   }
 
   def psnrImages(a: BufferedImage, b: BufferedImage): Double = {
@@ -121,8 +120,10 @@ object ImageOps {
   /** PSNR of decoded bytes vs the deterministic synthetic ground truth —
     * the J7 per-row invariant without shipping reference pixels. */
   def psnrVsSynthetic(bytes: Array[Byte], i: Long, w: Int, h: Int): Double = {
+    val img = decode(bytes)
+    if (img == null) return -1.0 // undecodable → fails every PSNR gate
     val truth = toImage(syntheticPixels(i, w, h), w, h)
-    psnrImages(decode(bytes), truth)
+    psnrImages(img, truth)
   }
 
   /** 64-bit average-hash perceptual hash: box-downsample to 8×8 luma
@@ -130,7 +131,7 @@ object ImageOps {
     * threshold at mean, MSB-first row-major bit pack. */
   def phash64(bytes: Array[Byte]): Long = {
     val img = decode(bytes)
-    phashImage(img)
+    if (img == null) 0L else phashImage(img) // undecodable → sentinel hash
   }
 
   def phashImage(img: BufferedImage): Long = {

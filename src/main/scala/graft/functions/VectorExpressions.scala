@@ -28,6 +28,11 @@ object VectorOps {
     var nb = 0.0
     var i = 0
     while (i < n) {
+      // a null SLOT would silently read as 0.0 (ArrayData.getDouble) and
+      // yield a plausible-but-wrong cosine; NaN is detectable and the
+      // similarity operators' degenerate-row guards already exclude rows
+      // whose aggregate norm is null/NaN
+      if (a.isNullAt(i) || b.isNullAt(i)) return Double.NaN
       val x = a.getDouble(i)
       val y = b.getDouble(i)
       dot += x * y

@@ -26,6 +26,10 @@ object Dedup {
     * exact formulation (no sort, no window over the full table). */
   def exact(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
     df.select(idCol.as("id"), Hashing.contentHash(textCol).as("contentHash"))
+      // null-content rows share the null hash — grouping them would declare
+      // distinct null-text documents duplicates of each other (the near-dup
+      // paths filter isNotNull for the same reason)
+      .where(col("contentHash").isNotNull)
       .groupBy("contentHash").agg(min("id").as("keep_id"), count("*").as("dup_count"))
 
   /** Distinct character k-shingles of a string, as a column expression
@@ -46,12 +50,7 @@ object Dedup {
     transform(sequence(lit(0), lit(numHashes - 1)), s =>
       array_min(transform(shinglesCol, sh => xxhash64(s, sh))))
 
-  private def mix64(z0: Long): Long = { // splitmix64 finalizer
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  private def mix64(z0: Long): Long = graft.util.SplitMix64.mix(z0)
 
   /** Single-pass minhash banding: rolling polynomial hash over each char
     * k-window (distinct via a hash set), numHashes per-seed mins updated in
@@ -65,27 +64,26 @@ object Dedup {
     if (text == null || text.length < k) return Array.empty[Long]
     val numHashes = numBands * rowsPerBand
     val mins = Array.fill(numHashes)(Long.MaxValue)
-    if (text.length >= k) {
-      val seen = new java.util.HashSet[Long]()
-      val B = 1000003L
-      var pow = 1L
-      var i = 0
-      while (i < k - 1) { pow *= B; i += 1 }
-      var h = 0L
-      i = 0
-      while (i < text.length) {
-        h = h * B + text.charAt(i)
-        if (i >= k) h -= pow * B * text.charAt(i - k)
-        if (i >= k - 1 && seen.add(h)) {
-          var s = 0
-          while (s < numHashes) {
-            val v = mix64(h ^ (s.toLong * 0xa5a5a5a5a5a5a5a5L))
-            if (v < mins(s)) mins(s) = v
-            s += 1
-          }
+    // text.length >= k is guaranteed by the early return above
+    val seen = new java.util.HashSet[Long]()
+    val B = 1000003L
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow *= B; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < text.length) {
+      h = h * B + text.charAt(i)
+      if (i >= k) h -= pow * B * text.charAt(i - k)
+      if (i >= k - 1 && seen.add(h)) {
+        var s = 0
+        while (s < numHashes) {
+          val v = mix64(h ^ (s.toLong * 0xa5a5a5a5a5a5a5a5L))
+          if (v < mins(s)) mins(s) = v
+          s += 1
         }
-        i += 1
       }
+      i += 1
     }
     val out = new Array[Long](numBands)
     var b = 0

@@ -20,12 +20,8 @@ object Similarity {
   /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
     * ±1 from splitmix64 parity — cheap, seedable, identical everywhere.
     * private[graft]: OracleGen re-emits the same planes as SQL literals. */
-  private[graft] def planeSign(p: Int, d: Int): Double = {
-    var z = (p.toLong << 32 | d.toLong) + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    if (((z ^ (z >>> 31)) & 1L) == 0L) 1.0 else -1.0
-  }
+  private[graft] def planeSign(p: Int, d: Int): Double =
+    if ((graft.util.SplitMix64.mix(p.toLong << 32 | d.toLong) & 1L) == 0L) 1.0 else -1.0
 
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)

@@ -28,10 +28,16 @@ object EventsStreaming {
     * memory sink (synchronous for tests via Trigger.AvailableNow). */
   def hourlyCounts(spark: SparkSession, eventsDir: String, queryName: String): StreamingQuery = {
     val stream = spark.readStream.schema(eventSchema).parquet(eventsDir)
+    // event time must be TIMESTAMP (watermarks reject NTZ), but a bare
+    // session-local cast made hourly buckets depend on
+    // spark.sql.session.timeZone (naive 10:15 and 10:45 in a +05:30 zone
+    // landed in different UTC-aligned windows). ntzAsUtcInstant pins the
+    // wall-clock as a session-independent instant, so windows are
+    // zone-free wall-clock hours matching the batch q08 date_trunc.
     val agg = stream
-      .withColumn("ts_ltz", col("ts").cast("timestamp"))
-      .withWatermark("ts_ltz", "1 hour")
-      .groupBy(window(col("ts_ltz"), "1 hour"), col("event_type"))
+      .withColumn("ts_utc", graft.functions.TimeFns.ntzAsUtcInstant(col("ts")))
+      .withWatermark("ts_utc", "1 hour")
+      .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")) * 100).cast("long").as("value_c"))
     agg.writeStream.outputMode(OutputMode.Update())
       .format("memory").queryName(queryName)

@@ -171,7 +171,7 @@ class SourcesStreamingSpec extends SparkSpec {
   test("F10 preflight: scorer/fetcher contract violations fail fast") {
     Preflight.validate(spark, new graft.sources.FixtureFetcher(
       Seq(("https://a.test/x", "a.test", 200, "text/html", "b", Seq.empty[String],
-        Seq.empty[String], Seq.empty[String], "http", 1L))
+        Seq.empty[String], Seq.empty[String], "http_fast", 1L))
         .toDF("url", "host", "status", "contentType", "content", "links",
           "navLinks", "imageRefs", "fetchMethod", "loadMs")), IdentityScorer)
     val badScorer = new RelevanceScorer {
