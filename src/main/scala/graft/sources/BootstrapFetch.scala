@@ -14,6 +14,13 @@ import graft.operators.{Robots, Ssrf}
   */
 object BootstrapFetch {
 
+  /** One shared client (robots + up to 64 sitemap fetches reuse its
+    * connection pool instead of building an SSL context per request). */
+  private lazy val client = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(5))
+    .followRedirects(java.net.http.HttpClient.Redirect.NEVER)
+    .build()
+
   /** One GET with manual redirect following (≤ 5 hops) — apex→www /
     * http→https robots.txt redirects are routine, and silently treating a
     * 301'd robots.txt as absent would disable robots enforcement for the
@@ -21,10 +28,6 @@ object BootstrapFetch {
   def httpGet(url: String, timeoutMs: Int,
       validate: String => Boolean): Option[(Int, Array[Byte])] = {
     try {
-      val client = java.net.http.HttpClient.newBuilder()
-        .connectTimeout(java.time.Duration.ofMillis(timeoutMs.toLong))
-        .followRedirects(java.net.http.HttpClient.Redirect.NEVER)
-        .build()
       var u = url
       var hops = 0
       while (hops <= 5) {
@@ -80,7 +83,12 @@ object BootstrapFetch {
       val u = queue.dequeue()
       httpGet(u, timeoutMs, validate).foreach { case (status, body) =>
         if (status == 200) {
-          val gz = u.endsWith(".gz")
+          // gzip by CONTENT (magic bytes 1f 8b), not by the queued URL's
+          // suffix: httpGet follows redirects, so /sitemap.xml may 301 to
+          // /sitemap.xml.gz (or vice versa) and suffix-based detection
+          // would feed the wrong decoder and silently drop the subtree
+          val gz = body.length >= 2 &&
+            (body(0) & 0xff) == 0x1f && (body(1) & 0xff) == 0x8b
           out += ((u, body, gz))
           val (_, children) = Sitemaps.parse(body, gz)
           children.foreach(c => if (seen.add(c)) queue += c)

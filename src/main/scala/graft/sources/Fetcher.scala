@@ -74,9 +74,9 @@ object HtmlToMarkdown {
   // renderer's job, out of scope without a browser)
   private val NoiseClassed = java.util.regex.Pattern.compile(
     "(?is)<([a-z]+)\\b[^>]*(?:role=[\"'](?:banner|contentinfo|navigation)[\"']|" +
-      "class=[\"'][^\"']*\\b(?:sidebar|navbar|breadcrumb|cookie-banner|" +
+      "class=[\"'][^\"']*(?<![\\w-])(?:sidebar|navbar|breadcrumb|cookie-banner|" +
       "table-of-contents|prev-next-links|pagination-nav|edit-this-page|" +
-      "last-updated|theme-toggle|search-bar)\\b[^\"']*[\"'])[^>]*>.*?</\\1>")
+      "last-updated|theme-toggle|search-bar)(?![\\w-])[^\"']*[\"'])[^>]*>.*?</\\1>")
 
   def convert(html: String): String = {
     var s = Dropped.matcher(html).replaceAll(" ")
@@ -112,7 +112,7 @@ object HtmlToMarkdown {
       "(?is)<(article)\\b[^>]*>",
       "(?is)<([a-z]+)\\b[^>]*\\brole=[\"']main[\"'][^>]*>",
       "(?is)<([a-z]+)\\b[^>]*\\bid=[\"']content[\"'][^>]*>",
-      "(?is)<([a-z]+)\\b[^>]*\\bclass=[\"'][^\"']*\\bcontent\\b[^\"']*[\"'][^>]*>")
+      "(?is)<([a-z]+)\\b[^>]*\\bclass=[\"'][^\"']*(?<![\\w-])content(?![\\w-])[^\"']*[\"'][^>]*>")
     pats.view.flatMap { p =>
       val m = java.util.regex.Pattern.compile(p).matcher(html)
       if (m.find()) {
@@ -206,7 +206,7 @@ object RenderClient {
   object Static extends RenderClient {
     override def render(url: String, get: Get): Option[(Int, String, String)] =
       get(url, Seq(
-        "Accept" -> "text/html,application/xhtml+xml,*/*;q=0.8",
+        "Accept" -> "text/html,*/*;q=0.8", // no xhtml: every gate downstream requires text/html
         "User-Agent" -> "graft/0.1 (documentation crawler)"))
   }
 }
@@ -291,10 +291,12 @@ final class HttpFetcher(
         .connectTimeout(java.time.Duration.ofMillis(tmoutMs.toLong))
         .followRedirects(java.net.http.HttpClient.Redirect.NEVER)
         .build()
+      // quote ALTERNATION, not a [\"'] class: the value must close with
+      // the quote that opened it (apostrophes are legal in URL paths)
       val hrefRe = java.util.regex.Pattern.compile(
-        "<a\\s[^>]*href=[\"']([^\"']+)[\"']", java.util.regex.Pattern.CASE_INSENSITIVE)
+        "<a\\s[^>]*href=(?:\"([^\"]+)\"|'([^']+)')", java.util.regex.Pattern.CASE_INSENSITIVE)
       val imgRe = java.util.regex.Pattern.compile(
-        "<img\\s[^>]*src=[\"']([^\"']+)[\"']", java.util.regex.Pattern.CASE_INSENSITIVE)
+        "<img\\s[^>]*src=(?:\"([^\"]+)\"|'([^']+)')", java.util.regex.Pattern.CASE_INSENSITIVE)
       // static approximation of the reference's rendered nav selectors
       // (page.py NOISE/nav list: nav, [role=navigation], .sidebar/#sidebar,
       // .navbar/#navbar, .table-of-contents/#table-of-contents, .toc,
@@ -302,7 +304,7 @@ final class HttpFetcher(
       val navRe = java.util.regex.Pattern.compile(
         "<(nav|aside)\\b[^>]*>(.*?)</\\1>|" +
           "<([a-z]+)\\b[^>]*(?:role=[\"']navigation[\"']|" +
-          "class=[\"'][^\"']*\\b(?:sidebar|navbar|toc|table-of-contents|breadcrumb)\\b[^\"']*[\"']|" +
+          "class=[\"'][^\"']*(?<![\\w-])(?:sidebar|navbar|toc|table-of-contents|breadcrumb)(?![\\w-])[^\"']*[\"']|" +
           "id=[\"'](?:sidebar|navbar|table-of-contents)[\"'])[^>]*>(.*?)</\\3>",
         java.util.regex.Pattern.CASE_INSENSITIVE | java.util.regex.Pattern.DOTALL)
 
@@ -329,13 +331,22 @@ final class HttpFetcher(
               resp.headers().firstValue("content-type").orElse(""), resp.body()))
           }
         }
-        Some((0, "", "")) // redirect chain too long
+        // transport-error semantics: levels treat it like any other
+        // failed request (retry / fall through), instead of the old
+        // Some((0,"","")) sentinel the heavy level mistook for a render
+        throw new java.io.IOException(s"redirect chain too long for $url0")
       }
 
       def anchors(p: java.util.regex.Pattern, s: String, group: Int): Seq[String] = {
         val m = p.matcher(s)
         val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-        while (m.find()) buf += m.group(group)
+        while (m.find()) {
+          // quote-alternation patterns: the matched value sits in `group`
+          // (double-quoted) or `group + 1` (single-quoted)
+          val v = if (m.group(group) != null) m.group(group)
+            else m.group(group + 1)
+          if (v != null) buf += v
+        }
         buf.toSeq
       }
 
@@ -365,7 +376,11 @@ final class HttpFetcher(
         if (proxyUrl.isDefined && method == "none" && !ssrfBlocked) {
           try get(s"${proxyUrl.get.stripSuffix("/")}/$url",
             Seq("User-Agent" -> "graft/0.1 (documentation crawler)")) match {
-            case None => ssrfBlocked = true
+            // None here rejects the COMPOSED PROXY URL (often an internal
+            // host), not the target — a level miss that falls through to
+            // the direct levels (reference page.py:78-97 treats proxy
+            // failure as a miss), NOT an ssrf_blocked verdict on the page
+            case None => ()
             case Some((st, ct, body)) if st == 200 && body.length > 100 =>
               status = st; ctype = "text/markdown"; content = body; method = "proxy"
             case _ => ()
@@ -374,7 +389,7 @@ final class HttpFetcher(
         // level 4: HTTP fast path (plain GET + markdown quality gate)
         if (useFast && method == "none" && !ssrfBlocked) {
           try get(url, Seq(
-            "Accept" -> "text/html,application/xhtml+xml,*/*;q=0.8",
+            "Accept" -> "text/html,*/*;q=0.8", // no xhtml: every gate downstream requires text/html
             "User-Agent" -> "graft/0.1 (documentation crawler)")) match {
             case None => ssrfBlocked = true
             case Some((st, ct, body)) if st == 200 && ct.contains("text/html") =>

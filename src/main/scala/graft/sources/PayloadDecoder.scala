@@ -55,7 +55,14 @@ object DecoderRegistry {
     "jpeg" -> new JpgDecoder,
     "video" -> new VideoFrameDecoderStub)
 
-  def register(d: PayloadDecoder): Unit = synchronized { decoders += (d.fmt -> d) }
+  /** "jpg"/"jpeg" are one format under two spellings — a registration for
+    * either must win for BOTH, or get("jpeg") would keep serving the old
+    * decoder after a "jpg" override. */
+  private val aliases = Map("jpg" -> Seq("jpg", "jpeg"), "jpeg" -> Seq("jpg", "jpeg"))
+
+  def register(d: PayloadDecoder): Unit = synchronized {
+    aliases.getOrElse(d.fmt, Seq(d.fmt)).foreach(f => decoders += (f -> d))
+  }
   def get(fmt: String): PayloadDecoder =
     decoders.getOrElse(fmt, throw new IllegalArgumentException(s"no decoder for $fmt"))
   def supported: Set[String] = decoders.keySet

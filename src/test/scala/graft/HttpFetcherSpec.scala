@@ -287,6 +287,52 @@ class HttpFetcherSpec extends SparkSpec {
     assert(r.getAs[String]("content").contains("client-rendered docs body"))
   }
 
+  test("href/img quote pairing; hyphenated class names don't match whole-token selectors") {
+    // apostrophes are legal in URL paths: href="/docs/don't-panic" must
+    // not truncate at the quote-of-the-other-kind
+    val rendered = "<html><body><main><p>" + ("body prose. " * 30) + "</p>" +
+      // class tokens are whitespace-delimited: sidebar-layout is NOT
+      // .sidebar — it must survive the noise-selector removal
+      "<div class='sidebar-layout'><p>real article text</p></div></main>" +
+      "<a href=\"/docs/don't-panic\">a</a><a href='/docs/b\"quoted'>b</a>" +
+      "<img src=\"/img/o'brien.png\"/></body></html>"
+    val fake = new graft.sources.RenderClient {
+      override def render(url: String, get: graft.sources.RenderClient.Get)
+          : Option[(Int, String, String)] = Some((200, "text/html", rendered))
+    }
+    val f = new HttpFetcher(maxRetries = 0, timeoutMs = 1000,
+      useNativeMarkdown = false, markdownProxyUrl = None,
+      useHttpFastPath = false, backoffUnitMs = 0L,
+      validate = _ => true, renderer = fake)
+    val r = f.fetchPages(
+      Seq(("https://q.test/app", "q.test")).toDF("urlNorm", "host")).collect().head
+    assert(r.getAs[scala.collection.Seq[String]]("links").toSeq ==
+      Seq("/docs/don't-panic", "/docs/b\"quoted"))
+    assert(r.getAs[scala.collection.Seq[String]]("imageRefs").toSeq ==
+      Seq("/img/o'brien.png"))
+    assert(r.getAs[String]("content").contains("real article text"),
+      "hyphenated class matched a whole-token noise selector")
+  }
+
+  test("proxy level: an SSRF-rejected PROXY host is a level miss, not a page verdict") {
+    val (server, base) = newServer()
+    server.createContext("/docs/direct", handler(200, "text/html", bigBody))
+    server.start()
+    try {
+      // proxy on 10/8 — rejected by the loopback-only validator; the
+      // reference treats a dead proxy level as a miss and falls through
+      val f = new HttpFetcher(maxRetries = 0, timeoutMs = 2000,
+        useNativeMarkdown = false,
+        markdownProxyUrl = Some("http://10.99.0.1:9999"),
+        useHttpFastPath = true, backoffUnitMs = 0L, validate = allowLoopback)
+      val r = f.fetchPages(Seq((s"$base/docs/direct", s"127.0.0.1:${server.getAddress.getPort}"))
+        .toDF("urlNorm", "host")).collect().head
+      assert(r.getAs[String]("fetchMethod") == "http_fast",
+        s"proxy SSRF misattributed: ${r.getAs[String]("fetchMethod")}")
+      assert(r.getAs[Int]("status") == 200)
+    } finally server.stop(0)
+  }
+
   test("Ssrf: CPython inet_aton numeric host forms never reach DNS") {
     // private in disguise → rejected
     assert(Ssrf.isSsrf("http://127.1/x"))

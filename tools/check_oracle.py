@@ -30,11 +30,15 @@ def main(sf_dir, out_dir):
         try:
             got = con.sql(f"SELECT * FROM read_parquet({pq!r})")
             got_cols = sorted(got.columns)
+            # quote identifiers: an unaliased aggregate name like count(1)
+            # or a reserved word would otherwise be a spurious syntax error
+            gsel = ', '.join(f'"{c}"' for c in got_cols)
             got_rows = con.sql(
-                f"SELECT {', '.join(got_cols)} FROM read_parquet({pq!r})").fetchall()
+                f"SELECT {gsel} FROM read_parquet({pq!r})").fetchall()
             exp = con.sql(sql)
             exp_cols = sorted(exp.columns)
-            exp_rows = con.sql(f"SELECT {', '.join(exp_cols)} FROM ({sql})").fetchall()
+            esel = ', '.join(f'"{c}"' for c in exp_cols)
+            exp_rows = con.sql(f"SELECT {esel} FROM ({sql})").fetchall()
         except Exception as e:
             results[name] = f"ORACLE_ERROR: {str(e)[:200]}"
             continue
@@ -58,8 +62,13 @@ def main(sf_dir, out_dir):
         name = os.path.basename(d)
         if name not in oracle and os.path.isdir(d):
             pq = glob.glob(f"{d}/*.parquet")
-            n = con.sql(f"SELECT count(*) FROM read_parquet({pq!r})").fetchone()[0] if pq else 0
-            results[name] = f"ROWS_ONLY rows={n}"
+            if pq:
+                n = con.sql(f"SELECT count(*) FROM read_parquet({pq!r})").fetchone()[0]
+                results[name] = f"ROWS_ONLY rows={n}"
+            else:
+                # an empty dir means the Verify write failed after the
+                # stale-output delete — that is a FAILURE, not rows=0
+                results[name] = "MISSING_RESULT (no parquet written)"
     bad = 0
     for k in sorted(results):
         ok = results[k].startswith(("OK", "ROWS_ONLY"))
