@@ -73,6 +73,11 @@ object Chunker {
   /** `_chunk_by_size` (markdown.py:136-173): paragraph boundary, then
     * newline, then hard split; CHUNK_OVERLAP between chunks; <50-char
     * fragments dropped. */
+  // NOTE: slicing is UTF-16-unit-based (Java String indexing) where the
+  // reference slices by code points — identical for BMP text; for
+  // astral-heavy pages (>6000 cps with emoji/CJK-ext) chunk WINDOWS can
+  // differ slightly, though boundaries still snap to the same paragraph/
+  // newline breaks. Classification thresholds already count code points.
   def chunkBySize(text: String, chunkSize: Int = DefaultChunkSize): Seq[String] = {
     if (text.length <= chunkSize)
       return if (text.length >= 50) Seq(text)

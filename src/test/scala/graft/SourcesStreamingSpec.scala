@@ -40,7 +40,7 @@ class SourcesStreamingSpec extends SparkSpec {
     assert(u3 == Seq("https://a.test/docs/z"))
     val (u4, c4) = Sitemaps.parse("<not-xml!!<<".getBytes, gzipped = false)
     assert(u4.isEmpty && c4.isEmpty)
-    // XXE: doctype rejected, not expanded
+    // XXE: entity declarations rejected outright, never expanded
     val evil = """<?xml version="1.0"?><!DOCTYPE x [<!ENTITY e SYSTEM "file:///etc/passwd">]>
                  |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"><url><loc>&e;</loc></url></urlset>"""
       .stripMargin.getBytes
