@@ -139,6 +139,30 @@ class PyUrlSpec extends AnyFunSuite {
     } finally src.close()
   }
 
+  test("CPython parity corpus: adversarial canonicalize cases (astral, IPv6, userinfo, params)") {
+    // generated with CPython urllib.parse + the reference's normalize_url
+    // transcription (discovery.py:25-76): astral chars at the 2000-cp
+    // boundary, IPv6/port/userinfo netlocs, params/queries/empty
+    // fragments, embedded \t\n (urlparse strips them), backslashes,
+    // non-http schemes, scheme-less forms
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/pyurl_canon_extra.tsv"), "UTF-8")
+    try src.getLines().foreach { line =>
+      val Array(in, expected) =
+        line.split("\t", -1).map(_.replace("\\t", "\t").replace("\\n", "\n"))
+      assert(PyUrl.canonicalize(in) == expected, s"input=<${in.take(120)}>")
+    } finally src.close()
+  }
+
+  test("CPython parity corpus: adversarial urljoin cases") {
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/pyurl_join_extra.tsv"), "UTF-8")
+    try src.getLines().foreach { line =>
+      val Array(base, href, expected) = line.split("\t", -1)
+      assert(PyUrl.urljoin(base, href) == expected, s"base=<$base> href=<$href>")
+    } finally src.close()
+  }
+
   test("property: canonicalize is idempotent (seeded sweep)") {
     val rnd = new scala.util.Random(42)
     val schemes = Seq("http", "https", "HTTP", "HTTPS")
