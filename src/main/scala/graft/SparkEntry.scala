@@ -26,7 +26,18 @@ object SparkEntry {
   private def cust(s: SparkSession, dir: String) = s.read.parquet(s"$dir/customer.parquet")
   private def nat(s: SparkSession, dir: String) = s.read.parquet(s"$dir/nation.parquet")
   private def part(s: SparkSession, dir: String) = s.read.parquet(s"$dir/part.parquet")
-  private def events(s: SparkSession, dir: String) = s.read.parquet(s"$dir/events.parquet")
+  /** `events.parquet` writes `ts` with `isAdjustedToUTC=false`; whether Spark
+    * infers it as TIMESTAMP_NTZ or TIMESTAMP_LTZ is decided by the *session*
+    * conf `spark.sql.parquet.inferTimestampNTZ.enabled`, outside the query's
+    * control. Under LTZ inference the raw micros are read as a UTC instant
+    * while `hour()`/`unix_date()` extract fields in the session zone — a
+    * whole-zone-offset shift in q08/q09 outputs. Pinning the read schema to
+    * TIMESTAMP_NTZ overrides the conf, so q08/q09 are byte-identical in any
+    * harness session (zone or inference setting). */
+  private def events(s: SparkSession, dir: String) =
+    s.read
+      .schema("event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .parquet(s"$dir/events.parquet")
 
   private def cents(c: Column): Column = round(c * 100).cast("long")
 
@@ -151,7 +162,10 @@ object SparkEntry {
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
     }),
     "q08_events_hourly" -> ((s, d) => {
-      events(s, d).groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      // NOT date_trunc("hour", ts): that builtin casts NTZ→LTZ through the
+      // session zone (see TimeFns.ntzTruncHour) — q08 only survived
+      // whole-hour driver zones by luck before round 4.
+      events(s, d).groupBy(graft.functions.TimeFns.ntzTruncHour(col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), cents(sum(col("value"))).as("value_c"))
         .orderBy("hour", "event_type")
     }),

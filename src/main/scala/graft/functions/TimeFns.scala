@@ -21,4 +21,14 @@ object TimeFns {
     * happens to be UTC. For event-time operators (watermarks require
     * TIMESTAMP, not NTZ) this keeps windows zone-free. */
   def ntzAsUtcInstant(c: Column): Column = timestamp_micros(ntzEpochMicros(c))
+
+  /** Hour truncation that STAYS TIMESTAMP_NTZ. `date_trunc("hour", ntz)`
+    * implicitly casts NTZ→LTZ (session-zone conversion on the way in, and
+    * the result collects/writes as an instant) — the same failure mode as
+    * the q09 cast, just hidden inside a builtin. Rebuilding the value from
+    * wall-clock fields keeps both the arithmetic and the output type
+    * zone-free; DuckDB's `date_trunc('hour', ts)` on a naive TIMESTAMP
+    * matches bit-for-bit. */
+  def ntzTruncHour(c: Column): Column =
+    make_timestamp_ntz(year(c), month(c), dayofmonth(c), hour(c), lit(0), lit(0))
 }

@@ -80,6 +80,27 @@ object Smoke {
       .where($"b").count()
     println(s"SMOKE blocked detected: $blocked")
 
+    // round-4 q08/q09 fix drive: the pinned-NTZ events read must survive the
+    // adversarial driver config (LTZ inference + non-whole-hour zone) with
+    // byte-identical q08/q09 output.
+    locally {
+      val inferKey = "spark.sql.parquet.inferTimestampNTZ.enabled"
+      def dump(q: String): Seq[org.apache.spark.sql.Row] =
+        graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").collect().toSeq
+      val base08 = dump("q08_events_hourly")
+      val base09 = dump("q09_sessionize")
+      assert(base08.head.schema("hour").dataType.typeName == "timestamp_ntz",
+        s"q08 hour must stay NTZ, got ${base08.head.schema("hour").dataType}")
+      spark.conf.set(inferKey, "false")
+      spark.conf.set("spark.sql.session.timeZone", "Australia/Lord_Howe")
+      val adv08 = dump("q08_events_hourly")
+      val adv09 = dump("q09_sessionize")
+      spark.conf.set(inferKey, "true")
+      spark.conf.unset("spark.sql.session.timeZone")
+      assert(adv08 == base08 && adv09 == base09, "q08/q09 shifted under adversarial session conf")
+      println(s"SMOKE ntz-pin: q08=${base08.size} q09=${base09.size} rows invariant under LTZ-inference+Lord_Howe")
+    }
+
     // full engine drive: crawl the synthetic web end-to-end
     val params = graft.fixtures.FixtureGen.Params(hosts = 2, pagesPerHost = 40)
     val cfg = graft.model.CrawlConfig(

@@ -14,21 +14,37 @@ class EntrySpec extends SparkSpec {
     assert(df.columns.toSet == Set("image_id", "url", "fmt", "caption", "phash", "epoch"))
   }
 
-  test("q09_sessionize is invariant under session timezone (driver-zone failure mode)") {
-    // Rounds 1-2: q09 was the one red driver row — an NTZ→LTZ cast shifted
-    // start_us by the harness's zone offset. The rewrite derives micros from
-    // wall-clock fields only; running the SAME query under three zones
-    // (one with DST) must produce bit-identical results.
+  test("q08/q09 are invariant under session timezone AND NTZ-inference conf (driver-zone failure mode)") {
+    // Rounds 1-3: q09 was the one red driver row. Rounds 1-2 were an
+    // NTZ→LTZ cast (fixed by wall-clock-field micros); round 3's residual
+    // was the READ side: events.ts is written isAdjustedToUTC=false, so with
+    // spark.sql.parquet.inferTimestampNTZ.enabled=false the driver session
+    // reads it as TIMESTAMP_LTZ (raw micros = UTC instant) while field
+    // extraction applies the session zone — shifting start_us by the full
+    // zone offset. SparkEntry.events pins `ts TIMESTAMP_NTZ` in the read
+    // schema, which overrides the conf. This spec runs the SAME queries
+    // under {UTC, America/New_York (DST), Australia/Lord_Howe (half-hour)}
+    // × {inference on, inference off}; all six must be bit-identical.
     val dir = "/root/testdata/sf0.001"
-    def run(tz: String): Seq[org.apache.spark.sql.Row] = {
+    val inferKey = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    def run(q: String, tz: String, inferNtz: Boolean): Seq[org.apache.spark.sql.Row] = {
       spark.conf.set("spark.sql.session.timeZone", tz)
-      try SparkEntry.queries("q09_sessionize")(spark, dir).collect().toSeq
-      finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+      spark.conf.set(inferKey, inferNtz.toString)
+      try SparkEntry.queries(q)(spark, dir).collect().toSeq
+      finally {
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set(inferKey, "true")
+      }
     }
-    val utc = run("UTC")
-    assert(utc.nonEmpty)
-    assert(run("America/New_York") == utc)
-    assert(run("Asia/Tokyo") == utc)
+    for (q <- Seq("q08_events_hourly", "q09_sessionize")) {
+      val baseline = run(q, "UTC", inferNtz = true)
+      assert(baseline.nonEmpty, s"$q: empty baseline")
+      for {
+        tz <- Seq("UTC", "America/New_York", "Australia/Lord_Howe", "Asia/Tokyo")
+        infer <- Seq(true, false)
+        if !(tz == "UTC" && infer)
+      } assert(run(q, tz, infer) == baseline, s"$q diverged under tz=$tz inferNTZ=$infer")
+    }
   }
 
   test("fixture contract: documents text properties the q32/q33 generated oracles assume") {
