@@ -60,7 +60,17 @@ object Bench {
     // warm the JIT/codegen paths so per-query numbers aren't dominated by
     // first-query session setup
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Interleaved best-of-N, same methodology as the part-2 scaling kernel:
+    // single-shot per-query numbers carry the host's ±20%-over-minutes speed
+    // drift, so round-to-round comparisons can't tell a real regression from
+    // VM weather (r02→r03: untouched queries read 1.28× "slower"). Rounds
+    // are full passes over the whole query list (not per-query repeats), so
+    // a slow host minute degrades one ROUND of every query, and best-of
+    // rejects it.
+    val queryRounds = sys.env.getOrElse("SPARK_GRAFT_QUERY_ROUNDS", "2").toInt
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    val best = collection.mutable.Map[String, Double]()
+    for (_ <- 1 to queryRounds; (name, fn) <- named) {
       // noop sink, NOT count(): count() lets Catalyst prune the projected
       // expression columns and eliminate sorts, so map-only queries (url
       // canonicalize, hashes, langid, classify, …) would time the bare
@@ -70,8 +80,10 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
       }
-      name -> (if (ok) sec else -1.0) // -1 = failed, excluded from total
+      if (ok) best(name) = best.get(name).filter(_ >= 0).fold(sec)(math.min(_, sec))
+      else best.getOrElseUpdate(name, -1.0) // -1 = never succeeded
     }
+    val queryTimes = named.map { case (name, _) => name -> best(name) }
 
     // full-engine end-to-end throughput at this parallelism (context number)
     val engineParams = graft.fixtures.FixtureGen.Params(hosts = 4, pagesPerHost = 100, skew = 3)
@@ -142,7 +154,7 @@ object Bench {
         f""""primary_pair":"2->8","efficiency_n_to_4n":$effN4n%.3f,"engine_urls":$engineUrls,""" +
         f""""engine_sec":$engineSec%.1f,"engine_rps_c$cpus":$engineRps%.1f}"""
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_rounds":$queryRounds,"sf":"$sfDir","scaling":$scaling}""")
 
     // BENCH/BASELINE.md (the documented two-cluster-size evidence)
     try {

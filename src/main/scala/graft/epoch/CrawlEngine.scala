@@ -296,10 +296,11 @@ final class CrawlEngine(
 
   private def fetchEpoch(epoch: Int): Long = {
     val pending = pendingView
+    // cached but NOT counted here: the dequeue size rides the classified
+    // observation below (round-3 ask — one driver action per epoch); the
+    // cache populates inside that same action and the commit appends read it
     val deq = Frontier.dequeue(pending, budgetsDf,
       cfg.hostBudget(None), saltCount = 16).cache()
-    val deqCount = deq.count()
-    if (deqCount == 0) { deq.unpersist(); return 0L }
 
     val obs = Observation(s"fetch_epoch_$epoch")
     val obsImg = Observation(s"fetch_epoch_${epoch}_images")
@@ -354,14 +355,20 @@ final class CrawlEngine(
     // chain's markdown wins are first-class ok pages like the reference's
     val isHtmlOk = $"status" === 200 &&
       ($"contentType".contains("text/html") || $"contentType".contains("text/markdown"))
+    // The explicit repartition is a correctness barrier, not tuning: pages
+    // feeds two downstream branches (the dedup window and the classify
+    // join), and the fetch inside it is side-effecting. Both branches
+    // reference this one exchange, so ReuseExchange/AQE-stage-reuse executes
+    // the fetch map stage exactly once — even when the two consumer stages
+    // run concurrently on different executors of a real cluster. (Rounds
+    // 1-3 guarded this with a pages.cache()+count() — a full extra driver
+    // action per epoch; the exchange gives the same exactly-once guarantee
+    // for free inside the single classified action below.)
     val pages = pages0
       .withColumn("blocked", UrlFilters.isBlockedResponse($"content"))
       .withColumn("contentHash",
         when(isHtmlOk, Hashing.contentHash($"content")).otherwise(lit(null)))
-      .cache()
-    pages.count() // materialize NOW: pages feeds two downstream stages that
-    // could otherwise race on the uncached side-effecting fetch and issue
-    // every HTTP request twice (politeness violation on a real cluster)
+      .repartition($"urlNorm")
 
     // J2 content dedup, host-scoped, priority order decides the keeper:
     // within-batch winner per (host, hash), then cross-epoch check against
@@ -411,6 +418,9 @@ final class CrawlEngine(
       else classified0)
       .observe(obs, count(when($"disposition" === "ok", 1)).as("pages_ok"),
         (Seq(
+          // = dequeued rows (the classify join is 1:1 with the dequeue);
+          // replaces the per-epoch deq.count() driver action
+          count(lit(1)).as("dequeued"),
           count(when($"disposition" === "failed", 1)).as("pages_failed"),
           count(when($"disposition" === "blocked", 1)).as("pages_blocked"),
           count(when($"disposition" === "skipped", 1)).as("pages_skipped")) ++
@@ -424,11 +434,32 @@ final class CrawlEngine(
             !$"fetchMethod".isin(CrawlEngine.knownMethods: _*), 1))
             .as("method_other")): _*)
       .cache()
-    // one action materializes the classified cache COMPLETELY before the
-    // commit: (a) both observations fire with full (not per-job partial)
-    // metrics, (b) the commit's parallel table writes then read the cache
-    // instead of racing to compute it
+    // THE one materializing action of the epoch: (a) the obs/obsKeys
+    // observations fire with full (not per-job partial) metrics, (b) the
+    // commit's parallel table writes then read the cache instead of racing
+    // to compute it, (c) the fetch executes exactly once (exchange barrier
+    // above), (d) the dequeue size arrives without its own job.
     classified.count()
+
+    def observed(o: Observation, what: String): Map[String, Long] =
+      try o.get.collect { case (k, v: Long) => k -> v }
+      catch { case e: Exception =>
+        // degrade but never silently: an epoch without counters means the
+        // metrics pipeline broke, not that nothing happened
+        System.err.println(s"[graft] WARN fetch epoch $epoch: $what " +
+          s"observation lost (${e.getClass.getSimpleName}: ${e.getMessage})")
+        Map.empty
+      }
+    // obs fired on the count above; read it NOW for the termination test.
+    // (A lost observation degrades to one extra count on the cache.)
+    val dispCounts = observed(obs, "disposition")
+    val deqCount = dispCounts.getOrElse("dequeued", classified.count())
+    if (deqCount == 0L) {
+      // empty dequeue = crawl done — nothing to commit for this epoch
+      deq.unpersist(); classified.unpersist()
+      if (warmHits != null) warmHits.unpersist()
+      return 0L
+    }
 
     val orderLogNew = classified.select(
       $"host", $"priority", $"urlNorm", $"disposition",
@@ -478,15 +509,6 @@ final class CrawlEngine(
       .withColumn("epoch", lit(epoch))
       .withColumn("phase", lit("fetch"))
 
-    def observed(o: Observation, what: String): Map[String, Long] =
-      try o.get.map { case (k, v) => k -> v.asInstanceOf[Long] }
-      catch { case e: Exception =>
-        // degrade but never silently: an epoch without counters means the
-        // metrics pipeline broke, not that nothing happened
-        System.err.println(s"[graft] WARN fetch epoch $epoch: $what " +
-          s"observation lost (${e.getClass.getSimpleName}: ${e.getMessage})")
-        Map.empty
-      }
     io.commit("fetch", epoch,
       tables = pendingTables,
       appends = dequeuedAppend ++ Map(
@@ -500,10 +522,10 @@ final class CrawlEngine(
           .withColumn("cachedEpoch", lit(epoch)),
         "ledger" -> lineage,
         "fetched" -> fetchedNew.drop("validPixels", "validCaption")),
-      // by-name: evaluated inside commit AFTER the data writes, which are
-      // the actions that populate both observations — zero extra jobs
-      counters = observed(obs, "disposition") ++ observed(obsImg, "image") +
-        ("dequeued" -> deqCount))
+      // by-name: obsImg is populated by the `fetched` data write inside the
+      // commit, so it is read AFTER the writes — zero extra jobs.
+      // dispCounts (incl. "dequeued") already fired on the classified count.
+      counters = dispCounts ++ observed(obsImg, "image") + ("dequeued" -> deqCount))
     // fold this epoch's ok (host, hash) delta into the carried Bloom —
     // from the observation when statically small (no job), else via the
     // distributed treeAggregate build
@@ -516,7 +538,7 @@ final class CrawlEngine(
       if (contentBloom == null) contentBloom = contentDelta
       else contentBloom.mergeInPlace(contentDelta)
     }
-    deq.unpersist(); pages.unpersist(); classified.unpersist(); fetchedNew.unpersist()
+    deq.unpersist(); classified.unpersist(); fetchedNew.unpersist()
     if (warmHits != null) warmHits.unpersist()
     deqCount
   }

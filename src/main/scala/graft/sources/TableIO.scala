@@ -179,17 +179,44 @@ object IcebergTableIO {
   * }}}
   */
 final class ParquetSnapshotTableIO(spark: SparkSession, rootDir: String,
-    /** File count for per-epoch delta appends. Deltas are O(dequeue) by
-      * design (SURVEY §4.2), so they are shuffled down to this many files
-      * before the write — without it a 73-row append fans out to one tiny
-      * file per shuffle partition and every later `read` re-lists hundreds
-      * of dirs (the round-2 q29 regression). `repartition` (not `coalesce`)
-      * so the upstream compute — fetch, PSNR decode — keeps full
-      * parallelism and only the tiny written delta funnels. Size for the
-      * target scale: ~1 file per 64-128 MB of expected delta. */
-    appendPartitions: Int = 1) extends TableIO {
+    /** Target bytes per data file for per-epoch delta appends. The file
+      * COUNT is derived per table from the delta's size, not a constant:
+      * each append repartitions to `max(1, prevBytes/target)` where
+      * `prevBytes` is the same table's bytes in the PREVIOUS commit (from
+      * the ledger counters this class already writes — at 10^10-URL scale
+      * one file per append is as wrong as hundreds, and epoch deltas are
+      * budget-bounded so consecutive epochs are similar-sized). A fresh
+      * table's first append (no history) gets 1 file and self-corrects
+      * from the next epoch. `repartition` (not `coalesce`) so the upstream
+      * compute — fetch, PSNR decode — keeps full parallelism and only the
+      * written delta funnels (the round-2 q29 regression was one tiny file
+      * per shuffle partition re-listed on every later read). */
+    appendTargetFileBytes: Long = ParquetSnapshotTableIO.DefaultAppendTargetFileBytes)
+    extends TableIO {
   private val root: Path = Paths.get(rootDir)
   Files.createDirectories(root.resolve("data"))
+  require(appendTargetFileBytes > 0, s"appendTargetFileBytes must be > 0")
+
+  /** Last committed bytes per table (appends sized from these; seeded from
+    * the manifest's ledger counters so a RESUMED run keeps sizing from the
+    * previous process's final epoch). Written only after all of a commit's
+    * writes complete; read concurrently by the pool's writers. */
+  @volatile private var lastTableBytes: Map[String, Long] =
+    loadManifest().map { p =>
+      import scala.jdk.CollectionConverters._
+      p.stringPropertyNames().asScala.filter(_.startsWith("counter.bytes_"))
+        .map(k => k.stripPrefix("counter.bytes_") -> p.getProperty(k).toLong)
+        .toMap
+    }.getOrElse(Map.empty)
+
+  /** Files for this append = previous delta's bytes / target, min 1. */
+  private def appendPartitionsFor(table: String): Int =
+    lastTableBytes.get(table) match {
+      case Some(b) if b > 0 =>
+        math.max(1L, (b + appendTargetFileBytes - 1) / appendTargetFileBytes)
+          .min(Int.MaxValue).toInt
+      case _ => 1
+    }
 
   private def manifestPath = root.resolve("manifest.properties")
 
@@ -243,7 +270,7 @@ final class ParquetSnapshotTableIO(spark: SparkSession, rootDir: String,
         sc.setJobGroup(g, s"commit $phase/$epoch $name", interrupt.contains("true")))
       try {
         val dir = s"data/$name/v$version"
-        val out = if (isAppend) df.repartition(appendPartitions) else df
+        val out = if (isAppend) df.repartition(appendPartitionsFor(name)) else df
         out.write.mode(SaveMode.Overwrite).parquet(root.resolve(dir).toString)
         (name, dirBytes(root.resolve(dir)), dirDataFiles(root.resolve(dir)))
       } finally sc.clearJobGroup()
@@ -265,6 +292,8 @@ final class ParquetSnapshotTableIO(spark: SparkSession, rootDir: String,
     val written = results.collect { case scala.util.Success(v) => v }
     val bytes = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     written.foreach { case (n, b, _) => bytes(n) = b }
+    // feed the next commit's append sizing (appendPartitionsFor)
+    lastTableBytes = lastTableBytes ++ bytes
     val filesTotal = written.map(_._3).sum
     tables.keySet.toSeq.sorted.foreach { name =>
       next.setProperty(s"table.$name", s"data/$name/v$version")
@@ -324,6 +353,11 @@ final class ParquetSnapshotTableIO(spark: SparkSession, rootDir: String,
 }
 
 object ParquetSnapshotTableIO {
+  /** ~96 MB per append data file — the usual parquet sweet spot (row-group
+    * sized, under the 128 MB HDFS-era block heuristic). Tests/Soak pass a
+    * tiny target to exercise the multi-file path at toy delta sizes. */
+  val DefaultAppendTargetFileBytes: Long = 96L << 20
+
   /** Per-epoch tables are independent, so commit writes run in parallel —
     * commit wall-time is the SLOWEST table, not the sum (at toy scale the
     * serialized writes were the dominant per-epoch fixed cost; on a

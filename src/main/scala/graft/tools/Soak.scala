@@ -20,7 +20,12 @@ object Soak {
       seedUrls = graft.fixtures.FixtureGen.seeds(params),
       maxDepth = 8, epochSeconds = 120) // budget 240/host-epoch; host1 60
     val ioDir = java.nio.file.Files.createTempDirectory("graft-soak").toString
-    val io = new graft.sources.ParquetSnapshotTableIO(spark, ioDir)
+    // default target (96 MB) collapses toy deltas to 1 file; the scale
+    // sweep passes a tiny target (e.g. 4096) to show files/commit TRACKING
+    // delta bytes — the sizing logic is scale-free, only the target moves
+    val appendTarget = sys.env.getOrElse("SOAK_APPEND_TARGET_BYTES",
+      graft.sources.ParquetSnapshotTableIO.DefaultAppendTargetFileBytes.toString).toLong
+    val io = new graft.sources.ParquetSnapshotTableIO(spark, ioDir, appendTarget)
     val web = graft.fixtures.FixtureGen.webGraphDF(spark, params).cache()
     val imgs = graft.fixtures.FixtureGen.imagesDF(spark, params).cache()
     val engine = new graft.epoch.CrawlEngine(spark, cfg,
@@ -55,6 +60,7 @@ object Soak {
     def stats(xs: Seq[Long]): String =
       if (xs.isEmpty) "n/a"
       else f"n=${xs.size} avg=${xs.sum / xs.size}%d max=${xs.max}%d"
+    println(s"COMMIT-IO append_target_bytes=$appendTarget")
     println(s"COMMIT-IO fetch delta epochs: ${stats(deltas.map(_._2).toSeq)} " +
       s"files/commit: ${stats(deltas.map(_._3).toSeq)}")
     println(s"COMMIT-IO compaction epochs:  ${stats(compactions.map(_._2).toSeq)} " +

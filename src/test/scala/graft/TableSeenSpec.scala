@@ -81,6 +81,42 @@ class TableSeenSpec extends SparkSpec {
     assert(IcebergTableIO.bucketColFor(withHost.drop("host"), "host") == "urlNorm")
   }
 
+  test("append file count tracks previous delta bytes (data-sized, not constant)") {
+    // ask-5 (round 3): at 10^10-URL scale one file per append is as wrong
+    // as hundreds; files/commit must follow the delta's byte size. Sizing
+    // uses the SAME table's bytes from the previous commit (ledger
+    // counters), so this drives growing→shrinking deltas and a resume.
+    val dir = java.nio.file.Files.createTempDirectory("graft-appendsz")
+    val target = 4096L
+    def files(version: Int): Long = {
+      val s = java.nio.file.Files.walk(dir.resolve(s"data/t/v$version"))
+      try s.filter(p => p.getFileName.toString.endsWith(".parquet")).count()
+      finally s.close()
+    }
+    def expectFiles(io: graft.sources.ParquetSnapshotTableIO): Long =
+      math.max(1L, (io.lastCounters("bytes_t") + target - 1) / target)
+    def delta(n: Int) =
+      spark.range(n).select($"id", concat(lit("payload-"), $"id").as("s"))
+
+    val io = new graft.sources.ParquetSnapshotTableIO(spark, dir.toString, target)
+    io.commit("p", 1, Map.empty, Map("t" -> delta(2000)))
+    assert(files(1) == 1, "first append has no history -> 1 file")
+    val predict2 = expectFiles(io)
+    assert(predict2 > 1, "fixture delta must exceed one target file")
+    io.commit("p", 2, Map.empty, Map("t" -> delta(2000)))
+    assert(files(2) == predict2, "second append sized from first's bytes")
+    // shrinking delta: files follow DOWN one commit later
+    io.commit("p", 3, Map.empty, Map("t" -> delta(1)))
+    val predict4 = expectFiles(io)
+    io.commit("p", 4, Map.empty, Map("t" -> delta(1)))
+    assert(files(4) == predict4 && files(4) < files(2))
+    // resume: a NEW instance over the same dir seeds sizing from the manifest
+    val io2 = new graft.sources.ParquetSnapshotTableIO(spark, dir.toString, target)
+    val predict5 = expectFiles(io2)
+    io2.commit("p", 5, Map.empty, Map("t" -> delta(2000)))
+    assert(files(5) == predict5, "resumed instance keeps data-driven sizing")
+  }
+
   test("ledger: per-partition lineage rows checkpointed per fetch epoch") {
     // reuse a tiny engine run
     val params = graft.fixtures.FixtureGen.Params(hosts = 2, pagesPerHost = 15)
