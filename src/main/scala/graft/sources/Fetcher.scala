@@ -78,8 +78,21 @@ object HtmlToMarkdown {
       "table-of-contents|prev-next-links|pagination-nav|edit-this-page|" +
       "last-updated|theme-toggle|search-bar)(?![\\w-])[^\"']*[\"'])[^>]*>.*?</\\1>")
 
+  /** Comments are dropped whole, FIRST: the reference's BeautifulSoup never
+    * sees commented-out markup, but a raw regex scan would — a comment
+    * containing `</main>` would close a region early, and the generic
+    * `<[^>]*>` strip stops at the first `>` INSIDE a comment, leaking the
+    * remainder as text (`<!-- a > b -->` → " b -->"). An unterminated
+    * `<!--` comments out the rest of the document (HTML5 parser behavior).
+    */
+  private[graft] def stripComments(html: String): String = {
+    val s = html.replaceAll("(?s)<!--.*?-->", " ")
+    val open = s.indexOf("<!--")
+    if (open >= 0) s.substring(0, open) else s
+  }
+
   def convert(html: String): String = {
-    var s = Dropped.matcher(html).replaceAll(" ")
+    var s = Dropped.matcher(stripComments(html)).replaceAll(" ")
     s = NoiseClassed.matcher(s).replaceAll(" ")
     (1 to 6).foreach { i =>
       s = s.replaceAll(s"(?is)<h$i[^>]*>", "\n\n" + ("#" * i) + " ")
@@ -103,7 +116,9 @@ object HtmlToMarkdown {
     * priority list (`page.py:133-143`): first of main/article/#content/
     * .content with ≥200 chars of inner HTML, else the whole body. Static
     * regex scope — no DOM/JS rendering exists in this container. */
-  def extractMain(html: String): String = {
+  def extractMain(rawHtml: String): String = {
+    // comment-masked scan: `<!-- </main> -->` must not close a region
+    val html = stripComments(rawHtml)
     // regions close on the DEPTH-BALANCED end tag: a lazy (.*?)</tag>
     // stops at the first NESTED close (e.g. an inner <div> of
     // <div role="main">) and truncates the region to its first child
@@ -127,8 +142,10 @@ object HtmlToMarkdown {
   }
 
   /** Inner HTML from `from` to the close tag balancing the already-matched
-    * open tag (depth-tracked; unclosed → to end, lenient DOM-recovery). */
-  private def balancedInner(html: String, from: Int, tag: String): String = {
+    * open tag (depth-tracked; unclosed → to end, lenient DOM-recovery).
+    * Expects comment-stripped input (callers go through
+    * [[stripComments]]). */
+  private[graft] def balancedInner(html: String, from: Int, tag: String): String = {
     val p = java.util.regex.Pattern.compile(s"(?is)<$tag\\b[^>]*>|</$tag\\s*>")
     val m = p.matcher(html)
     var depth = 1

@@ -70,86 +70,133 @@ object TableIO {
   * unit-tested, the live path runs on any cluster with
   * `iceberg-spark-runtime` and a configured catalog.
   */
-final class IcebergTableIO(spark: SparkSession,
-    /** catalog.namespace prefix, e.g. "prod.graft_crawl42". */
-    db: String,
-    bucketCol: String = "host", numBuckets: Int = 32) extends TableIO {
+/** The narrow surface [[IcebergTableIO]] needs from a live catalog.
+  * [[SparkIcebergCatalog]] is the real implementation (requires the Iceberg
+  * runtime jar); tests drive the commit/read/resume ORCHESTRATION —
+  * snapshot-id bookkeeping, entry carry-forward, `VERSION AS OF` selection,
+  * crash-orphan semantics — against an in-memory fake that records every
+  * issued statement, so the only code untested in-sandbox is Iceberg
+  * itself. */
+trait IcebergCatalog {
+  /** DDL only (CREATE TABLE IF NOT EXISTS …). */
+  def sql(ddl: String): Unit
+  /** None when the table has no snapshot yet (e.g. an empty append to a
+    * just-created table may not create one). */
+  def latestSnapshotId(fqn: String): Option[Long]
+  /** Full-snapshot replacement (`overwrite(lit(true))` semantics). */
+  def overwrite(fqn: String, df: DataFrame): Unit
+  def append(fqn: String, df: DataFrame): Unit
+  def manifestTail(manifestFqn: String): Option[IcebergTableIO.ManifestEntry]
+  /** THE atomic pointer move (one appended manifest row). */
+  def appendManifest(manifestFqn: String, entry: IcebergTableIO.ManifestEntry): Unit
+  def readVersionAsOf(fqn: String, snapshotId: Long): DataFrame
+}
+
+/** Live catalog calls, verbatim from the pre-seam implementation. */
+final class SparkIcebergCatalog(spark: SparkSession) extends IcebergCatalog {
   require(IcebergTableIO.available,
     "Iceberg runtime not on the classpath; add iceberg-spark-runtime and " +
       "configure spark.sql.catalog.<name> (sandbox uses ParquetSnapshotTableIO)")
+  import IcebergTableIO._
+
+  override def sql(ddl: String): Unit = spark.sql(ddl)
+
+  override def latestSnapshotId(fqn: String): Option[Long] =
+    spark.sql(latestSnapshotSql(fqn)).collect().headOption.map(_.getLong(0))
+
+  // full-snapshot replacement: overwrite(true), NOT overwritePartitions
+  // — dynamic partition overwrite would keep stale rows in bucket
+  // partitions absent from the new frame (e.g. a fully-dequeued host's
+  // pending bucket), breaking the TableIO snapshot contract
+  override def overwrite(fqn: String, df: DataFrame): Unit =
+    df.writeTo(fqn).overwrite(org.apache.spark.sql.functions.lit(true))
+
+  override def append(fqn: String, df: DataFrame): Unit =
+    df.writeTo(fqn).append()
+
+  override def manifestTail(manifestFqn: String): Option[ManifestEntry] =
+    spark.sql(s"SELECT * FROM $manifestFqn ORDER BY version DESC LIMIT 1")
+      .collect().headOption.map { r =>
+        ManifestEntry(r.getAs[Int]("version"), r.getAs[String]("phase"),
+          r.getAs[Int]("epoch"), r.getAs[Map[String, Long]]("entries"),
+          r.getAs[Map[String, Long]]("counters"))
+      }
+
+  override def appendManifest(manifestFqn: String, e: ManifestEntry): Unit = {
+    import spark.implicits._
+    Seq((e.version, e.phase, e.epoch, e.entries, e.counters))
+      .toDF("version", "phase", "epoch", "entries", "counters")
+      .writeTo(manifestFqn).append()
+  }
+
+  override def readVersionAsOf(fqn: String, snapshotId: Long): DataFrame =
+    spark.sql(s"SELECT * FROM $fqn VERSION AS OF $snapshotId")
+}
+
+final class IcebergTableIO private[graft] (catalog: IcebergCatalog,
+    /** catalog.namespace prefix, e.g. "prod.graft_crawl42". */
+    db: String,
+    bucketCol: String, numBuckets: Int) extends TableIO {
+
+  def this(spark: SparkSession, db: String,
+      bucketCol: String = "host", numBuckets: Int = 32) =
+    this(new SparkIcebergCatalog(spark), db, bucketCol, numBuckets)
 
   import IcebergTableIO._
 
   private def fqn(table: String) = s"$db.graft_$table"
   private def manifestFqn = s"$db.graft_manifest"
 
-  private def ensureManifest(): Unit =
-    spark.sql(manifestDDL(manifestFqn))
-
-  /** None when the table has no snapshot yet (e.g. an empty append to a
-    * just-created table may not create one) — such tables are simply
-    * omitted from the manifest entry (read() treats them as absent, the
-    * same as a table never written). */
-  private def latestSnapshotId(table: String): Option[Long] =
-    spark.sql(latestSnapshotSql(fqn(table))).collect().headOption.map(_.getLong(0))
-
-  private def manifestTail(): Option[org.apache.spark.sql.Row] = {
-    ensureManifest()
-    spark.sql(s"SELECT * FROM $manifestFqn ORDER BY version DESC LIMIT 1")
-      .collect().headOption
+  private def tail(): Option[ManifestEntry] = {
+    catalog.sql(manifestDDL(manifestFqn))
+    catalog.manifestTail(manifestFqn)
   }
 
   override def commit(phase: String, epoch: Int, tables: Map[String, DataFrame],
       appends: Map[String, DataFrame], counters: => Map[String, Long]): Unit = {
     val overlap = tables.keySet intersect appends.keySet
     require(overlap.isEmpty, s"table(s) in both tables and appends: $overlap")
-    val prev = manifestTail()
-    val prevEntries: Map[String, Long] = prev.map { r =>
-      r.getAs[Map[String, Long]]("entries")
-    }.getOrElse(Map.empty)
-    val version = prev.map(_.getAs[Int]("version") + 1).getOrElse(1)
+    val prev = tail()
+    // carry forward entries for tables not in this commit (multi-table
+    // snapshot semantics, same as the parquet impl's manifest properties)
+    val prevEntries: Map[String, Long] = prev.map(_.entries).getOrElse(Map.empty)
+    val version = prev.map(_.version + 1).getOrElse(1)
     val written = scala.collection.mutable.Map.empty[String, Long]
-    tables.toSeq.sortBy(_._1).foreach { case (name, df) =>
-      spark.sql(TableIO.icebergDDL(fqn(name),
+    def writeOne(name: String, df: DataFrame, isAppend: Boolean): Unit = {
+      catalog.sql(TableIO.icebergDDL(fqn(name),
         df.schema.toDDL, bucketCol = bucketColFor(df, bucketCol), numBuckets))
-      // full-snapshot replacement: overwrite(true), NOT overwritePartitions
-      // — dynamic partition overwrite would keep stale rows in bucket
-      // partitions absent from the new frame (e.g. a fully-dequeued host's
-      // pending bucket), breaking the trait's snapshot contract
-      df.writeTo(fqn(name)).overwrite(org.apache.spark.sql.functions.lit(true))
-      latestSnapshotId(name).foreach(written(name) = _)
+      if (isAppend) catalog.append(fqn(name), df)
+      else catalog.overwrite(fqn(name), df)
+      // a snapshot-less table (empty append on a fresh table) is omitted
+      // from the entry — read() treats it as absent, same as never written
+      catalog.latestSnapshotId(fqn(name)).foreach(written(name) = _)
     }
-    appends.toSeq.sortBy(_._1).foreach { case (name, df) =>
-      spark.sql(TableIO.icebergDDL(fqn(name),
-        df.schema.toDDL, bucketCol = bucketColFor(df, bucketCol), numBuckets))
-      df.writeTo(fqn(name)).append()
-      latestSnapshotId(name).foreach(written(name) = _)
-    }
+    tables.toSeq.sortBy(_._1).foreach { case (n, df) => writeOne(n, df, isAppend = false) }
+    appends.toSeq.sortBy(_._1).foreach { case (n, df) => writeOne(n, df, isAppend = true) }
     // counters by-name: evaluated after the data writes (same contract as
     // the parquet impl — Observation-sourced counters ride the writes)
     val cs = counters
-    val entries = prevEntries ++ written
-    import spark.implicits._
-    Seq((version, phase, epoch, entries, cs))
-      .toDF("version", "phase", "epoch", "entries", "counters")
-      .writeTo(manifestFqn).append() // THE atomic pointer move
+    catalog.appendManifest(manifestFqn,
+      ManifestEntry(version, phase, epoch, prevEntries ++ written, cs))
   }
 
   override def read(table: String): Option[DataFrame] =
-    manifestTail().flatMap { r =>
-      r.getAs[Map[String, Long]]("entries").get(table).map { snap =>
-        spark.sql(s"SELECT * FROM ${fqn(table)} VERSION AS OF $snap")
-      }
-    }
+    tail().flatMap(_.entries.get(table).map(catalog.readVersionAsOf(fqn(table), _)))
 
   override def lastCommitted: Option[(String, Int)] =
-    manifestTail().map(r => (r.getAs[String]("phase"), r.getAs[Int]("epoch")))
+    tail().map(e => (e.phase, e.epoch))
 
   override def lastCounters: Map[String, Long] =
-    manifestTail().map(_.getAs[Map[String, Long]]("counters")).getOrElse(Map.empty)
+    tail().map(_.counters).getOrElse(Map.empty)
 }
 
 object IcebergTableIO {
+  /** One committed manifest row — the atomic pointer the whole backend
+    * hangs off: `entries` maps table name → the snapshot id a reader must
+    * time-travel to. */
+  final case class ManifestEntry(version: Int, phase: String, epoch: Int,
+      entries: Map[String, Long], counters: Map[String, Long])
+
   /** True when the Iceberg Spark runtime is on the classpath. */
   lazy val available: Boolean =
     try { Class.forName("org.apache.iceberg.spark.SparkCatalog"); true }
