@@ -74,7 +74,9 @@ final class CrawlEngine(
     val pairs = cfg.seedUrls.map(u => graft.util.PyUrl.host(
       graft.util.PyUrl.canonicalize(u)) -> u)
     require(pairs.map(_._1).distinct.size == pairs.size,
-      s"one seed per host (reference: one base_url per job); got ${cfg.seedUrls}")
+      "one seed per host (reference: one base_url per job) — for several " +
+        "subtrees of one host run one job per seed via graft.jobs.JobManager " +
+        "(isolated state dirs, merged `progress` view); got " + cfg.seedUrls)
     pairs.toMap
   }
 

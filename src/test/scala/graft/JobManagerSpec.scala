@@ -76,4 +76,62 @@ class JobManagerSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(root, "job-2", "manifest.properties")))
     mgr.shutdown()
   }
+
+  test("two subtrees of ONE host crawl as two jobs: isolated state, merged progress") {
+    // The engine enforces one seed per host (reference: one base_url per
+    // job — api/models.py JobRequest.url); the JobManager IS the
+    // multi-seed answer: one job per seed, isolated state dirs, one
+    // unioned progress view. Round-3 ask #9.
+    def subtree(sub: String): Seq[FixtureGen.PageRow] = {
+      def mk(path: String, links: Seq[String]) = FixtureGen.PageRow(
+        s"https://site-0.test$path", "site-0.test", 200, "text/html",
+        s"<html><body><main>${s"content for $path " * 40}</main></body></html>",
+        links, Seq.empty, Seq.empty, "http_fast", 5L)
+      Seq(
+        mk(s"/$sub", Seq(s"https://site-0.test/$sub/p1", s"https://site-0.test/$sub/p2")),
+        mk(s"/$sub/p1", Seq(s"https://site-0.test/$sub/p2")),
+        mk(s"/$sub/p2", Seq.empty))
+    }
+    // the engine itself refuses two seeds on one host — and points here
+    val twoSeeds = CrawlConfig(
+      seedUrls = Seq("https://site-0.test/a", "https://site-0.test/b"),
+      maxDepth = 3, epochSeconds = 30)
+    val err = intercept[IllegalArgumentException] {
+      new graft.epoch.CrawlEngine(spark, twoSeeds,
+        new FixtureFetcher(subtree("a").toDF()), images,
+        new graft.sources.ParquetSnapshotTableIO(
+          spark, Files.createTempDirectory("graft-two-seed").toString),
+        Map("site-0.test" -> graft.operators.Robots.parse("User-agent: *\n")))
+    }
+    assert(err.getMessage.contains("JobManager"))
+
+    val root = Files.createTempDirectory("graft-jobs-subtrees").toString
+    val mgr = new JobManager(spark, root, maxConcurrentJobs = 2)
+    val oneHostWeb = (subtree("a") ++ subtree("b")).toDF()
+    val pol = Map("site-0.test" -> graft.operators.Robots.parse("User-agent: *\n"))
+    def cfgFor(sub: String) = CrawlConfig(
+      seedUrls = Seq(s"https://site-0.test/$sub"), maxDepth = 3, epochSeconds = 30)
+    mgr.submit("sub-a", cfgFor("a"), images, new FixtureFetcher(oneHostWeb), pol)
+    mgr.submit("sub-b", cfgFor("b"), images, new FixtureFetcher(oneHostWeb), pol)
+    mgr.awaitAll()
+    assert(mgr.status("sub-a").contains(JobManager.Done), mgr.status("sub-a"))
+    assert(mgr.status("sub-b").contains(JobManager.Done), mgr.status("sub-b"))
+
+    // isolation: each job crawled ONLY its subtree, in its own state dir
+    Seq("sub-a", "sub-b").foreach(id =>
+      assert(Files.exists(Paths.get(root, id, "manifest.properties"))))
+    def dispatched(id: String): Set[String] =
+      mgr.engineOf(id).get.orderLog.select("urlNorm").as[String].collect().toSet
+    val a = dispatched("sub-a")
+    val b = dispatched("sub-b")
+    assert(a.nonEmpty && a.forall(_.startsWith("https://site-0.test/a")), a)
+    assert(b.nonEmpty && b.forall(_.startsWith("https://site-0.test/b")), b)
+    assert((a intersect b).isEmpty)
+
+    // the merged progress view covers both subtrees of the shared host
+    val prog = mgr.progress
+    assert(prog.select("job_id").distinct().as[String].collect().toSet ==
+      Set("sub-a", "sub-b"))
+    mgr.shutdown()
+  }
 }

@@ -75,6 +75,14 @@ def main(sf_dir, out_dir):
         bad += 0 if ok else 1
         print(("PASS " if ok else "FAIL ") + k + " :: " + results[k])
     print(f"\n{len(results)-bad}/{len(results)} pass")
+    # Round artifact (VERDICT r3 ask #10): persist the per-query verdicts —
+    # including HASH_MISMATCH first-diff rows — so a driver-side red is
+    # localized from the committed artifact instead of costing a round.
+    art = sys.argv[3] if len(sys.argv) > 3 else "ORACLE_CHECK_LOCAL.json"
+    with open(art, "w") as f:
+        json.dump({"sf_dir": sf_dir, "pass": len(results) - bad,
+                   "total": len(results), "results": results}, f, indent=1)
+    print(f"wrote {art}")
     return 1 if bad else 0
 
 if __name__ == "__main__":
