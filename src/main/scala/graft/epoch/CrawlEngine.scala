@@ -709,6 +709,11 @@ final class CrawlEngine(
   def seen: DataFrame = io.read("seen").get
   def fetched: DataFrame = io.read("fetched").get
   def table(name: String): Option[DataFrame] = io.read(name)
+
+  /** Last committed counters / (phase, epoch) — manifest reads only, no
+    * Spark job; the serving layer polls these for progress events. */
+  def counters: Map[String, Long] = io.lastCounters
+  def phaseEpoch: Option[(String, Int)] = io.lastCommitted
 }
 
 object CrawlEngine {

@@ -1,0 +1,200 @@
+package graft.jobs
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.Executors
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+/** D10 serving surface — the reference's FastAPI + SSE job API
+  * (`src/api/routes.py:90-150`, `src/jobs/manager.py:89-127`) over the
+  * [[JobManager]], on the JDK's built-in `HttpServer` (no new deps, binds
+  * loopback by default — put a real ingress in front on a cluster).
+  *
+  * Routes (reference analogs):
+  *  - `POST /api/jobs`            body `{"url": …, "max_depth": …}` →
+  *    submits via the embedder's `submitter` (transports/images are
+  *    deployment wiring, like the reference's scraper/model registry) and
+  *    returns `{"id","status"}` (`routes.py:90` create_job).
+  *  - `GET  /api/jobs/{id}/status` → `{"id","status","pages_completed",
+  *    "phase","epoch"}` (`routes.py:137`; pages from the engine's
+  *    manifest counters — no Spark job per poll).
+  *  - `POST /api/jobs/{id}/cancel` → cancels, returns status
+  *    (`routes.py:122`).
+  *  - `GET  /api/jobs/{id}/events` → `text/event-stream`: a `progress`
+  *    event whenever the job's committed counters advance, `keepalive`
+  *    comments while idle, one terminal `job_done` event, then close —
+  *    the `event_stream` contract (`manager.py:92-127`) with the queue
+  *    replaced by commit polling (progress is durable table state here,
+  *    not an in-process queue, so a reconnecting client misses nothing).
+  *  - `GET  /api/health/ready` → `{"status":"ok"}` (`routes.py:154`).
+  */
+final class JobServer(
+    mgr: JobManager,
+    /** binds a validated request to an engine submission. */
+    submitter: (String, JobServer.JobRequest) => Unit,
+    port: Int = 0,
+    /** SSE poll cadence; keepalives go out every `keepaliveEveryMs`. */
+    pollMs: Long = 200L,
+    keepaliveEveryMs: Long = 20000L) {
+  import JobServer._
+
+  private val http = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  private val pool = Executors.newCachedThreadPool(r => {
+    val t = new Thread(r, "graft-http"); t.setDaemon(true); t
+  })
+  private val ids = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  def boundPort: Int = http.getAddress.getPort
+
+  def start(): Unit = { http.setExecutor(pool); http.start() }
+  def stop(): Unit = { http.stop(0); pool.shutdown() }
+
+  http.createContext("/", (ex: HttpExchange) => {
+    try route(ex)
+    catch {
+      case e: Exception =>
+        respond(ex, 500, s"""{"error":${quote(e.getMessage)}}""")
+    } finally ex.close()
+  })
+
+  private def route(ex: HttpExchange): Unit = {
+    val path = ex.getRequestURI.getPath
+    val method = ex.getRequestMethod
+    (method, path) match {
+      case ("GET", "/api/health/ready") => respond(ex, 200, """{"status":"ok"}""")
+      case ("POST", "/api/jobs") => createJob(ex)
+      case ("GET", JobRoute(id, "status")) => jobStatus(ex, id)
+      case ("POST", JobRoute(id, "cancel")) =>
+        if (mgr.status(id).isEmpty) respond(ex, 404, notFound(id))
+        else { mgr.cancel(id); jobStatus(ex, id) }
+      case ("GET", JobRoute(id, "events")) => events(ex, id)
+      case _ => respond(ex, 404, """{"error":"no such route"}""")
+    }
+  }
+
+  private def createJob(ex: HttpExchange): Unit = {
+    val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+    parseRequest(body) match {
+      case Left(err) => respond(ex, 422, s"""{"error":${quote(err)}}""")
+      case Right(req) =>
+        val id = s"job-${ids.incrementAndGet()}"
+        submitter(id, req)
+        respond(ex, 200, statusJson(id))
+    }
+  }
+
+  private def jobStatus(ex: HttpExchange, id: String): Unit =
+    mgr.status(id) match {
+      case None => respond(ex, 404, notFound(id))
+      case Some(_) => respond(ex, 200, statusJson(id))
+    }
+
+  private def statusJson(id: String): String = {
+    val st = mgr.status(id).map(statusName).getOrElse("unknown")
+    val (counters, phase) = mgr.engineOf(id)
+      .map(e => (e.counters, e.phaseEpoch)).getOrElse((Map.empty[String, Long], None))
+    val pages = counters.getOrElse("pages_ok", 0L)
+    s"""{"id":${quote(id)},"status":${quote(st)},"pages_completed":$pages,""" +
+      s""""phase":${quote(phase.map(_._1).getOrElse(""))},""" +
+      s""""epoch":${phase.map(_._2).getOrElse(-1)}}"""
+  }
+
+  /** SSE: progress on counter advance, keepalive while idle, terminal
+    * job_done, close. */
+  private def events(ex: HttpExchange, id: String): Unit = {
+    if (mgr.status(id).isEmpty) { respond(ex, 404, notFound(id)); return }
+    ex.getResponseHeaders.set("Content-Type", "text/event-stream")
+    ex.getResponseHeaders.set("Cache-Control", "no-cache")
+    ex.sendResponseHeaders(200, 0) // chunked stream
+    val out = ex.getResponseBody
+    def send(event: String, data: String): Unit = {
+      out.write(s"event: $event\ndata: $data\n\n".getBytes(UTF_8))
+      out.flush()
+    }
+    var lastCounters: Map[String, Long] = null
+    var lastSentMs = System.currentTimeMillis()
+    var terminal = false
+    while (!terminal) {
+      val st = mgr.status(id)
+      val now = System.currentTimeMillis()
+      val counters = mgr.engineOf(id).map(_.counters).getOrElse(Map.empty)
+      if (counters.nonEmpty && counters != lastCounters) {
+        lastCounters = counters
+        send("progress", statusJson(id))
+        lastSentMs = now
+      }
+      st match {
+        case None | Some(JobManager.Done) | Some(JobManager.Cancelled) |
+            Some(JobManager.Failed(_)) =>
+          // mirror the reference's terminal event then stream close
+          val status = st.map(statusName).getOrElse("unknown")
+          send("job_done", s"""{"status":${quote(status)}}""")
+          terminal = true
+        case _ =>
+          if (now - lastSentMs >= keepaliveEveryMs) {
+            send("keepalive", "{}")
+            lastSentMs = now
+          }
+          Thread.sleep(pollMs)
+      }
+    }
+  }
+
+  private def respond(ex: HttpExchange, code: Int, json: String): Unit = {
+    val bytes = json.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+  }
+
+  private def notFound(id: String) = s"""{"error":${quote(s"no job $id")}}"""
+}
+
+object JobServer {
+  /** `api/models.py JobRequest` analog — the fields the Spark engine
+    * consumes (model-selection fields are scorer wiring, bound by the
+    * embedder's `submitter`). Validation bounds mirror the reference. */
+  final case class JobRequest(
+      url: String,
+      maxDepth: Int = 5,
+      delayMs: Int = 500,
+      respectRobotsTxt: Boolean = true)
+
+  private val mapper = new ObjectMapper()
+
+  private[jobs] def quote(s: String): String =
+    mapper.writeValueAsString(if (s == null) "" else s)
+
+  /** Parse + validate (reference field bounds: `models.py:19-31`). */
+  private[graft] def parseRequest(body: String): Either[String, JobRequest] =
+    try {
+      val n = mapper.readTree(body)
+      if (n == null || !n.hasNonNull("url")) Left("url is required")
+      else {
+        val req = JobRequest(
+          url = n.get("url").asText(),
+          maxDepth = if (n.hasNonNull("max_depth")) n.get("max_depth").asInt() else 5,
+          delayMs = if (n.hasNonNull("delay_ms")) n.get("delay_ms").asInt() else 500,
+          respectRobotsTxt =
+            if (n.hasNonNull("respect_robots_txt")) n.get("respect_robots_txt").asBoolean()
+            else true)
+        if (!req.url.startsWith("http://") && !req.url.startsWith("https://"))
+          Left("url must be http(s)")
+        else if (req.maxDepth < 1 || req.maxDepth > 20) Left("max_depth in [1,20]")
+        else if (req.delayMs < 100 || req.delayMs > 60000) Left("delay_ms in [100,60000]")
+        else Right(req)
+      }
+    } catch { case e: Exception => Left(s"bad JSON: ${e.getMessage}") }
+
+  private val JobRoute = "^/api/jobs/([^/]+)/([a-z]+)$".r
+
+  private[jobs] def statusName(s: JobManager.Status): String = s match {
+    case JobManager.Queued => "queued"
+    case JobManager.Running => "running"
+    case JobManager.Done => "completed"
+    case JobManager.Failed(_) => "failed"
+    case JobManager.Cancelled => "cancelled"
+  }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+import scala.io.Source
+
+import graft.fixtures.FixtureGen
+import graft.jobs.{JobManager, JobServer}
+import graft.model.CrawlConfig
+import graft.sources.FixtureFetcher
+
+/** D10 serving surface — the SSE/HTTP job API over the JobManager
+  * (reference `src/api/routes.py:90-154` + `src/jobs/manager.py:89-127`),
+  * driven end-to-end over real loopback HTTP. */
+class JobServerSpec extends SparkSpec {
+
+  private val params = FixtureGen.Params(hosts = 1, pagesPerHost = 12, skew = 2)
+  private lazy val web = FixtureGen.webGraphDF(spark, params).cache()
+  private lazy val images = FixtureGen.imagesDF(spark, params).cache()
+  private lazy val policies = FixtureGen.robotsMap(params)
+
+  private def newServer(): (JobServer, JobManager, String) = {
+    val root = Files.createTempDirectory("graft-http-jobs").toString
+    val mgr = new JobManager(spark, root, maxConcurrentJobs = 2)
+    val server = new JobServer(mgr, (id, req) => {
+      val cfg = CrawlConfig(seedUrls = Seq(req.url), maxDepth = req.maxDepth,
+        epochSeconds = 30, respectRobotsTxt = req.respectRobotsTxt)
+      mgr.submit(id, cfg, images, new FixtureFetcher(web), policies)
+    })
+    server.start()
+    (server, mgr, s"http://127.0.0.1:${server.boundPort}")
+  }
+
+  private val client = HttpClient.newHttpClient()
+  private def get(url: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(url)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+  private def post(url: String, body: String = ""): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(url))
+      .POST(HttpRequest.BodyPublishers.ofString(body, UTF_8)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("create → status → SSE progress stream → job_done (reference API shape)") {
+    val (server, mgr, base) = newServer()
+    try {
+      assert(get(s"$base/api/health/ready").body().contains("ok"))
+
+      val created = post(s"$base/api/jobs",
+        """{"url":"https://site-0.test/docs","max_depth":5}""")
+      assert(created.statusCode() == 200, created.body())
+      val id = "\"id\":\"([^\"]+)\"".r.findFirstMatchIn(created.body()).get.group(1)
+
+      // SSE: read the stream to terminal — progress events as commits land,
+      // exactly one job_done, then the server closes the stream
+      val sse = client.send(
+        HttpRequest.newBuilder(URI.create(s"$base/api/jobs/$id/events")).GET().build(),
+        HttpResponse.BodyHandlers.ofInputStream())
+      assert(sse.statusCode() == 200)
+      assert(sse.headers().firstValue("Content-Type").orElse("")
+        .startsWith("text/event-stream"))
+      val lines = Source.fromInputStream(sse.body(), "UTF-8").getLines().toList
+      val eventNames = lines.filter(_.startsWith("event: ")).map(_.stripPrefix("event: "))
+      assert(eventNames.count(_ == "job_done") == 1, eventNames)
+      assert(eventNames.last == "job_done")
+      assert(eventNames.contains("progress"), eventNames)
+      val lastData = lines.filter(_.startsWith("data: ")).last
+      assert(lastData.contains("\"status\":\"completed\""), lastData)
+
+      // the stream outlives the job: status agrees, counters surfaced
+      mgr.awaitAll()
+      val st = get(s"$base/api/jobs/$id/status")
+      assert(st.statusCode() == 200)
+      assert(st.body().contains("\"status\":\"completed\""), st.body())
+      assert("\"pages_completed\":(\\d+)".r.findFirstMatchIn(st.body())
+        .get.group(1).toLong > 0, st.body())
+      mgr.shutdown()
+    } finally server.stop()
+  }
+
+  test("validation, unknown-job 404s, cancel route") {
+    val (server, mgr, base) = newServer()
+    try {
+      // reference field bounds (models.py:19-31) → 422
+      assert(post(s"$base/api/jobs", """{"max_depth":3}""").statusCode() == 422)
+      assert(post(s"$base/api/jobs",
+        """{"url":"ftp://x.test/"}""").statusCode() == 422)
+      assert(post(s"$base/api/jobs",
+        """{"url":"https://site-0.test/docs","max_depth":99}""").statusCode() == 422)
+      assert(post(s"$base/api/jobs",
+        """{"url":"https://site-0.test/docs","delay_ms":1}""").statusCode() == 422)
+      assert(post(s"$base/api/jobs", "not json at all").statusCode() == 422)
+
+      assert(get(s"$base/api/jobs/nope/status").statusCode() == 404)
+      assert(post(s"$base/api/jobs/nope/cancel").statusCode() == 404)
+      assert(get(s"$base/api/jobs/nope/events").statusCode() == 404)
+      assert(get(s"$base/api/other").statusCode() == 404)
+
+      // cancel an accepted job through the route; terminal state via API
+      val created = post(s"$base/api/jobs", """{"url":"https://site-0.test/docs"}""")
+      val id = "\"id\":\"([^\"]+)\"".r.findFirstMatchIn(created.body()).get.group(1)
+      val cancel = post(s"$base/api/jobs/$id/cancel")
+      assert(cancel.statusCode() == 200)
+      mgr.awaitAll()
+      val st = get(s"$base/api/jobs/$id/status").body()
+      assert(st.contains("\"status\":\"cancelled\"") ||
+        st.contains("\"status\":\"completed\""), st) // cancel can race a fast finish
+      mgr.shutdown()
+    } finally server.stop()
+  }
+}
