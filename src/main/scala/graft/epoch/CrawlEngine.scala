@@ -143,7 +143,7 @@ final class CrawlEngine(
     var level = startLevel
     var continue = true
     while (continue) {
-      if (cancelRequested) return false
+      if (cancelRequested || stopRequested) return false
       val seen = io.read("seen").getOrElse(emptyDf(seenSchema))
       // Bloom-prune + exact anti-join (J1). Probe = carried Bloom (delta-
       // folded), authority = anti-join vs the committed snapshot.
@@ -548,7 +548,7 @@ final class CrawlEngine(
   private def fetchFrom(startEpoch: Int, stopAfterEpoch: Option[Int]): Unit = {
     var epoch = startEpoch
     var continue = true
-    while (continue && !cancelRequested) {
+    while (continue && !cancelRequested && !stopRequested) {
       val n = fetchEpoch(epoch)
       if (n == 0) continue = false
       else if (stopAfterEpoch.contains(epoch)) continue = false
@@ -629,11 +629,19 @@ final class CrawlEngine(
   // unreferenced, so a later run() continues exactly where it left off).
   private val jobGroup = s"graft-crawl-${java.util.UUID.randomUUID()}"
   @volatile private var cancelRequested = false
+  @volatile private var stopRequested = false
 
   def cancel(): Unit = {
     cancelRequested = true
     spark.sparkContext.cancelJobGroup(jobGroup)
   }
+
+  /** ST2 — graceful pause (reference PR 3.1 `pause_job`): stop BETWEEN
+    * epochs. Unlike [[cancel]], no in-flight Spark job is aborted — the
+    * running epoch commits normally and becomes the resume point; a later
+    * run() continues from it (the flag clears on every run start, so no
+    * `clearPriorCancel`-style race handling is needed for pause). */
+  def pause(): Unit = { stopRequested = true }
 
   def run(stopAfterFetchEpoch: Option[Int] = None,
       stopAfterDiscoverDepth: Option[Int] = None,
@@ -647,6 +655,7 @@ final class CrawlEngine(
     // continues from the last committed epoch (cancel() targets the run in
     // flight, not the engine's future)
     if (clearPriorCancel) cancelRequested = false
+    stopRequested = false // a fresh run() always resumes from a pause
     if (cancelRequested) return
     // drop carried Blooms so a same-instance resume rebuilds them from the
     // committed snapshot: the delta fold runs AFTER io.commit, so a cancel

@@ -37,7 +37,10 @@ final class JobManager(
   private final class Job(
       val engine: CrawlEngine,
       @volatile var status: Status,
-      @volatile var finishedAtMs: Long)
+      @volatile var finishedAtMs: Long,
+      /** set by pause(); the worker maps a pause-stopped run to Paused
+        * (not Done) when it returns. */
+      @volatile var pausePending: Boolean = false)
 
   private val jobs = new ConcurrentHashMap[String, Job]()
   private val slots = new Semaphore(maxConcurrentJobs, true)
@@ -63,6 +66,12 @@ final class JobManager(
       ssrfCheck = ssrfCheck)
     val job = new Job(engine, Queued, 0L)
     jobs.put(jobId, job)
+    schedule(job)
+  }
+
+  /** Queue one run of `job.engine` on the worker pool (initial submit AND
+    * resume-after-pause share this path). */
+  private def schedule(job: Job): Unit =
     pool.submit(new Runnable {
       override def run(): Unit = {
         slots.acquire()
@@ -76,9 +85,12 @@ final class JobManager(
             if (job.status == Cancelled) return
             job.status = Running
           }
-          engine.run(clearPriorCancel = false)
+          job.engine.run(clearPriorCancel = false)
           job.synchronized {
-            job.status = if (job.status == Cancelled) Cancelled else Done
+            job.status =
+              if (job.status == Cancelled) Cancelled
+              else if (job.pausePending) { job.pausePending = false; Paused }
+              else Done
           }
         } catch {
           case e: Throwable => job.synchronized {
@@ -93,7 +105,6 @@ final class JobManager(
         }
       }
     })
-  }
 
   def status(jobId: String): Option[Status] =
     Option(jobs.get(jobId)).map(_.status)
@@ -108,14 +119,47 @@ final class JobManager(
   def cancel(jobId: String): Unit =
     Option(jobs.get(jobId)).foreach { j =>
       j.synchronized {
-        if (j.status == Queued || j.status == Running) {
+        if (j.status == Queued || j.status == Running || j.status == Paused) {
           j.status = Cancelled
           j.engine.cancel()
+          // a paused job has no worker to observe the terminal transition
+          if (j.finishedAtMs == 0L) j.finishedAtMs = System.currentTimeMillis()
         }
       }
     }
 
-  /** Block until every submitted job reaches a terminal state. */
+  /** Graceful pause (reference PR 3.1 `pause_job`, `routes.py:313-334`):
+    * the job's running epoch commits normally, then the run stops and the
+    * slot frees; the last committed epoch is the resume point. Running
+    * jobs only — a queued job should be cancelled instead, a terminal one
+    * has nothing to pause. Returns true if the pause was requested. */
+  def pause(jobId: String): Boolean =
+    Option(jobs.get(jobId)).exists { j =>
+      j.synchronized {
+        if (j.status == Running) {
+          j.pausePending = true
+          j.engine.pause()
+          true
+        } else false
+      }
+    }
+
+  /** Resume a paused job (`routes.py:336-349`): re-queues a run that
+    * continues from the last committed epoch in the job's state dir.
+    * Returns true if a resume was scheduled. */
+  def resume(jobId: String): Boolean =
+    Option(jobs.get(jobId)).exists { j =>
+      j.synchronized {
+        if (j.status == Paused) {
+          j.status = Queued
+          schedule(j)
+          true
+        } else false
+      }
+    }
+
+  /** Block until no job is Queued or Running (i.e. every job is terminal
+    * or Paused). */
   def awaitAll(timeoutMs: Long = 600000L): Unit = {
     val deadline = System.currentTimeMillis() + timeoutMs
     while (jobs.values().asScala.exists(j =>
@@ -169,6 +213,10 @@ object JobManager {
   sealed trait Status
   case object Queued extends Status
   case object Running extends Status
+  /** Stopped between epochs by pause(); resume() continues it. Non-
+    * terminal: not swept, and an SSE stream keeps waiting with
+    * keepalives (reference semantics). */
+  case object Paused extends Status
   case object Done extends Status
   final case class Failed(error: String) extends Status
   case object Cancelled extends Status

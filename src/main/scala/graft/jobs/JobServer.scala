@@ -69,6 +69,18 @@ final class JobServer(
       case ("POST", JobRoute(id, "cancel")) =>
         if (mgr.status(id).isEmpty) respond(ex, 404, notFound(id))
         else { mgr.cancel(id); jobStatus(ex, id) }
+      // PR 3.1 pause/resume (`routes.py:313-349`): 409 mirrors the
+      // reference's "cannot be paused (status: …)" 400-class rejection
+      case ("POST", JobRoute(id, "pause")) =>
+        if (mgr.status(id).isEmpty) respond(ex, 404, notFound(id))
+        else if (mgr.pause(id)) jobStatus(ex, id)
+        else respond(ex, 409, s"""{"error":${quote(
+          s"job $id cannot be paused (status: ${mgr.status(id).map(statusName).getOrElse("?")})")}}""")
+      case ("POST", JobRoute(id, "resume")) =>
+        if (mgr.status(id).isEmpty) respond(ex, 404, notFound(id))
+        else if (mgr.resume(id)) jobStatus(ex, id)
+        else respond(ex, 409, s"""{"error":${quote(
+          s"job $id cannot be resumed (status: ${mgr.status(id).map(statusName).getOrElse("?")})")}}""")
       case ("GET", JobRoute(id, "events")) => events(ex, id)
       case _ => respond(ex, 404, """{"error":"no such route"}""")
     }
@@ -193,6 +205,7 @@ object JobServer {
   private[jobs] def statusName(s: JobManager.Status): String = s match {
     case JobManager.Queued => "queued"
     case JobManager.Running => "running"
+    case JobManager.Paused => "paused"
     case JobManager.Done => "completed"
     case JobManager.Failed(_) => "failed"
     case JobManager.Cancelled => "cancelled"

@@ -77,6 +77,51 @@ class JobManagerSpec extends SparkSpec {
     mgr.shutdown()
   }
 
+  test("pause stops between epochs; resume reproduces the uninterrupted crawl") {
+    // bigger fixture → multi-epoch fetch phase, so the pause lands mid-crawl
+    val p2 = FixtureGen.Params(hosts = 2, pagesPerHost = 60, skew = 3)
+    val cfg2 = CrawlConfig(
+      seedUrls = FixtureGen.seeds(p2), maxDepth = 6, epochSeconds = 30)
+    val web2 = FixtureGen.webGraphDF(spark, p2).cache()
+    val img2 = FixtureGen.imagesDF(spark, p2).cache()
+    val pol2 = FixtureGen.robotsMap(p2)
+    def orderSet(mgr: JobManager, id: String): Set[(String, String)] =
+      mgr.engineOf(id).get.orderLog.select("urlNorm", "disposition")
+        .as[(String, String)].collect().toSet
+
+    // reference: one uninterrupted run
+    val refMgr = new JobManager(spark,
+      Files.createTempDirectory("graft-pause-ref").toString, 1)
+    refMgr.submit("ref", cfg2, img2, new FixtureFetcher(web2), pol2)
+    refMgr.awaitAll()
+    assert(refMgr.status("ref").contains(JobManager.Done))
+    val want = orderSet(refMgr, "ref")
+    refMgr.shutdown()
+
+    val mgr = new JobManager(spark,
+      Files.createTempDirectory("graft-pause").toString, 1)
+    mgr.submit("p", cfg2, img2, new FixtureFetcher(web2), pol2)
+    // pause/resume preconditions mirror the reference's 400s
+    assert(!mgr.resume("p"), "resume of a non-paused job must refuse")
+    val deadline = System.currentTimeMillis() + 60000
+    while (!mgr.status("p").contains(JobManager.Running) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(10)
+    assert(mgr.pause("p"), "pause of a running job")
+    mgr.awaitAll() // returns once the worker stops between epochs
+    // the multi-second crawl vs the 10ms poll makes a pre-completion pause
+    // all but certain; if it ever races to Done the equality below still
+    // gates the result
+    if (mgr.status("p").contains(JobManager.Paused)) {
+      assert(!mgr.pause("p"), "pause of a paused job must refuse")
+      assert(mgr.resume("p"), "resume of a paused job")
+      mgr.awaitAll()
+    }
+    assert(mgr.status("p").contains(JobManager.Done), mgr.status("p"))
+    assert(orderSet(mgr, "p") == want,
+      "pause+resume must reproduce the uninterrupted crawl exactly")
+    mgr.shutdown()
+  }
+
   test("two subtrees of ONE host crawl as two jobs: isolated state, merged progress") {
     // The engine enforces one seed per host (reference: one base_url per
     // job — api/models.py JobRequest.url); the JobManager IS the

@@ -107,6 +107,13 @@ class JobServerSpec extends SparkSpec {
       val st = get(s"$base/api/jobs/$id/status").body()
       assert(st.contains("\"status\":\"cancelled\"") ||
         st.contains("\"status\":\"completed\""), st) // cancel can race a fast finish
+
+      // PR 3.1 routes: pause/resume refuse on a terminal job (409, like
+      // the reference's "cannot be paused (status: …)")
+      assert(post(s"$base/api/jobs/$id/pause").statusCode() == 409)
+      assert(post(s"$base/api/jobs/$id/resume").statusCode() == 409)
+      assert(post(s"$base/api/jobs/nope/pause").statusCode() == 404)
+      assert(post(s"$base/api/jobs/nope/resume").statusCode() == 404)
       mgr.shutdown()
     } finally server.stop()
   }
