@@ -528,6 +528,7 @@ final class CrawlEngine(
       // commit, so it is read AFTER the writes — zero extra jobs.
       // dispCounts (incl. "dequeued") already fired on the classified count.
       counters = dispCounts ++ observed(obsImg, "image") + ("dequeued" -> deqCount))
+    pagesOkTotal += dispCounts.getOrElse("pages_ok", 0L) // committed only
     // fold this epoch's ok (host, hash) delta into the carried Bloom —
     // from the observation when statically small (no job), else via the
     // distributed treeAggregate build
@@ -627,6 +628,8 @@ final class CrawlEngine(
   // action's exception surfaces as a clean early return — the last
   // committed epoch stays the resume point (uncommitted work is
   // unreferenced, so a later run() continues exactly where it left off).
+  @volatile private var pagesOkTotal = 0L
+
   private val jobGroup = s"graft-crawl-${java.util.UUID.randomUUID()}"
   @volatile private var cancelRequested = false
   @volatile private var stopRequested = false
@@ -723,6 +726,12 @@ final class CrawlEngine(
     * Spark job; the serving layer polls these for progress events. */
   def counters: Map[String, Long] = io.lastCounters
   def phaseEpoch: Option[(String, Int)] = io.lastCommitted
+
+  /** Cumulative ok pages across this engine's fetch epochs — the
+    * reference's in-memory `JobStatus.pages_completed` analog (survives
+    * pause/resume on the same instance, resets with the process, like the
+    * reference's Job object). No Spark job to read. */
+  def pagesCompleted: Long = pagesOkTotal
 }
 
 object CrawlEngine {

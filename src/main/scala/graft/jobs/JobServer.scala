@@ -105,9 +105,8 @@ final class JobServer(
 
   private def statusJson(id: String): String = {
     val st = mgr.status(id).map(statusName).getOrElse("unknown")
-    val (counters, phase) = mgr.engineOf(id)
-      .map(e => (e.counters, e.phaseEpoch)).getOrElse((Map.empty[String, Long], None))
-    val pages = counters.getOrElse("pages_ok", 0L)
+    val (pages, phase) = mgr.engineOf(id)
+      .map(e => (e.pagesCompleted, e.phaseEpoch)).getOrElse((0L, None))
     s"""{"id":${quote(id)},"status":${quote(st)},"pages_completed":$pages,""" +
       s""""phase":${quote(phase.map(_._1).getOrElse(""))},""" +
       s""""epoch":${phase.map(_._2).getOrElse(-1)}}"""

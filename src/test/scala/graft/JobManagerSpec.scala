@@ -119,6 +119,9 @@ class JobManagerSpec extends SparkSpec {
     assert(mgr.status("p").contains(JobManager.Done), mgr.status("p"))
     assert(orderSet(mgr, "p") == want,
       "pause+resume must reproduce the uninterrupted crawl exactly")
+    // pages_completed accumulates ACROSS the pause (reference in-memory
+    // JobStatus semantics)
+    assert(mgr.engineOf("p").get.pagesCompleted == want.count(_._2 == "ok").toLong)
     mgr.shutdown()
   }
 
