@@ -42,7 +42,10 @@ object Structured {
     txt.split('\u0000').map(_.trim).filter(_.nonEmpty).mkString(sep)
   }
 
-  def title(html: String): Option[String] = {
+  def title(rawHtml: String): Option[String] = {
+    // comment-masked, like BeautifulSoup: `<!-- <title>x</title> -->`
+    // must not win over the real title
+    val html = graft.sources.HtmlToMarkdown.stripComments(rawHtml)
     val m = java.util.regex.Pattern
       .compile("(?is)<title[^>]*>(.*?)</title>").matcher(html)
     if (m.find()) Some(getText(m.group(1))).filter(_.nonEmpty) else None
@@ -100,7 +103,11 @@ object Structured {
   }
 
   /** Parse the main-content region into typed blocks, document order. */
-  def parseBlocks(html: String): Seq[Block] = {
+  def parseBlocks(rawHtml: String): Seq[Block] = {
+    // comment-masked first (BeautifulSoup never sees commented-out markup
+    // — a `<!-- <h1>x</h1> -->` is not a block, and a comment containing
+    // `</main>` must not close the region early)
+    val html = graft.sources.HtmlToMarkdown.stripComments(rawHtml)
     // containers only group; dropping their tags preserves block order
     val flat = mainContent(html)
       .replaceAll("(?is)<(script|style)\\b[^>]*>.*?</\\1>", " ")

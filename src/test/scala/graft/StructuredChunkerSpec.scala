@@ -17,6 +17,18 @@ class StructuredChunkerSpec extends SparkSpec {
     assert(blocks.head.content == "In Main" && blocks.head.level.contains(2))
   }
 
+  test("structured: comments are invisible (no decoy blocks/title, no early region close)") {
+    // BeautifulSoup parity: commented-out markup must not parse
+    val html = "<html><head><!-- <title>Decoy</title> --><title>Real</title>" +
+      "</head><body><main><!-- </main> --><h2>Kept</h2>" +
+      "<!-- <h1>Ghost</h1><img src=\"ghost.png\"> --><p>tail</p></main>" +
+      "<p>outside</p></body></html>"
+    assert(Structured.title(html).contains("Real"))
+    val blocks = Structured.parseBlocks(html)
+    assert(blocks.map(_.blockType) == Seq("heading", "paragraph"))
+    assert(blocks.map(_.content) == Seq("Kept", "tail"))
+  }
+
   test("structured: all seven block types in document order") {
     val html = """<body><h3>T</h3><p>para text</p>
       <pre><code class="lang language-py">x = 1</code></pre>
