@@ -357,20 +357,27 @@ final class CrawlEngine(
     // chain's markdown wins are first-class ok pages like the reference's
     val isHtmlOk = $"status" === 200 &&
       ($"contentType".contains("text/html") || $"contentType".contains("text/markdown"))
-    // The explicit repartition is a correctness barrier, not tuning: pages
-    // feeds two downstream branches (the dedup window and the classify
-    // join), and the fetch inside it is side-effecting. Both branches
-    // reference this one exchange, so ReuseExchange/AQE-stage-reuse executes
-    // the fetch map stage exactly once — even when the two consumer stages
-    // run concurrently on different executors of a real cluster. (Rounds
-    // 1-3 guarded this with a pages.cache()+count() — a full extra driver
-    // action per epoch; the exchange gives the same exactly-once guarantee
-    // for free inside the single classified action below.)
+    // repartition + cache is a correctness barrier, not tuning: pages feeds
+    // two downstream branches (the dedup window and the classify join), and
+    // the fetch inside it is side-effecting. The cache makes both branches
+    // reference ONE plan object, so the repartition beneath it is a single
+    // ShuffleDependency — and the DAGScheduler executes a shuffle map stage
+    // (here: the fetch) exactly once BY IDENTITY, even when the two
+    // consumer stages compute unpopulated cache partitions concurrently on
+    // different executors of a real cluster (they then merely re-read
+    // shuffle blocks). Plan-level ReuseExchange is NOT enough: the window
+    // branch's own (host,contentHash) shuffle prunes the redundant
+    // urlNorm repartition on that side, leaving no common exchange to
+    // reuse — the exactly-once guard test in TableSeenSpec caught the
+    // fetch running twice per epoch under that scheme. Unlike rounds 1-3
+    // there is still no pages.count(): the cache materializes lazily
+    // inside the single classified action below.
     val pages = pages0
       .withColumn("blocked", UrlFilters.isBlockedResponse($"content"))
       .withColumn("contentHash",
         when(isHtmlOk, Hashing.contentHash($"content")).otherwise(lit(null)))
       .repartition($"urlNorm")
+      .cache()
 
     // J2 content dedup, host-scoped, priority order decides the keeper:
     // within-batch winner per (host, hash), then cross-epoch check against
@@ -458,7 +465,7 @@ final class CrawlEngine(
     val deqCount = dispCounts.getOrElse("dequeued", classified.count())
     if (deqCount == 0L) {
       // empty dequeue = crawl done — nothing to commit for this epoch
-      deq.unpersist(); classified.unpersist()
+      deq.unpersist(); pages.unpersist(); classified.unpersist()
       if (warmHits != null) warmHits.unpersist()
       return 0L
     }
@@ -541,7 +548,7 @@ final class CrawlEngine(
       if (contentBloom == null) contentBloom = contentDelta
       else contentBloom.mergeInPlace(contentDelta)
     }
-    deq.unpersist(); classified.unpersist(); fetchedNew.unpersist()
+    deq.unpersist(); pages.unpersist(); classified.unpersist(); fetchedNew.unpersist()
     if (warmHits != null) warmHits.unpersist()
     deqCount
   }

@@ -117,6 +117,40 @@ class TableSeenSpec extends SparkSpec {
     assert(files(5) == predict5, "resumed instance keeps data-driven sizing")
   }
 
+  test("exchange barrier: each dequeued URL reaches the fetch transport exactly once") {
+    // Round 4 replaced the pages.cache()+count() double-fetch guard with a
+    // repartition barrier both downstream branches reuse. This guards the
+    // exactly-once claim directly: an accumulator on the transport's input
+    // must equal the dispatched-URL count — a regression that recomputes
+    // the side-effecting fetch subtree (e.g. removing the barrier AND the
+    // exchange reuse) would double it.
+    val params = graft.fixtures.FixtureGen.Params(hosts = 2, pagesPerHost = 20)
+    val acc = spark.sparkContext.longAccumulator("transport-fetches")
+    val inner = new graft.sources.FixtureFetcher(
+      graft.fixtures.FixtureGen.webGraphDF(spark, params))
+    val discoveries = spark.sparkContext.longAccumulator("discovery-fetches")
+    val counting = new graft.sources.Fetcher {
+      private val tick = udf((u: String) => { acc.add(1L); true }).asNondeterministic()
+      private val tickD = udf((u: String) => { discoveries.add(1L); true }).asNondeterministic()
+      override def fetchPages(urls: org.apache.spark.sql.DataFrame) =
+        inner.fetchPages(urls.filter(tick(urls("urlNorm"))))
+      override def fetchPagesForDiscovery(urls: org.apache.spark.sql.DataFrame) =
+        inner.fetchPagesForDiscovery(urls.filter(tickD(urls("urlNorm"))))
+    }
+    val cfg = graft.model.CrawlConfig(
+      seedUrls = graft.fixtures.FixtureGen.seeds(params), maxDepth = 5)
+    val engine = new graft.epoch.CrawlEngine(spark, cfg, counting,
+      graft.fixtures.FixtureGen.imagesDF(spark, params),
+      new graft.sources.ParquetSnapshotTableIO(
+        spark, java.nio.file.Files.createTempDirectory("graft-once").toString),
+      graft.fixtures.FixtureGen.robotsMap(params))
+    engine.run()
+    val dispatched = engine.orderLog.count()
+    assert(dispatched > 0)
+    assert(acc.value == dispatched,
+      s"fetch-phase transport saw ${acc.value} rows for $dispatched dispatched URLs")
+  }
+
   test("ledger: per-partition lineage rows checkpointed per fetch epoch") {
     // reuse a tiny engine run
     val params = graft.fixtures.FixtureGen.Params(hosts = 2, pagesPerHost = 15)
