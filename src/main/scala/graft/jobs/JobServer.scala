@@ -127,7 +127,7 @@ final class JobServer(
     var lastCounters: Map[String, Long] = null
     var lastSentMs = System.currentTimeMillis()
     var terminal = false
-    while (!terminal) {
+    def loop(): Unit = while (!terminal) {
       val st = mgr.status(id)
       val now = System.currentTimeMillis()
       val counters = mgr.engineOf(id).map(_.counters).getOrElse(Map.empty)
@@ -151,6 +151,10 @@ final class JobServer(
           Thread.sleep(pollMs)
       }
     }
+    // a disconnected client surfaces as an IOException from send(); end
+    // the stream quietly (reference: GeneratorExit, manager.py:122-124)
+    try loop()
+    catch { case _: java.io.IOException => () }
   }
 
   private def respond(ex: HttpExchange, code: Int, json: String): Unit = {
