@@ -35,13 +35,13 @@ object Crawl {
   def main(args: Array[String]): Unit = {
     val known = Set("state-dir", "iceberg-db", "images", "max-depth",
       "max-urls", "delay-ms", "epoch-seconds", "num-buckets", "language",
-      "warm-cache")
+      "warm-cache", "cdp-ws")
     def usage(msg: String): Nothing = {
       System.err.println(s"error: $msg\nusage: graft.Crawl " +
         "(--state-dir LOCAL_OR_DFS_DIR | --iceberg-db catalog.namespace) " +
         "--images PARQUET [--max-depth N] [--max-urls N] [--delay-ms N] " +
         "[--epoch-seconds N] [--num-buckets N] [--language L] " +
-        "[--warm-cache PARQUET] seedUrl [seedUrl ...]")
+        "[--warm-cache PARQUET] [--cdp-ws WS_URL] seedUrl [seedUrl ...]")
       sys.exit(2)
     }
     val opts = scala.collection.mutable.Map.empty[String, String]
@@ -88,6 +88,11 @@ object Crawl {
     val engine = run(spark, cfg, stateDir.getOrElse(""),
       images = spark.read.parquet(imagesPath),
       warmCache = opts.get("warm-cache").map(spark.read.parquet(_)),
+      // S8: --cdp-ws ws://browser:9222/devtools/browser/<id> renders the
+      // heavy level through the browser (PlaywrightRenderClient)
+      renderer = opts.get("cdp-ws")
+        .map(ws => new graft.sources.PlaywrightRenderClient(cdpWsUrl = ws): graft.sources.RenderClient)
+        .getOrElse(graft.sources.RenderClient.Static),
       io = backend)
     println(s"crawl done: ${engine.orderLog.count()} URLs dispatched; " +
       s"counters=${engine.table("ledger").map(_ => "ledger committed").getOrElse("none")}")
@@ -98,6 +103,10 @@ object Crawl {
         * (image_id, bytes, w, h, fmt, caption, phash). */
       images: DataFrame,
       fetcher: Option[Fetcher] = None,
+      /** S8 heavy-level renderer used when `fetcher` is not overridden —
+        * [[graft.sources.PlaywrightRenderClient]] on a cluster with a
+        * browser, the validated static GET otherwise. */
+      renderer: graft.sources.RenderClient = graft.sources.RenderClient.Static,
       scorer: RelevanceScorer = IdentityScorer,
       warmCache: Option[DataFrame] = None,
       /** Row-level F6 gate (discovery/dequeue) — literal-IP only by
@@ -126,7 +135,9 @@ object Crawl {
     // fail the one-seed-per-host contract here, BEFORE the bootstrap
     // fetches issue real robots/sitemap requests for a doomed config
     require(seedPairs.map(_._1).distinct.size == seedPairs.size,
-      s"one seed per host (reference: one base_url per job); got ${cfg.seedUrls}")
+      "one seed per host (reference: one base_url per job) — for several " +
+        "subtrees of one host run one job per seed via graft.jobs.JobManager; " +
+        "got " + cfg.seedUrls)
     val seeds: Map[String, String] = seedPairs.toMap
     val policies = BootstrapFetch.robotsPolicies(seeds, validate = ssrfCheck)
     val bodies = BootstrapFetch.sitemapBodies(seeds, policies, validate = ssrfCheck)
@@ -137,7 +148,8 @@ object Crawl {
       // name resolving into 10/8 or 169.254/16 is rejected at request
       // time even when the cheap row gate admitted it
       fetcher.getOrElse(new HttpFetcher(
-        validate = u => ssrfCheck(u) && !Ssrf.isSsrfResolving(u))),
+        validate = u => ssrfCheck(u) && !Ssrf.isSsrfResolving(u),
+        renderer = renderer)),
       images,
       tableIo,
       policies,
