@@ -207,6 +207,11 @@ object Bench {
            |this toy scale; on a real cluster the kernel number is the
            |per-executor bound).
            |
+           |Per-query timings (part 1 of the bench JSON) are interleaved
+           |best-of-$queryRounds%d full passes over the query list — the same
+           |host-drift rejection as the kernel's best-of-4 — so
+           |round-over-round per-query comparisons are meaningful.
+           |
            |Config: spark.sql.shuffle.partitions = cores; AQE on; parquet
            |snapshot tables; politeness budget ${engCfg.epochSeconds}s epochs /
            |${engCfg.delayMs}ms delay (crawl-delay override per host);

@@ -653,6 +653,10 @@ final class CrawlEngine(
     * `clearPriorCancel`-style race handling is needed for pause). */
   def pause(): Unit = { stopRequested = true }
 
+  /** Explicit un-pause for callers that run with `clearPriorStop=false`
+      (JobManager.resume — see the race note on [[run]]). */
+  private[graft] def clearPause(): Unit = { stopRequested = false }
+
   def run(stopAfterFetchEpoch: Option[Int] = None,
       stopAfterDiscoverDepth: Option[Int] = None,
       /** false = honor a cancel() that landed BEFORE this run started
@@ -660,12 +664,18 @@ final class CrawlEngine(
         * racing the run start would be silently erased and the "cancelled"
         * job would crawl to completion). Default true keeps the documented
         * resume-after-cancel semantics for interactive reuse. */
-      clearPriorCancel: Boolean = true): Unit = {
+      clearPriorCancel: Boolean = true,
+      /** false = honor a pause() that landed BEFORE this run started (the
+        * JobManager worker's pause-racing-the-run-start window, symmetric
+        * with clearPriorCancel); such callers clear the flag explicitly
+        * via [[clearPause]] when they intend to resume. Default true keeps
+        * pause-then-run() resuming for direct engine use. */
+      clearPriorStop: Boolean = true): Unit = {
     // a fresh run() clears any previous cancellation: resume-after-cancel
     // continues from the last committed epoch (cancel() targets the run in
     // flight, not the engine's future)
     if (clearPriorCancel) cancelRequested = false
-    stopRequested = false // a fresh run() always resumes from a pause
+    if (clearPriorStop) stopRequested = false
     if (cancelRequested) return
     // drop carried Blooms so a same-instance resume rebuilds them from the
     // committed snapshot: the delta fold runs AFTER io.commit, so a cancel

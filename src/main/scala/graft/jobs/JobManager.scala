@@ -85,7 +85,7 @@ final class JobManager(
             if (job.status == Cancelled) return
             job.status = Running
           }
-          job.engine.run(clearPriorCancel = false)
+          job.engine.run(clearPriorCancel = false, clearPriorStop = false)
           job.synchronized {
             job.status =
               if (job.status == Cancelled) Cancelled
@@ -152,6 +152,7 @@ final class JobManager(
       j.synchronized {
         if (j.status == Paused) {
           j.status = Queued
+          j.engine.clearPause() // the worker runs with clearPriorStop=false
           schedule(j)
           true
         } else false
