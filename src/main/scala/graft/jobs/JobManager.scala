@@ -52,7 +52,11 @@ final class JobManager(
 
   /** Submit a crawl; returns immediately. One state dir per job
     * (`stateRoot/jobId`) — the isolation unit, like the reference's
-    * per-job `.crawls/<id>` (`src/jobs/state.py`). */
+    * per-job `.crawls/<id>` (`src/jobs/state.py`). Cross-process
+    * resume-from-state (`routes.py:318` resume-from-state) is this same
+    * call in a new process: a state dir that already holds a committed
+    * manifest makes the engine continue from its last epoch instead of
+    * starting over. */
   def submit(jobId: String, cfg: CrawlConfig, images: DataFrame,
       fetcher: graft.sources.Fetcher,
       policies: Map[String, graft.operators.Robots.Policy],

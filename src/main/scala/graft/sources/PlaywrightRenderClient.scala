@@ -76,7 +76,8 @@ final class PlaywrightRenderClient(
         val html = evalString(conn, sessionId,
           "document.documentElement.outerHTML")
         Some((200, "text/html", html))
-      } finally conn.call("Target.closeTarget", obj("targetId" -> targetId))
+      } finally scala.util.Try( // a dead connection must not mask the
+        conn.call("Target.closeTarget", obj("targetId" -> targetId))) // real failure
     } finally conn.close()
   }
 

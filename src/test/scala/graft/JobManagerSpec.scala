@@ -77,6 +77,29 @@ class JobManagerSpec extends SparkSpec {
     mgr.shutdown()
   }
 
+  test("resume-from-state: submitting into an existing state dir continues, not restarts") {
+    // the reference's POST /jobs/resume-from-state analog: a NEW manager
+    // (new process) over the same state root picks up the committed
+    // manifest and continues instead of recrawling
+    val root = Files.createTempDirectory("graft-jobs-resume").toString
+    val mgr1 = new JobManager(spark, root, maxConcurrentJobs = 1)
+    mgr1.submit("job-r", cfg, images, new FixtureFetcher(web), policies)
+    mgr1.awaitAll()
+    assert(mgr1.status("job-r").contains(JobManager.Done))
+    val want = mgr1.engineOf("job-r").get.orderLog
+      .select("urlNorm", "epoch").as[(String, Int)].collect().toSet
+    mgr1.shutdown()
+
+    val mgr2 = new JobManager(spark, root, maxConcurrentJobs = 1)
+    mgr2.submit("job-r", cfg, images, new FixtureFetcher(web), policies)
+    mgr2.awaitAll()
+    assert(mgr2.status("job-r").contains(JobManager.Done))
+    val got = mgr2.engineOf("job-r").get.orderLog
+      .select("urlNorm", "epoch").as[(String, Int)].collect().toSet
+    assert(got == want, "resume of a completed state dir must not redo or renumber work")
+    mgr2.shutdown()
+  }
+
   test("pause stops between epochs; resume reproduces the uninterrupted crawl") {
     // bigger fixture → multi-epoch fetch phase, so the pause lands mid-crawl
     val p2 = FixtureGen.Params(hosts = 2, pagesPerHost = 60, skew = 3)
