@@ -139,16 +139,27 @@ class TableSeenSpec extends SparkSpec {
     }
     val cfg = graft.model.CrawlConfig(
       seedUrls = graft.fixtures.FixtureGen.seeds(params), maxDepth = 5)
-    val engine = new graft.epoch.CrawlEngine(spark, cfg, counting,
-      graft.fixtures.FixtureGen.imagesDF(spark, params),
-      new graft.sources.ParquetSnapshotTableIO(
-        spark, java.nio.file.Files.createTempDirectory("graft-once").toString),
-      graft.fixtures.FixtureGen.robotsMap(params))
-    engine.run()
-    val dispatched = engine.orderLog.count()
-    assert(dispatched > 0)
-    assert(acc.value == dispatched,
-      s"fetch-phase transport saw ${acc.value} rows for $dispatched dispatched URLs")
+    def crawlOnce(): Long = {
+      val engine = new graft.epoch.CrawlEngine(spark, cfg, counting,
+        graft.fixtures.FixtureGen.imagesDF(spark, params),
+        new graft.sources.ParquetSnapshotTableIO(
+          spark, java.nio.file.Files.createTempDirectory("graft-once").toString),
+        graft.fixtures.FixtureGen.robotsMap(params))
+      engine.run()
+      engine.orderLog.count()
+    }
+    // the shuffle-identity guarantee must hold under BOTH planners — AQE
+    // restructures stages aggressively, non-AQE plans them statically
+    for (aqe <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      acc.reset()
+      try {
+        val dispatched = crawlOnce()
+        assert(dispatched > 0)
+        assert(acc.value == dispatched,
+          s"aqe=$aqe: transport saw ${acc.value} rows for $dispatched dispatched URLs")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
   }
 
   test("ledger: per-partition lineage rows checkpointed per fetch epoch") {
