@@ -199,7 +199,7 @@ final class CrawlEngine(
             .select(urlfns.url_canonicalize($"clean").as("urlNorm"), $"host")
             .distinct()
         }
-      io.commit("discover", depth,
+      commitTracked("discover", depth,
         tables = Map("level_next" -> nextLevel, "host_counts" -> newCounts),
         appends = Map("seen" -> admitted),
         counters = Map("admitted" -> admittedCount, "depth" -> depth.toLong))
@@ -250,7 +250,7 @@ final class CrawlEngine(
     // reproduces the reference's sorted dispatch order exactly)
     val pending = graft.operators.Relevance.prioritize(admitted, scorer).cache()
     val pendingCount = pending.count() // materialize once before the write
-    io.commit("fetch", 0, tables = Map("pending" -> pending),
+    commitTracked("fetch", 0, tables = Map("pending" -> pending),
       counters = Map("pending" -> pendingCount))
     pending.unpersist()
   }
@@ -518,7 +518,7 @@ final class CrawlEngine(
       .withColumn("epoch", lit(epoch))
       .withColumn("phase", lit("fetch"))
 
-    io.commit("fetch", epoch,
+    commitTracked("fetch", epoch,
       tables = pendingTables,
       appends = dequeuedAppend ++ Map(
         "order_log" -> orderLogNew,
@@ -585,7 +585,7 @@ final class CrawlEngine(
         .withColumn("depth", lit(0))
         .cache()
       val expandedCount = expanded.count() // materialize once before the write
-      io.commit("sitemap", 0, tables = Map.empty,
+      commitTracked("sitemap", 0, tables = Map.empty,
         appends = Map("seen" -> expanded),
         counters = Map("sitemap_urls" -> expandedCount))
       expanded.unpersist()
@@ -622,7 +622,7 @@ final class CrawlEngine(
       .select($"urlNorm", $"host", lit(0).as("depth"))
       .cache()
     val navCount = nav.count() // materialize ONCE: the commit write below
-    io.commit("nav", 0, tables = Map.empty, // must not re-run the fetch
+    commitTracked("nav", 0, tables = Map.empty, // must not re-run the fetch
       appends = Map("seen" -> nav),
       counters = Map("nav_urls" -> navCount))
     nav.unpersist()
@@ -636,6 +636,22 @@ final class CrawlEngine(
   // committed epoch stays the resume point (uncommitted work is
   // unreferenced, so a later run() continues exactly where it left off).
   @volatile private var pagesOkTotal = 0L
+
+  /** In-process snapshot of the last commit's counters, refreshed by
+    * [[commitTracked]] — serving-layer polls (SSE every ~200 ms per
+    * client) read this instead of hitting the backend, which on Iceberg
+    * would be a Spark SQL manifest query per poll. */
+  @volatile private var countersCache: Map[String, Long] = null
+
+  /** All engine commits go through here so the counter cache stays one
+    * read-per-commit, not one read-per-poll. */
+  private def commitTracked(phase: String, epoch: Int,
+      tables: Map[String, DataFrame],
+      appends: Map[String, DataFrame] = Map.empty,
+      counters: => Map[String, Long] = Map.empty): Unit = {
+    io.commit(phase, epoch, tables, appends, counters)
+    countersCache = io.lastCounters
+  }
 
   private val jobGroup = s"graft-crawl-${java.util.UUID.randomUUID()}"
   @volatile private var cancelRequested = false
@@ -739,9 +755,15 @@ final class CrawlEngine(
   def fetched: DataFrame = io.read("fetched").get
   def table(name: String): Option[DataFrame] = io.read(name)
 
-  /** Last committed counters / (phase, epoch) — manifest reads only, no
-    * Spark job; the serving layer polls these for progress events. */
-  def counters: Map[String, Long] = io.lastCounters
+  /** Last engine-committed counters / (phase, epoch): counters come from
+    * the in-process cache (zero backend reads per poll — on Iceberg a
+    * backend read is a Spark SQL query); commits made around the engine
+    * (e.g. the Crawl facade's postprocess) show in `phaseEpoch` but not
+    * here until the next engine commit. */
+  def counters: Map[String, Long] = {
+    val c = countersCache
+    if (c != null) c else io.lastCounters // pre-first-commit / resumed inspection
+  }
   def phaseEpoch: Option[(String, Int)] = io.lastCommitted
 
   /** Cumulative ok pages across this engine's fetch epochs — the
