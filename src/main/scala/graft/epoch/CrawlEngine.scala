@@ -642,6 +642,7 @@ final class CrawlEngine(
     * client) read this instead of hitting the backend, which on Iceberg
     * would be a Spark SQL manifest query per poll. */
   @volatile private var countersCache: Map[String, Long] = null
+  @volatile private var phaseEpochCache: Option[(String, Int)] = null
 
   /** All engine commits go through here so the counter cache stays one
     * read-per-commit, not one read-per-poll. */
@@ -651,6 +652,7 @@ final class CrawlEngine(
       counters: => Map[String, Long] = Map.empty): Unit = {
     io.commit(phase, epoch, tables, appends, counters)
     countersCache = io.lastCounters
+    phaseEpochCache = Some((phase, epoch))
   }
 
   private val jobGroup = s"graft-crawl-${java.util.UUID.randomUUID()}"
@@ -764,7 +766,10 @@ final class CrawlEngine(
     val c = countersCache
     if (c != null) c else io.lastCounters // pre-first-commit / resumed inspection
   }
-  def phaseEpoch: Option[(String, Int)] = io.lastCommitted
+  def phaseEpoch: Option[(String, Int)] = {
+    val p = phaseEpochCache
+    if (p != null) p else io.lastCommitted
+  }
 
   /** Cumulative ok pages across this engine's fetch epochs — the
     * reference's in-memory `JobStatus.pages_completed` analog (survives
