@@ -113,6 +113,14 @@ final class JobManager(
   def status(jobId: String): Option[Status] =
     Option(jobs.get(jobId)).map(_.status)
 
+  /** Jobs currently queued or running (`manager.py active_job_count`) —
+    * the serving layer's 429 admission check reads this. */
+  def activeJobCount: Int =
+    jobs.values().asScala.count(j => j.status == Queued || j.status == Running)
+
+  /** The configured cap, for the serving layer's admission message. */
+  def maxConcurrent: Int = maxConcurrentJobs
+
   /** The job's engine, for table access (`orderLog`, `fetched`, …) — the
     * reference's `GET /api/jobs/{id}` result object analog. */
   def engineOf(jobId: String): Option[CrawlEngine] =

@@ -37,7 +37,11 @@ final class JobServer(
     port: Int = 0,
     /** SSE poll cadence; keepalives go out every `keepaliveEveryMs`. */
     pollMs: Long = 200L,
-    keepaliveEveryMs: Long = 20000L) {
+    keepaliveEveryMs: Long = 20000L,
+    /** job-creation rate limit (reference `@limiter.limit("10/minute")`,
+      * `routes.py:91`); the loopback server has no per-client identity, so
+      * the window is global — put a real ingress in front for per-IP. */
+    createLimitPerMinute: Int = 10) {
   import JobServer._
 
   private val http = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -86,8 +90,30 @@ final class JobServer(
     }
   }
 
+  // sliding-window create timestamps for the rate limit
+  private val createTimes = new java.util.concurrent.ConcurrentLinkedDeque[Long]()
+
   private def createJob(ex: HttpExchange): Unit = {
     val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+    // admission order mirrors the reference: rate limit (decorator), then
+    // the active-jobs cap (routes.py:94-99), then validation
+    val now = System.currentTimeMillis()
+    createTimes.synchronized {
+      while (!createTimes.isEmpty && now - createTimes.peekFirst() > 60000L)
+        createTimes.pollFirst()
+      if (createTimes.size >= createLimitPerMinute) {
+        respond(ex, 429,
+          s"""{"error":${quote(s"rate limit exceeded ($createLimitPerMinute/minute)")}}""")
+        return
+      }
+      createTimes.addLast(now)
+    }
+    val active = mgr.activeJobCount
+    if (active >= mgr.maxConcurrent) {
+      respond(ex, 429, s"""{"error":${quote(
+        s"Too many active jobs ($active/${mgr.maxConcurrent}). Try again later.")}}""")
+      return
+    }
     parseRequest(body) match {
       case Left(err) => respond(ex, 422, s"""{"error":${quote(err)}}""")
       case Right(req) =>

@@ -22,14 +22,14 @@ class JobServerSpec extends SparkSpec {
   private lazy val images = FixtureGen.imagesDF(spark, params).cache()
   private lazy val policies = FixtureGen.robotsMap(params)
 
-  private def newServer(): (JobServer, JobManager, String) = {
+  private def newServer(createLimit: Int = 10): (JobServer, JobManager, String) = {
     val root = Files.createTempDirectory("graft-http-jobs").toString
     val mgr = new JobManager(spark, root, maxConcurrentJobs = 2)
     val server = new JobServer(mgr, (id, req) => {
       val cfg = CrawlConfig(seedUrls = Seq(req.url), maxDepth = req.maxDepth,
         epochSeconds = 30, respectRobotsTxt = req.respectRobotsTxt)
       mgr.submit(id, cfg, images, new FixtureFetcher(web), policies)
-    })
+    }, createLimitPerMinute = createLimit)
     server.start()
     (server, mgr, s"http://127.0.0.1:${server.boundPort}")
   }
@@ -116,5 +116,38 @@ class JobServerSpec extends SparkSpec {
       assert(post(s"$base/api/jobs/nope/resume").statusCode() == 404)
       mgr.shutdown()
     } finally server.stop()
+  }
+
+  test("admission control: create rate limit and active-jobs cap both 429") {
+    // rate limit (reference @limiter.limit("10/minute") on create)
+    val (server1, mgr1, base1) = newServer(createLimit = 2)
+    try {
+      assert(post(s"$base1/api/jobs", "{}").statusCode() == 422) // counts
+      assert(post(s"$base1/api/jobs", "{}").statusCode() == 422)
+      val limited = post(s"$base1/api/jobs",
+        """{"url":"https://site-0.test/docs"}""")
+      assert(limited.statusCode() == 429, limited.body())
+      assert(limited.body().contains("rate limit"), limited.body())
+      mgr1.shutdown()
+    } finally server1.stop()
+
+    // active-jobs cap (routes.py:94-99): two running jobs saturate the
+    // cap-2 manager; the third create is rejected, not queued
+    val (server2, mgr2, base2) = newServer()
+    try {
+      assert(post(s"$base2/api/jobs",
+        """{"url":"https://site-0.test/docs"}""").statusCode() == 200)
+      assert(post(s"$base2/api/jobs",
+        """{"url":"https://site-0.test/docs"}""").statusCode() == 200)
+      val full = post(s"$base2/api/jobs", """{"url":"https://site-0.test/docs"}""")
+      assert(full.statusCode() == 429, full.body())
+      assert(full.body().contains("Too many active jobs"), full.body())
+      mgr2.awaitAll()
+      // capacity freed -> creates admitted again
+      assert(post(s"$base2/api/jobs",
+        """{"url":"https://site-0.test/docs"}""").statusCode() == 200)
+      mgr2.awaitAll()
+      mgr2.shutdown()
+    } finally server2.stop()
   }
 }
