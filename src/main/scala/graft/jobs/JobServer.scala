@@ -94,7 +94,15 @@ final class JobServer(
   private val createTimes = new java.util.concurrent.ConcurrentLinkedDeque[Long]()
 
   private def createJob(ex: HttpExchange): Unit = {
-    val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+    // bounded read: an unbounded readAllBytes would let one client OOM the
+    // driver with a huge POST (the reference fronts FastAPI with an edge
+    // worker; this server is its own first line)
+    val limited = ex.getRequestBody.readNBytes(MaxBodyBytes + 1)
+    if (limited.length > MaxBodyBytes) {
+      respond(ex, 413, s"""{"error":"body exceeds $MaxBodyBytes bytes"}""")
+      return
+    }
+    val body = new String(limited, UTF_8)
     // admission order mirrors the reference: rate limit (decorator), then
     // the active-jobs cap (routes.py:94-99), then validation
     val now = System.currentTimeMillis()
@@ -194,6 +202,9 @@ final class JobServer(
 }
 
 object JobServer {
+  /** Create-request body cap (ample for the JobRequest JSON). */
+  val MaxBodyBytes: Int = 64 * 1024
+
   /** `api/models.py JobRequest` analog — the fields the Spark engine
     * consumes (model-selection fields are scorer wiring, bound by the
     * embedder's `submitter`). Validation bounds mirror the reference. */

@@ -55,10 +55,29 @@ final class PlaywrightRenderClient(
 
   import PlaywrightRenderClient._
 
+  /** One WebSocket per executor JVM, shared across renders (the reference
+    * pools browser pages — `page.py PagePool` — rather than dialing per
+    * fetch): each render creates and closes its own CDP target (tab) on
+    * the shared connection; sessions multiplex over it. `@transient` so a
+    * deserialized task-side copy dials its own. A failed render
+    * invalidates the connection; the chain's retry/backoff then dials
+    * fresh. */
+  @transient private var connRef: CdpConnection = _
+
+  private def connection(): CdpConnection = synchronized {
+    if (connRef == null) connRef = new CdpConnection(cdpWsUrl, navTimeoutMs)
+    connRef
+  }
+
+  private def invalidate(c: CdpConnection): Unit = {
+    synchronized { if (connRef eq c) connRef = null }
+    c.close()
+  }
+
   override def render(url: String,
       get: RenderClient.Get): Option[(Int, String, String)] = {
     if (!validate(url)) return None // F6 pre-navigation gate
-    val conn = new CdpConnection(cdpWsUrl, navTimeoutMs)
+    val conn = connection()
     try {
       val targetId = conn.call("Target.createTarget",
         obj("url" -> "about:blank")).get("targetId").asText()
@@ -68,8 +87,10 @@ final class PlaywrightRenderClient(
         conn.call("Page.enable", obj(), sessionId)
         val loaded = conn.expectEvent("Page.loadEventFired", sessionId)
         conn.call("Page.navigate", obj("url" -> url), sessionId)
-        if (!loaded.await(navTimeoutMs, TimeUnit.MILLISECONDS))
+        if (!loaded.await(navTimeoutMs, TimeUnit.MILLISECONDS)) {
+          conn.forgetEvent("Page.loadEventFired", sessionId) // no latch leak
           return Some((504, "text/html", "")) // render timeout = failed level
+        }
         Thread.sleep(settleMs)
         val landed = evalString(conn, sessionId, "document.location.href")
         if (!validate(landed)) return None // F6 on the redirect landing
@@ -78,7 +99,7 @@ final class PlaywrightRenderClient(
         Some((200, "text/html", html))
       } finally scala.util.Try( // a dead connection must not mask the
         conn.call("Target.closeTarget", obj("targetId" -> targetId))) // real failure
-    } finally conn.close()
+    } catch { case e: Throwable => invalidate(conn); throw e }
   }
 
   private def evalString(conn: CdpConnection, sessionId: String,
@@ -179,14 +200,21 @@ object PlaywrightRenderClient {
       latch
     }
 
+    /** Drop a never-fired latch (timeout path) — the connection is shared
+      * and long-lived, so abandoned latches would accumulate. */
+    def forgetEvent(method: String, sessionId: String): Unit =
+      eventLatches.remove((method, sessionId))
+
     def call(method: String, params: ObjectNode,
         sessionId: String = null): JsonNode = {
       val id = nextId.incrementAndGet()
       val fut = new java.util.concurrent.CompletableFuture[JsonNode]()
       pending.put(id, fut)
-      ws.sendText(frameCommand(id, method, params, Option(sessionId)), true)
-        .get(timeoutMs, TimeUnit.MILLISECONDS)
-      fut.get(timeoutMs, TimeUnit.MILLISECONDS)
+      try {
+        ws.sendText(frameCommand(id, method, params, Option(sessionId)), true)
+          .get(timeoutMs, TimeUnit.MILLISECONDS)
+        fut.get(timeoutMs, TimeUnit.MILLISECONDS)
+      } finally pending.remove(id) // no entry leak on timeout/failure
     }
 
     def close(): Unit =

@@ -92,6 +92,10 @@ class JobServerSpec extends SparkSpec {
       assert(post(s"$base/api/jobs",
         """{"url":"https://site-0.test/docs","delay_ms":1}""").statusCode() == 422)
       assert(post(s"$base/api/jobs", "not json at all").statusCode() == 422)
+      // bounded body read: an oversized create is refused, not buffered
+      assert(post(s"$base/api/jobs",
+        "{\"url\":\"" + ("x" * (JobServer.MaxBodyBytes + 10)) + "\"}")
+        .statusCode() == 413)
 
       assert(get(s"$base/api/jobs/nope/status").statusCode() == 404)
       assert(post(s"$base/api/jobs/nope/cancel").statusCode() == 404)
