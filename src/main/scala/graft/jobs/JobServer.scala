@@ -126,8 +126,11 @@ final class JobServer(
       case Left(err) => respond(ex, 422, s"""{"error":${quote(err)}}""")
       case Right(req) =>
         val id = s"job-${ids.incrementAndGet()}"
-        submitter(id, req)
-        respond(ex, 200, statusJson(id))
+        // config-level require failures (e.g. a URL that parses but the
+        // engine refuses) are the client's fault — 422, not a 500
+        try { submitter(id, req); respond(ex, 200, statusJson(id)) }
+        catch { case e: IllegalArgumentException =>
+          respond(ex, 422, s"""{"error":${quote(e.getMessage)}}""") }
     }
   }
 
