@@ -44,6 +44,12 @@ class EntrySpec extends SparkSpec {
         infer <- Seq(true, false)
         if !(tz == "UTC" && infer)
       } assert(run(q, tz, infer) == baseline, s"$q diverged under tz=$tz inferNTZ=$infer")
+      // ANSI is the other session knob a harness could flip (Spark 4
+      // defaults it ON; a permissive harness might run it off) — results
+      // must not move either way
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      try assert(run(q, "UTC", inferNtz = true) == baseline, s"$q diverged under ansi=false")
+      finally spark.conf.unset("spark.sql.ansi.enabled")
     }
   }
 
