@@ -48,7 +48,6 @@ final class JobServer(
   private val pool = Executors.newCachedThreadPool(r => {
     val t = new Thread(r, "graft-http"); t.setDaemon(true); t
   })
-  private val ids = new java.util.concurrent.atomic.AtomicLong(0L)
 
   def boundPort: Int = http.getAddress.getPort
 
@@ -125,7 +124,10 @@ final class JobServer(
     parseRequest(body) match {
       case Left(err) => respond(ex, 422, s"""{"error":${quote(err)}}""")
       case Right(req) =>
-        val id = s"job-${ids.incrementAndGet()}"
+        // UUID ids like the reference: a per-process counter would reuse
+        // "job-1" after a server restart over the same state root and
+        // silently RESUME the previous crawl's state dir on a create
+        val id = s"job-${java.util.UUID.randomUUID()}"
         // config-level require failures (e.g. a URL that parses but the
         // engine refuses) are the client's fault — 422, not a 500
         try { submitter(id, req); respond(ex, 200, statusJson(id)) }
