@@ -68,6 +68,8 @@ object Bench {
     // a slow host minute degrades one ROUND of every query, and best-of
     // rejects it.
     val queryRounds = sys.env.getOrElse("SPARK_GRAFT_QUERY_ROUNDS", "2").toInt
+    require(queryRounds >= 1, // 0 would run nothing and die later on best(name)
+      s"SPARK_GRAFT_QUERY_ROUNDS must be >= 1, got $queryRounds")
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
     val best = collection.mutable.Map[String, Double]()
     for (_ <- 1 to queryRounds; (name, fn) <- named) {

@@ -143,7 +143,7 @@ final class CrawlEngine(
     var level = startLevel
     var continue = true
     while (continue) {
-      if (cancelRequested || stopRequested) return false
+      if (cancelRequested || stopRequested) { stoppedEarlyFlag = true; return false }
       val seen = io.read("seen").getOrElse(emptyDf(seenSchema))
       // Bloom-prune + exact anti-join (J1). Probe = carried Bloom (delta-
       // folded), authority = anti-join vs the committed snapshot.
@@ -562,6 +562,9 @@ final class CrawlEngine(
       else if (stopAfterEpoch.contains(epoch)) continue = false
       else epoch += 1
     }
+    // `continue` still true = the flag (not frontier exhaustion or the
+    // stop-after gate) ended the loop — there was work left to do
+    if (continue && (cancelRequested || stopRequested)) stoppedEarlyFlag = true
   }
 
   // ------------------------------------------------------------------
@@ -658,6 +661,16 @@ final class CrawlEngine(
   private val jobGroup = s"graft-crawl-${java.util.UUID.randomUUID()}"
   @volatile private var cancelRequested = false
   @volatile private var stopRequested = false
+  @volatile private var stoppedEarlyFlag = false
+
+  /** True iff the LAST run() ended because a pause/cancel flag was
+    * observed with work still pending — false when the crawl ran to its
+    * natural end (frontier exhausted / stop-after gate). JobManager uses
+    * this to break the pause-racing-natural-completion tie: a pause()
+    * that lands as run() is finishing must not mark a COMPLETED crawl
+    * Paused (it would never be swept and its SSE streams would keep
+    * alive forever). */
+  private[graft] def stoppedEarly: Boolean = stoppedEarlyFlag
 
   def cancel(): Unit = {
     cancelRequested = true
@@ -694,7 +707,8 @@ final class CrawlEngine(
     // flight, not the engine's future)
     if (clearPriorCancel) cancelRequested = false
     if (clearPriorStop) stopRequested = false
-    if (cancelRequested) return
+    stoppedEarlyFlag = false
+    if (cancelRequested) { stoppedEarlyFlag = true; return }
     // drop carried Blooms so a same-instance resume rebuilds them from the
     // committed snapshot: the delta fold runs AFTER io.commit, so a cancel
     // or failure that lands between commit and fold would leave a carried
@@ -711,7 +725,7 @@ final class CrawlEngine(
     catch {
       // a cancelled in-flight job throws from the interrupted action; if
       // WE asked for it, that is a clean stop, not a failure
-      case _: Exception if cancelRequested => ()
+      case _: Exception if cancelRequested => stoppedEarlyFlag = true
     } finally spark.sparkContext.clearJobGroup()
   }
 

@@ -93,8 +93,15 @@ final class JobManager(
           job.synchronized {
             job.status =
               if (job.status == Cancelled) Cancelled
-              else if (job.pausePending) { job.pausePending = false; Paused }
-              else Done
+              // pausePending alone is not enough: a pause() racing the
+              // run's NATURAL completion (it took the job lock just
+              // before this block) would mark a finished crawl Paused —
+              // permanently non-terminal, never swept, SSE never closes.
+              // The engine records whether the stop flag actually ended
+              // the run with work still pending.
+              else if (job.pausePending && job.engine.stoppedEarly) {
+                job.pausePending = false; Paused
+              } else { job.pausePending = false; Done }
           }
         } catch {
           case e: Throwable => job.synchronized {

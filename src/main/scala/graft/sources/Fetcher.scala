@@ -82,11 +82,20 @@ object HtmlToMarkdown {
     * sees commented-out markup, but a raw regex scan would — a comment
     * containing `</main>` would close a region early, and the generic
     * `<[^>]*>` strip stops at the first `>` INSIDE a comment, leaking the
-    * remainder as text (`<!-- a > b -->` → " b -->"). An unterminated
-    * `<!--` comments out the rest of the document (HTML5 parser behavior).
+    * remainder as text (`<!-- a > b -->` → " b -->").
+    *
+    * Comment grammar is HTML5 (§13.2.5): `<!-->` / `<!--->` are complete
+    * (abruptly-closed) empty comments, `--!>` also ends a comment, and an
+    * unterminated `<!--` comments out the rest of the document. Matching
+    * only `-->` would treat a well-formed page's first `<!-->` as
+    * unterminated and silently truncate everything after it. (Old CPython
+    * html.parser instead leaks these malformed forms as literal text —
+    * HTML5, which newer parsers follow, is the behavior a browser-rendered
+    * DOM would give the reference.)
     */
   private[graft] def stripComments(html: String): String = {
-    val s = html.replaceAll("(?s)<!--.*?-->", " ")
+    if (html.indexOf("<!--") < 0) return html // hot path: most pages, and all re-strips
+    val s = html.replaceAll("(?s)<!---?>|<!--.*?--!?>", " ")
     val open = s.indexOf("<!--")
     if (open >= 0) s.substring(0, open) else s
   }

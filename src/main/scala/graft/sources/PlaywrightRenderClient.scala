@@ -58,19 +58,20 @@ final class PlaywrightRenderClient(
   /** One WebSocket per executor JVM, shared across renders (the reference
     * pools browser pages — `page.py PagePool` — rather than dialing per
     * fetch): each render creates and closes its own CDP target (tab) on
-    * the shared connection; sessions multiplex over it. `@transient` so a
-    * deserialized task-side copy dials its own. A failed render
-    * invalidates the connection; the chain's retry/backoff then dials
-    * fresh. */
-  @transient private var connRef: CdpConnection = _
-
-  private def connection(): CdpConnection = synchronized {
-    if (connRef == null) connRef = new CdpConnection(cdpWsUrl, navTimeoutMs)
-    connRef
-  }
+    * the shared connection; sessions multiplex over it. The pool lives in
+    * the COMPANION, keyed by endpoint — an instance field (even
+    * `@transient`) would give every deserialized task closure its own
+    * copy, dialing one connection per task and leaking it when the task's
+    * renders all succeed. A failed render invalidates the connection; the
+    * chain's retry/backoff then dials fresh. The pooled connection is
+    * intentionally kept open for the life of the JVM (one socket per
+    * executor). */
+  private def connection(): CdpConnection =
+    connectionPool.computeIfAbsent(cdpWsUrl,
+      url => new CdpConnection(url, navTimeoutMs))
 
   private def invalidate(c: CdpConnection): Unit = {
-    synchronized { if (connRef eq c) connRef = null }
+    connectionPool.remove(cdpWsUrl, c)
     c.close()
   }
 
@@ -111,6 +112,9 @@ final class PlaywrightRenderClient(
 
 object PlaywrightRenderClient {
   private[graft] val mapper = new ObjectMapper()
+
+  /** JVM-wide (= per-executor) connection pool, keyed by CDP endpoint. */
+  private val connectionPool = new ConcurrentHashMap[String, CdpConnection]()
 
   private[graft] def obj(fields: (String, Any)*): ObjectNode = {
     val o = mapper.createObjectNode()
@@ -205,14 +209,22 @@ object PlaywrightRenderClient {
     def forgetEvent(method: String, sessionId: String): Unit =
       eventLatches.remove((method, sessionId))
 
+    /** Serializes ws.sendText — the JDK WebSocket forbids overlapping
+      * sends (IllegalStateException), and the connection is shared by
+      * concurrent renders. Only the send is locked; responses multiplex
+      * by id, so calls still overlap on the wire. */
+    private val sendLock = new Object
+
     def call(method: String, params: ObjectNode,
         sessionId: String = null): JsonNode = {
       val id = nextId.incrementAndGet()
       val fut = new java.util.concurrent.CompletableFuture[JsonNode]()
       pending.put(id, fut)
       try {
-        ws.sendText(frameCommand(id, method, params, Option(sessionId)), true)
-          .get(timeoutMs, TimeUnit.MILLISECONDS)
+        sendLock.synchronized {
+          ws.sendText(frameCommand(id, method, params, Option(sessionId)), true)
+            .get(timeoutMs, TimeUnit.MILLISECONDS)
+        }
         fut.get(timeoutMs, TimeUnit.MILLISECONDS)
       } finally pending.remove(id) // no entry leak on timeout/failure
     }

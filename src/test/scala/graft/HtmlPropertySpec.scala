@@ -52,7 +52,8 @@ class HtmlPropertySpec extends AnyFunSuite {
 
   private val comment: Gen[String] = Gen.oneOf(
     "<!-- plain -->", "<!-- </main> decoy -->", "<!-- <main> opener -->",
-    "<!-- a > b -->", "<!--->", "<!-- unterminated", "<!---->")
+    "<!-- a > b -->", "<!--->", "<!-->", "<!-- bang-closed --!>",
+    "<!-- unterminated", "<!---->")
 
   private val text: Gen[String] = Gen.oneOf(
     Gen.alphaNumStr.map(_.take(40)),
@@ -138,5 +139,15 @@ class HtmlPropertySpec extends AnyFunSuite {
     // unterminated comment comments out the rest (HTML5 recovery)
     val md2 = HtmlToMarkdown.convert("<p>seen</p><!-- <p>lost</p>")
     assert(md2.contains("seen") && !md2.contains("lost"))
+    // HTML5 abruptly-closed EMPTY comments (`<!-->`, `<!--->`) are
+    // complete — treating them as unterminated would silently drop the
+    // entire rest of a well-formed page
+    val md3 = HtmlToMarkdown.convert(
+      "<p>first</p><!--><p>second</p><!---><p>third</p>")
+    assert(md3.contains("first") && md3.contains("second") && md3.contains("third"))
+    // `--!>` also ends a comment (HTML5); its body stays hidden
+    val md4 = HtmlToMarkdown.convert(
+      "<p>keep</p><!-- <b>hidden</b> --!><p>tail</p>")
+    assert(md4.contains("keep") && md4.contains("tail") && !md4.contains("hidden"))
   }
 }

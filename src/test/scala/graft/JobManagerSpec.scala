@@ -148,6 +148,31 @@ class JobManagerSpec extends SparkSpec {
     mgr.shutdown()
   }
 
+  test("pause racing the crawl's natural completion resolves to Done, not Paused") {
+    // The manager breaks the tie via engine.stoppedEarly: a pause() whose
+    // flag lands only AFTER the run finished its work must not strand a
+    // completed job in non-terminal Paused (never swept, SSE never ends).
+    // Engine-level, deterministic on both sides of the race:
+    val io = new graft.sources.ParquetSnapshotTableIO(
+      spark, Files.createTempDirectory("graft-pause-race").toString)
+    val engine = new graft.epoch.CrawlEngine(
+      spark, cfg, new FixtureFetcher(web), images, io, policies)
+    engine.run()
+    engine.pause() // the racing pause: flag lands after the natural end
+    assert(!engine.stoppedEarly,
+      "a run that finished its frontier must not read as stopped-early")
+
+    // other side: a pause honored BEFORE/DURING the run (the JobManager
+    // worker's clearPriorStop=false path) does read as stopped-early
+    val io2 = new graft.sources.ParquetSnapshotTableIO(
+      spark, Files.createTempDirectory("graft-pause-race2").toString)
+    val e2 = new graft.epoch.CrawlEngine(
+      spark, cfg, new FixtureFetcher(web), images, io2, policies)
+    e2.pause()
+    e2.run(clearPriorCancel = false, clearPriorStop = false)
+    assert(e2.stoppedEarly, "an honored pause stops the run early")
+  }
+
   test("two subtrees of ONE host crawl as two jobs: isolated state, merged progress") {
     // The engine enforces one seed per host (reference: one base_url per
     // job — api/models.py JobRequest.url); the JobManager IS the
