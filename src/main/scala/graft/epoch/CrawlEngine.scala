@@ -143,7 +143,7 @@ final class CrawlEngine(
     var level = startLevel
     var continue = true
     while (continue) {
-      if (cancelRequested || stopRequested) { stoppedEarlyFlag = true; return false }
+      if (stopFlagged) return false
       val seen = io.read("seen").getOrElse(emptyDf(seenSchema))
       // Bloom-prune + exact anti-join (J1). Probe = carried Bloom (delta-
       // folded), authority = anti-join vs the committed snapshot.
@@ -729,17 +729,28 @@ final class CrawlEngine(
     } finally spark.sparkContext.clearJobGroup()
   }
 
+  /** Honors a pause/cancel flag at a strategy boundary: the cascades are
+    * real fetch work (sitemap expansion, seed-page nav fetches) with their
+    * own commits, so a pause that lands before/between them must stop HERE
+    * rather than after minutes of discovery the caller asked to defer. */
+  private def stopFlagged: Boolean =
+    if (cancelRequested || stopRequested) { stoppedEarlyFlag = true; true }
+    else false
+
   private def runResume(stopAfterFetchEpoch: Option[Int],
       stopAfterDiscoverDepth: Option[Int]): Unit = {
     io.lastCommitted match {
       case None =>
+        if (stopFlagged) return
         cascadeSitemaps()
+        if (stopFlagged) return
         cascadeNav()
         if (discoverFrom(0, bfsSeedLevel, stopAfterDiscoverDepth)) {
           fetchInit()
           fetchFrom(1, stopAfterFetchEpoch)
         }
       case Some(("sitemap", _)) =>
+        if (stopFlagged) return
         cascadeNav()
         if (discoverFrom(0, bfsSeedLevel, stopAfterDiscoverDepth)) {
           fetchInit()

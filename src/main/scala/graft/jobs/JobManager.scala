@@ -125,6 +125,22 @@ final class JobManager(
   def activeJobCount: Int =
     jobs.values().asScala.count(j => j.status == Queued || j.status == Running)
 
+  /** Race-safe cap admission for serving layers: runs `submitThunk` (which
+    * must call [[submit]]) only while activeJobCount < maxConcurrent, both
+    * checked and acted under ONE lock — so N concurrent front-ends (or a
+    * server plus direct callers using this gate) cannot over-admit. Owning
+    * the invariant here, on the state it guards, rather than in an HTTP
+    * handler's private lock, is what makes it hold globally. Returns false
+    * (thunk not run) at the cap. Direct [[submit]] keeps its documented
+    * queue-on-semaphore behavior for embedders that WANT queuing; resume()
+    * likewise re-queues past the cap by design (reference resume_job
+    * re-enqueues rather than 429ing). */
+  def tryAdmit(submitThunk: => Unit): Boolean = admissionGate.synchronized {
+    if (activeJobCount >= maxConcurrentJobs) false
+    else { submitThunk; true }
+  }
+  private val admissionGate = new Object
+
   /** The configured cap, for the serving layer's admission message. */
   def maxConcurrent: Int = maxConcurrentJobs
 

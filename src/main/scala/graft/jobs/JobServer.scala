@@ -115,37 +115,35 @@ final class JobServer(
       }
       createTimes.addLast(now)
     }
-    // cap check + submit under ONE lock: an unsynchronized check-then-act
-    // lets two concurrent creates both read count == cap-1 and both pass,
-    // so the overflow job silently queues behind the semaphore instead of
-    // getting the 429 this check exists to return (the reference's check
-    // is atomic under asyncio's single-threaded event loop, routes.py:94)
-    createGate.synchronized {
-      val active = mgr.activeJobCount
-      if (active >= mgr.maxConcurrent) {
-        respond(ex, 429, s"""{"error":${quote(
-          s"Too many active jobs ($active/${mgr.maxConcurrent}). Try again later.")}}""")
-        return
-      }
-      parseRequest(body) match {
-        case Left(err) => respond(ex, 422, s"""{"error":${quote(err)}}""")
-        case Right(req) =>
-          // UUID ids like the reference: a per-process counter would reuse
-          // "job-1" after a server restart over the same state root and
-          // silently RESUME the previous crawl's state dir on a create
-          val id = s"job-${java.util.UUID.randomUUID()}"
-          // config-level require failures (e.g. a URL that parses but the
-          // engine refuses) are the client's fault — 422, not a 500
-          try { submitter(id, req); respond(ex, 200, statusJson(id)) }
-          catch { case e: IllegalArgumentException =>
-            respond(ex, 422, s"""{"error":${quote(e.getMessage)}}""") }
-      }
+    // fast-path cap rejection first, mirroring the reference's admission
+    // order (cap before validation, routes.py:94-99)…
+    val active = mgr.activeJobCount
+    if (active >= mgr.maxConcurrent) {
+      respond(ex, 429, s"""{"error":${quote(
+        s"Too many active jobs ($active/${mgr.maxConcurrent}). Try again later.")}}""")
+      return
+    }
+    parseRequest(body) match {
+      case Left(err) => respond(ex, 422, s"""{"error":${quote(err)}}""")
+      case Right(req) =>
+        // UUID ids like the reference: a per-process counter would reuse
+        // "job-1" after a server restart over the same state root and
+        // silently RESUME the previous crawl's state dir on a create
+        val id = s"job-${java.util.UUID.randomUUID()}"
+        // config-level require failures (e.g. a URL that parses but the
+        // engine refuses) are the client's fault — 422, not a 500
+        try {
+          // …but the AUTHORITATIVE check is the manager's admission gate:
+          // check-then-act over two HTTP threads (or two server instances
+          // on one manager) would let both pass at cap-1 and silently
+          // queue the overflow job instead of 429ing it
+          if (mgr.tryAdmit(submitter(id, req))) respond(ex, 200, statusJson(id))
+          else respond(ex, 429, s"""{"error":${quote(
+            s"Too many active jobs (${mgr.maxConcurrent}/${mgr.maxConcurrent}). Try again later.")}}""")
+        } catch { case e: IllegalArgumentException =>
+          respond(ex, 422, s"""{"error":${quote(e.getMessage)}}""") }
     }
   }
-
-  /** serializes create admission (cap check → submit); creates are rare
-    * (rate-limited to ~10/min) so a single gate costs nothing. */
-  private val createGate = new Object
 
   private def jobStatus(ex: HttpExchange, id: String): Unit =
     mgr.status(id) match {

@@ -3,7 +3,7 @@ package graft.sources
 import java.net.URI
 import java.net.http.{HttpClient, WebSocket}
 import java.time.Duration
-import java.util.concurrent.{CompletionStage, ConcurrentHashMap, CountDownLatch, TimeUnit}
+import java.util.concurrent.{CompletionStage, ConcurrentHashMap, CountDownLatch, Executors, TimeUnit}
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.ObjectNode
@@ -45,7 +45,15 @@ final class PlaywrightRenderClient(
     cdpWsUrl: String = sys.env.getOrElse("GRAFT_CDP_WS", ""),
     navTimeoutMs: Long = 15000L,
     settleMs: Long = 250L,
-    validate: String => Boolean = u => !graft.operators.Ssrf.isSsrfResolving(u))
+    validate: String => Boolean = u => !graft.operators.Ssrf.isSsrfResolving(u),
+    /** keepalive cadence on the pooled connection. The JDK WebSocket does
+      * NOT reliably surface an abrupt peer close on a socket that has
+      * already carried traffic (verified empirically: no onClose/onError
+      * after the peer's FIN) — so death of an idle-but-awaited connection
+      * would only be noticed at the next send. The ping provokes an RST
+      * from a dead peer, which DOES surface and marks the connection dead,
+      * releasing every render blocked on it. */
+    pingIntervalMs: Long = 5000L)
     extends RenderClient {
   require(cdpWsUrl.nonEmpty,
     "no browser endpoint: set GRAFT_CDP_WS to the DevTools WebSocket URL " +
@@ -66,12 +74,21 @@ final class PlaywrightRenderClient(
     * chain's retry/backoff then dials fresh. The pooled connection is
     * intentionally kept open for the life of the JVM (one socket per
     * executor). */
+  // pool key includes the timeouts: two clients configured differently
+  // must not silently share whichever connection was dialed first
+  private def poolKey: String = s"$cdpWsUrl#$navTimeoutMs#$pingIntervalMs"
+
   private def connection(): CdpConnection =
-    connectionPool.computeIfAbsent(cdpWsUrl,
-      url => new CdpConnection(url, navTimeoutMs))
+    connectionPool.compute(poolKey, (_, existing) =>
+      // a connection that died (browser restart, crash — detected by the
+      // keepalive ping or a failed send) is replaced on next use instead
+      // of handing out a socket that can only time out
+      if (existing == null || existing.isDead)
+        new CdpConnection(cdpWsUrl, navTimeoutMs, pingIntervalMs)
+      else existing)
 
   private def invalidate(c: CdpConnection): Unit = {
-    connectionPool.remove(cdpWsUrl, c)
+    connectionPool.remove(poolKey, c)
     c.close()
   }
 
@@ -115,6 +132,13 @@ object PlaywrightRenderClient {
 
   /** JVM-wide (= per-executor) connection pool, keyed by CDP endpoint. */
   private val connectionPool = new ConcurrentHashMap[String, CdpConnection]()
+
+  /** One shared daemon thread drives every pooled connection's keepalive
+    * ping (pings are microsecond sends; a thread per connection would be
+    * waste). */
+  private val pinger = Executors.newSingleThreadScheduledExecutor(r => {
+    val t = new Thread(r, "graft-cdp-ping"); t.setDaemon(true); t
+  })
 
   private[graft] def obj(fields: (String, Any)*): ObjectNode = {
     val o = mapper.createObjectNode()
@@ -163,11 +187,36 @@ object PlaywrightRenderClient {
 
   /** One WebSocket to the browser; synchronous request/response with an
     * id-correlated pending map, plus latches for awaited events. */
-  private final class CdpConnection(wsUrl: String, timeoutMs: Long) {
+  private final class CdpConnection(wsUrl: String, timeoutMs: Long,
+      pingIntervalMs: Long = 5000L) {
     private val nextId = new java.util.concurrent.atomic.AtomicLong(0L)
     private val pending = new ConcurrentHashMap[Long, java.util.concurrent.CompletableFuture[JsonNode]]()
     private val eventLatches = new ConcurrentHashMap[(String, String), CountDownLatch]()
     private val buf = new StringBuilder
+
+    @volatile private var deadFlag = false
+
+    /** Set once the socket errors or the peer closes it; the pool replaces
+      * dead entries on next use. */
+    def isDead: Boolean = deadFlag
+
+    /** Fail fast on connection death: without this, every OTHER render
+      * in flight on the shared connection would block its full timeout on
+      * a response/event that can never arrive (one bad render would turn
+      * into a stall burst across the executor). Pending calls get the
+      * failure immediately; awaited latches are released so their renders
+      * proceed into a call() that fails fast on the dead check. */
+    private def markDead(cause: Throwable): Unit = {
+      deadFlag = true
+      if (pingTask != null) pingTask.cancel(false)
+      val why = new java.io.IOException(s"CDP connection lost: ${cause.getMessage}", cause)
+      pending.keySet().forEach { id =>
+        Option(pending.remove(id)).foreach(_.completeExceptionally(why))
+      }
+      eventLatches.keySet().forEach { k =>
+        Option(eventLatches.remove(k)).foreach(_.countDown())
+      }
+    }
 
     private val listener = new WebSocket.Listener {
       override def onText(ws: WebSocket, data: CharSequence,
@@ -189,12 +238,20 @@ object PlaywrightRenderClient {
         ws.request(1)
         null
       }
+      override def onError(ws: WebSocket, error: Throwable): Unit =
+        markDead(error)
+      override def onClose(ws: WebSocket, statusCode: Int,
+          reason: String): CompletionStage[_] = {
+        markDead(new java.io.IOException(s"peer closed ($statusCode $reason)"))
+        null
+      }
     }
 
     private val ws: WebSocket = HttpClient.newHttpClient().newWebSocketBuilder()
       .connectTimeout(Duration.ofMillis(timeoutMs))
       .buildAsync(URI.create(wsUrl), listener)
       .get(timeoutMs, TimeUnit.MILLISECONDS)
+    startPing()
 
     /** Register interest in an event BEFORE issuing the command that
       * triggers it (the load event may fire before navigate() returns). */
@@ -209,29 +266,68 @@ object PlaywrightRenderClient {
     def forgetEvent(method: String, sessionId: String): Unit =
       eventLatches.remove((method, sessionId))
 
-    /** Serializes ws.sendText — the JDK WebSocket forbids overlapping
-      * sends (IllegalStateException), and the connection is shared by
-      * concurrent renders. Only the send is locked; responses multiplex
-      * by id, so calls still overlap on the wire. */
+    /** Sequences every outgoing message — the JDK WebSocket forbids
+      * overlapping sends (IllegalStateException), and the connection is
+      * shared by concurrent renders (plus the keepalive ping). Each sender
+      * waits (bounded by timeoutMs) on a turn marker the PREVIOUS sender
+      * completes even when its own send failed — not on a monitor held
+      * across a blocking get, which would queue N callers for up to
+      * N×timeoutMs. Responses multiplex by id, so calls still overlap on
+      * the wire. */
     private val sendLock = new Object
+    private var lastSend: java.util.concurrent.CompletableFuture[Void] =
+      java.util.concurrent.CompletableFuture.completedFuture(null.asInstanceOf[Void])
+
+    private def sequencedSend(send: () => java.util.concurrent.Future[WebSocket]): Unit = {
+      val myTurn = new java.util.concurrent.CompletableFuture[Void]()
+      val prevTurn = sendLock.synchronized {
+        val p = lastSend; lastSend = myTurn; p
+      }
+      try {
+        prevTurn.get(timeoutMs, TimeUnit.MILLISECONDS) // bounded turn wait
+        send().get(timeoutMs, TimeUnit.MILLISECONDS)
+      } finally myTurn.complete(null) // release the next sender even on failure
+    }
 
     def call(method: String, params: ObjectNode,
         sessionId: String = null): JsonNode = {
+      if (deadFlag) // fail fast: a response on a dead socket can never arrive
+        throw new java.io.IOException("CDP connection lost (marked dead)")
       val id = nextId.incrementAndGet()
       val fut = new java.util.concurrent.CompletableFuture[JsonNode]()
       pending.put(id, fut)
       try {
-        sendLock.synchronized {
-          ws.sendText(frameCommand(id, method, params, Option(sessionId)), true)
-            .get(timeoutMs, TimeUnit.MILLISECONDS)
-        }
+        val frame = frameCommand(id, method, params, Option(sessionId))
+        sequencedSend(() => ws.sendText(frame, true))
         fut.get(timeoutMs, TimeUnit.MILLISECONDS)
       } finally pending.remove(id) // no entry leak on timeout/failure
     }
 
-    def close(): Unit =
+    /** Active liveness: the JDK WebSocket does not reliably deliver
+      * onClose/onError for an abrupt peer close once the socket has
+      * carried traffic (verified empirically — the FIN sits unobserved),
+      * so a render awaiting `Page.loadEventFired` on a dead browser
+      * would block its full navTimeout. A periodic ping forces the
+      * failure out: pinging a closed peer draws an RST, the send or the
+      * listener errors, and markDead releases everyone immediately. */
+    @volatile private var pingTask: java.util.concurrent.ScheduledFuture[_] = _
+
+    private def startPing(): Unit = {
+      pingTask = pinger.scheduleWithFixedDelay(() => {
+        try {
+          if (!deadFlag)
+            sequencedSend(() => ws.sendPing(java.nio.ByteBuffer.allocate(0)))
+        } catch { case e: Exception => markDead(e) }
+      }, pingIntervalMs, pingIntervalMs, TimeUnit.MILLISECONDS)
+    }
+
+    def close(): Unit = {
+      // invalidation by one failing render must not leave the OTHER
+      // in-flight renders blocking their full timeout on this socket
+      markDead(new java.io.IOException("connection invalidated"))
       try ws.sendClose(WebSocket.NORMAL_CLOSURE, "done")
         .get(1, TimeUnit.SECONDS)
       catch { case _: Exception => ws.abort() }
+    }
   }
 }

@@ -148,6 +148,26 @@ class JobManagerSpec extends SparkSpec {
     mgr.shutdown()
   }
 
+  test("tryAdmit: the cap check and the submit act under one manager-owned gate") {
+    val root = Files.createTempDirectory("graft-admit").toString
+    val mgr = new JobManager(spark, root, maxConcurrentJobs = 1)
+    assert(mgr.tryAdmit(
+      mgr.submit("adm-a", cfg, images, new FixtureFetcher(web), policies)))
+    // adm-a stays Queued/Running for its multi-second crawl; a second
+    // admission must refuse WITHOUT running its thunk
+    var ran = false
+    assert(!mgr.tryAdmit { ran = true })
+    assert(!ran, "a refused admission must not run the submit thunk")
+    mgr.awaitAll()
+    assert(mgr.status("adm-a").contains(JobManager.Done))
+    // capacity freed → admission opens again
+    assert(mgr.tryAdmit(
+      mgr.submit("adm-b", cfg, images, new FixtureFetcher(web), policies)))
+    mgr.awaitAll()
+    assert(mgr.status("adm-b").contains(JobManager.Done))
+    mgr.shutdown()
+  }
+
   test("pause racing the crawl's natural completion resolves to Done, not Paused") {
     // The manager breaks the tie via engine.stoppedEarly: a pause() whose
     // flag lands only AFTER the run finished its work must not strand a
