@@ -287,6 +287,40 @@ class HttpFetcherSpec extends SparkSpec {
     assert(r.getAs[String]("content").contains("client-rendered docs body"))
   }
 
+  test("S8 end-to-end: the fetch chain renders a JS-only page through the REAL CDP client") {
+    // same heavy-level walk as above, but with zero injection shortcuts:
+    // Spark task → fetch chain → PlaywrightRenderClient → WebSocket →
+    // scripted CDP endpoint — the exact wiring a cluster deploy uses
+    // (only Chromium itself is substituted)
+    val rendered =
+      "<html><body><main><h1>App</h1><p>" + ("cdp-rendered docs body. " * 12) +
+        "</p></main><a href='/docs/cdp-route-1'>r1</a>" +
+        "<img src='/img/cdp-image.png'/></body></html>"
+    val browser = new FakeCdpBrowser(html = rendered)
+    try {
+      val f = new HttpFetcher(maxRetries = 0, timeoutMs = 2000,
+        useNativeMarkdown = false, markdownProxyUrl = None,
+        useHttpFastPath = false, backoffUnitMs = 0L,
+        validate = _ => true,
+        renderer = new graft.sources.PlaywrightRenderClient(
+          cdpWsUrl = browser.wsUrl, navTimeoutMs = 10000, settleMs = 10,
+          validate = _ => true))
+      val rows = f.fetchPages(
+          Seq(("https://js-only.test/app", "js-only.test")).toDF("urlNorm", "host"))
+        .collect()
+      assert(rows.length == 1)
+      val r = rows.head
+      assert(r.getAs[String]("fetchMethod") == "playwright")
+      assert(r.getAs[Int]("status") == 200)
+      assert(r.getAs[scala.collection.Seq[String]]("links").toSeq ==
+        Seq("/docs/cdp-route-1"))
+      assert(r.getAs[scala.collection.Seq[String]]("imageRefs").toSeq ==
+        Seq("/img/cdp-image.png"))
+      assert(r.getAs[String]("content").contains("cdp-rendered docs body"))
+      assert(browser.targetsClosed.get == 1, "the render's tab must be closed")
+    } finally browser.close()
+  }
+
   test("href/img quote pairing; hyphenated class names don't match whole-token selectors") {
     // apostrophes are legal in URL paths: href="/docs/don't-panic" must
     // not truncate at the quote-of-the-other-kind
