@@ -151,7 +151,8 @@ final class CrawlEngine(
         if (seen.isEmpty) level
         else {
           if (seenBloom == null)
-            seenBloom = Seen.buildBloom(seen, cfg.bloomExpectedItems, cfg.bloomFpp)
+            seenBloom = described("bloom rebuild: seen snapshot")(
+              Seen.buildBloom(seen, cfg.bloomExpectedItems, cfg.bloomFpp))
           if (seenBloomBc != null) seenBloomBc.unpersist() // previous epoch's copy
           seenBloomBc = spark.sparkContext.broadcast(seenBloom)
           Seen.admitPartitioned(level, seen, seenBloomBc)
@@ -175,7 +176,7 @@ final class CrawlEngine(
           // Bloom-delta keys ride the count() below — no per-epoch treeAggregate
           admitted0.observe(obsSeenKeys, collect_set($"urlNorm").as("keys"))
         else admitted0).cache()
-      val admittedCount = admitted.count()
+      val admittedCount = described(s"discover/$depth admit")(admitted.count())
       val newCounts = seenCounts.unionByName(
           admitted.groupBy("host").agg(count(lit(1)).cast("long").as("seenCnt")))
         .groupBy("host").agg(sum("seenCnt").cast("long").as("seenCnt"))
@@ -211,7 +212,8 @@ final class CrawlEngine(
         if (seenDeltaCollectable)
           seenBloom = foldBloom(seenBloom, observedKeys(obsSeenKeys))
         else {
-          val delta = Seen.buildBloom(admitted, cfg.bloomExpectedItems, cfg.bloomFpp)
+          val delta = described(s"bloom delta: discover/$depth")(
+            Seen.buildBloom(admitted, cfg.bloomExpectedItems, cfg.bloomFpp))
           if (seenBloom == null) seenBloom = delta else seenBloom.mergeInPlace(delta)
         }
       }
@@ -249,7 +251,8 @@ final class CrawlEngine(
     // F8 relevance stage (semi-join-validated scorer; Identity default
     // reproduces the reference's sorted dispatch order exactly)
     val pending = graft.operators.Relevance.prioritize(admitted, scorer).cache()
-    val pendingCount = pending.count() // materialize once before the write
+    val pendingCount = // materialize once before the write
+      described("fetch/0 prioritize")(pending.count())
     commitTracked("fetch", 0, tables = Map("pending" -> pending),
       counters = Map("pending" -> pendingCount))
     pending.unpersist()
@@ -394,9 +397,10 @@ final class CrawlEngine(
         Window.partitionBy($"host", $"contentHash").orderBy($"priority")))
       .where($"dupRank" === 1)
     if (contentBloom == null && !seenContent.isEmpty)
-      contentBloom = Seen.buildBloom(
-        seenContent.select(contentKey.as("urlNorm")),
-        cfg.bloomExpectedItems, cfg.bloomFpp)
+      contentBloom = described("bloom rebuild: content snapshot")(
+        Seen.buildBloom(
+          seenContent.select(contentKey.as("urlNorm")),
+          cfg.bloomExpectedItems, cfg.bloomFpp))
     val okRows = (if (contentBloom == null) winners
       else {
         if (contentBloomBc != null) contentBloomBc.unpersist()
@@ -448,7 +452,7 @@ final class CrawlEngine(
     // commit's parallel table writes then read the cache instead of racing
     // to compute it, (c) the fetch executes exactly once (exchange barrier
     // above), (d) the dequeue size arrives without its own job.
-    classified.count()
+    described(s"fetch/$epoch dequeue+fetch+classify")(classified.count())
 
     def observed(o: Observation, what: String): Map[String, Long] =
       try o.get.collect { case (k, v: Long) => k -> v }
@@ -542,9 +546,10 @@ final class CrawlEngine(
     if (contentDeltaCollectable)
       contentBloom = foldBloom(contentBloom, observedKeys(obsKeys))
     else {
-      val contentDelta = Seen.buildBloom(
-        okPages.select(contentKey.as("urlNorm")),
-        cfg.bloomExpectedItems, cfg.bloomFpp)
+      val contentDelta = described(s"bloom delta: fetch/$epoch content")(
+        Seen.buildBloom(
+          okPages.select(contentKey.as("urlNorm")),
+          cfg.bloomExpectedItems, cfg.bloomFpp))
       if (contentBloom == null) contentBloom = contentDelta
       else contentBloom.mergeInPlace(contentDelta)
     }
@@ -587,7 +592,8 @@ final class CrawlEngine(
         .where(ssrfAdmitted($"urlNorm"))
         .withColumn("depth", lit(0))
         .cache()
-      val expandedCount = expanded.count() // materialize once before the write
+      val expandedCount = // materialize once before the write
+        described("cascade sitemap expand")(expanded.count())
       commitTracked("sitemap", 0, tables = Map.empty,
         appends = Map("seen" -> expanded),
         counters = Map("sitemap_urls" -> expandedCount))
@@ -624,7 +630,8 @@ final class CrawlEngine(
       .where($"rn" <= 100)
       .select($"urlNorm", $"host", lit(0).as("depth"))
       .cache()
-    val navCount = nav.count() // materialize ONCE: the commit write below
+    val navCount = // materialize ONCE: the commit write below
+      described("cascade nav parse")(nav.count())
     commitTracked("nav", 0, tables = Map.empty, // must not re-run the fetch
       appends = Map("seen" -> nav),
       counters = Map("nav_urls" -> navCount))
@@ -727,6 +734,16 @@ final class CrawlEngine(
       // WE asked for it, that is a clean stop, not a failure
       case _: Exception if cancelRequested => stoppedEarlyFlag = true
     } finally spark.sparkContext.clearJobGroup()
+  }
+
+  /** Labels a driver action for job-level attribution (Spark UI, history
+    * server, the Q29Probe breakdown): the engine's wall cost at small SF
+    * is per-job driver latency, and an unlabeled action is invisible in
+    * that accounting (everything lumps under the job group's description).
+    * Commit writes label themselves in TableIO. */
+  private def described[T](desc: String)(action: => T): T = {
+    spark.sparkContext.setJobDescription(desc)
+    try action finally spark.sparkContext.setJobDescription(null)
   }
 
   /** Honors a pause/cancel flag at a strategy boundary: the cascades are
