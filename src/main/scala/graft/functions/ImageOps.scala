@@ -170,8 +170,10 @@ object ImageOps {
 
   /** Deterministic box-average resize (multimodal transform plumbing;
     * real implementation — decode→pool→encode). */
-  def resizeBox(bytes: Array[Byte], tw: Int, th: Int, fmt: String): Array[Byte] =
-    resizeBoxImg(decode(bytes), tw, th, fmt)
+  def resizeBox(bytes: Array[Byte], tw: Int, th: Int, fmt: String): Array[Byte] = {
+    val img = decode(bytes)
+    if (img == null) null else resizeBoxImg(img, tw, th, fmt) // null-in, null-out
+  }
 
   /** [[resizeBox]] over an ALREADY-DECODED image — callers that also need
     * the dimensions decode once and reuse (decode dominates this path). */
@@ -210,6 +212,7 @@ object ImageOps {
     * fake that derives `n` "frames" by re-encoding shifted crops. */
   def sampleFramesStub(bytes: Array[Byte], n: Int): Seq[Array[Byte]] = {
     val img = decode(bytes)
+    if (img == null) return Seq.empty // undecodable → no frames, no crash
     val w = img.getWidth; val h = img.getHeight
     (0 until n).map { k =>
       val crop = img.getSubimage(k * w / (2 * math.max(1, n)), 0, w - w / 2, h)
@@ -224,6 +227,9 @@ object ImageOps {
     * fetch+verify path decodes once instead of twice. */
   def validate(bytes: Array[Byte], i: Long, w: Int, h: Int): (Double, Long) = {
     val img = decode(bytes)
+    // undecodable → psnr -1 (the decode contract above): every consumer
+    // gates on the psnr (≥40 / ==999), so the row classifies invalid
+    if (img == null) return (-1.0, 0L)
     val truth = toImage(syntheticPixels(i, w, h), w, h)
     (psnrImages(img, truth), phashImage(img))
   }
@@ -237,7 +243,11 @@ object ImageOps {
   val psnrVsSyntheticUdf: UserDefinedFunction = udf(psnrVsSynthetic _)
   val phashUdf: UserDefinedFunction = udf(phash64 _)
   val hammingUdf: UserDefinedFunction = udf(hamming64 _)
-  val widthUdf: UserDefinedFunction = udf((b: Array[Byte]) => decode(b).getWidth)
-  val heightUdf: UserDefinedFunction = udf((b: Array[Byte]) => decode(b).getHeight)
+  // dims are null (not a crash) for undecodable payloads — same decode
+  // contract as validate/psnr above
+  val widthUdf: UserDefinedFunction = udf((b: Array[Byte]) =>
+    Option(decode(b)).map(i => Integer.valueOf(i.getWidth)).orNull)
+  val heightUdf: UserDefinedFunction = udf((b: Array[Byte]) =>
+    Option(decode(b)).map(i => Integer.valueOf(i.getHeight)).orNull)
   val resizeUdf: UserDefinedFunction = udf(resizeBox _)
 }

@@ -111,6 +111,7 @@ object Ssrf {
     */
   def isSsrf(url: String,
       resolve: String => Option[java.net.InetAddress] = literalIp): Boolean = {
+    if (url == null) return true // a null URL admits nothing (UDF null row)
     val h = hostname(url)
     if (h.isEmpty) true // unparseable → reject (reference raises)
     else if (h.contains(":")) // IPv6 literal (only bracketed forms keep ':')

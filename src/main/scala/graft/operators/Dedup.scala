@@ -287,8 +287,14 @@ object Dedup {
     * exact keys against probe keys, verify hamming exactly. */
   def simhashPairs(df: DataFrame, idCol: Column, textCol: Column,
       maxHamming: Int = 3): DataFrame = {
-    val hashed = df.where(textCol.isNotNull).select(idCol.as("id"),
-      simhash64(split(trim(textCol), "\\s+")).as("sim"))
+    // empty/whitespace-only docs get NO bands — split("") is Seq("") (not
+    // Python's []), so every failed-extraction row would otherwise hash to
+    // ONE identical simhash and form a single O(m²)-pair hot bucket; same
+    // degenerate-row convention as minhashBands and signBandKeys.
+    // rlike("\\S"), not trim =!= "": Spark's trim strips ONLY 0x20 spaces,
+    // so a tab/newline-only doc would slip through a trim-based guard
+    val hashed = df.where(textCol.isNotNull && textCol.rlike("\\S"))
+      .select(idCol.as("id"), simhash64(split(trim(textCol), "\\s+")).as("sim"))
     val (exact, probes) = simhashBanded(hashed, maxHamming)
     // pair (a, b): some block has hamming ≤ radius, so a's EXACT key is in
     // b's probe ball for that block — exact⋈probe finds every such pair

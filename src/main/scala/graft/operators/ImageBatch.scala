@@ -38,11 +38,17 @@ object ImageBatch {
           val fmt = row.getString(2)
           val decoder = DecoderRegistry.get(fmt)
           // ONE decode per row: dims and the resize share it (decode is
-          // the dominant cost of this stage)
-          val img = decoder.decode(bytes)
-          val thumb = graft.functions.ImageOps.resizeBoxImg(img, tw, th, "png")
-          Row(id, fmt, img.getWidth, img.getHeight, thumb,
-            graft.functions.ImageOps.phash64(thumb))
+          // the dominant cost of this stage). A corrupt/null payload
+          // decodes to null and CLASSIFIES as an invalid row (null dims/
+          // thumb) — at 100 TB a bad image is routine input, and an NPE
+          // here would abort the whole stage for one row.
+          val img = if (bytes == null) null else decoder.decode(bytes)
+          if (img == null) Row(id, fmt, null, null, null, null)
+          else {
+            val thumb = graft.functions.ImageOps.resizeBoxImg(img, tw, th, "png")
+            Row(id, fmt, img.getWidth, img.getHeight, thumb,
+              graft.functions.ImageOps.phash64(thumb))
+          }
         }
       }
     }(enc)

@@ -99,6 +99,12 @@ object Ivf {
       .withColumn("cluster", assignUdf(model)($"v"))
     val q0 = queries
       .select($"vec_id".as("qid"), $"embedding".cast("array<double>").as("qv"))
+      // query side needs the SAME degenerate-row guard as the corpus: a
+      // null/truncated query would NPE or misindex inside probesUdf, and
+      // a zero-norm one ranks arbitrary rows first on NaN cosine
+      .where($"qv".isNotNull && size($"qv") === model.centroids.headOption
+        .map(c => lit(c.length)).getOrElse(lit(0)) &&
+        aggregate($"qv", lit(0.0), (acc, x) => acc + x * x) > 0.0)
       .withColumn("cluster", explode(probesUdf($"qv")))
     val q = if (broadcastQueries) broadcast(q0) else q0
     indexed.join(q, Seq("cluster"))

@@ -45,11 +45,19 @@ object Seen {
     // instead of the scale path NPE-ing where the exact path succeeds
     val mightContain = udf((s: String) =>
       s != null && bloom.value.mightContainString(s))
-    val flagged = candidates.withColumn("__maybe", mightContain(col("urlNorm")))
-    val definitelyNew = flagged.where(!col("__maybe")).drop("__maybe")
-    val possible = flagged.where(col("__maybe")).drop("__maybe")
-    val confirmed = possible.join(seen.select("urlNorm"), Seq("urlNorm"), "left_anti")
-    definitelyNew.unionByName(confirmed)
+    // ONE pass over candidates: the Bloom verdict rides as an EXTRA
+    // anti-join condition — a bloom-negative row satisfies it for no seen
+    // row, so it passes through unmatched. The earlier two-filter split
+    // (definitely-new ∪ confirmed) recomputed the whole candidate lineage
+    // AND the probe UDF once per branch; this shape computes both once.
+    // (Catalyst cannot push a left-side join-condition conjunct below a
+    // left-anti — doing so would drop preserved rows — so the Bloom probe
+    // stays in the join.) The seen side's shuffle is identical; only rows
+    // the Bloom flags can pair up and the exact anti-join stays the
+    // authority on them.
+    candidates.join(seen.select(col("urlNorm").as("__seenUrl")),
+      col("urlNorm") === col("__seenUrl") && mightContain(col("urlNorm")),
+      "left_anti")
   }
 
   /** Anti-join shaped for a TINY left against a HUGE right: a plain

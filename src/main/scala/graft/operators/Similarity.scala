@@ -83,15 +83,25 @@ object Similarity {
   /** Exact brute-force top-k neighbors for each query row.
     * queries is expected to be small (broadcast); corpus is scanned once.
     * Returns (qid, id, cos, rank ≤ k); self-matches excluded. */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      /** pass the embedding dim to ALSO reject wrong-length rows (a short
+        * vector would silently cosine over the common prefix — a
+        * plausible-but-wrong score in the exact baseline the ANN paths
+        * are validated against). */
+      dim: Option[Int] = None): DataFrame = {
+    // zero-norm / null rows are droppable, not rankable: their cosine is
+    // NaN, and Spark sorts NaN above every real value, so one degenerate
+    // row would otherwise be every query's rank-1 neighbor — and a
+    // degenerate QUERY would rank k arbitrary corpus rows
+    def usable(v: Column): Column = dim match {
+      case Some(d) => wellFormed(v, d)
+      case None => v.isNotNull &&
+        aggregate(v.cast("array<double>"), lit(0.0), (acc, x) => acc + x * x) > 0.0
+    }
     val c = corpus.select(col("vec_id").as("id"), col("embedding").as("v"))
-      // zero-norm / null corpus rows are droppable, not rankable: their
-      // cosine is NaN, and Spark sorts NaN above every real value, so one
-      // degenerate row would otherwise be every query's rank-1 neighbor
-      .where(col("v").isNotNull &&
-        aggregate(col("v").cast("array<double>"), lit(0.0),
-          (acc, x) => acc + x * x) > 0.0)
+      .where(usable(col("v")))
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .where(usable(col("qv")))
     val scored = c.join(broadcast(q), col("id") =!= col("qid"))
       // cross-shape by construction: brute force IS the full scan baseline
       .withColumn("cos", cosine(col("qv"), col("v")))
@@ -119,6 +129,7 @@ object Similarity {
       .withColumn("bucket", signBits(col("v"), dim, numPlanes))
     val probes = (0 until numPlanes).map(p => lit(1L << p)) :+ lit(0L)
     val q0 = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .where(wellFormed(col("qv"), dim)) // degenerate queries rank on NaN
       .withColumn("qbucket", signBits(col("qv"), dim, numPlanes))
       .withColumn("probe", explode(array(probes: _*)))
       .withColumn("bucket", col("qbucket").bitwiseXOR(col("probe")))

@@ -112,8 +112,6 @@ object Structured {
     val flat = mainContent(html)
       .replaceAll("(?is)<(script|style)\\b[^>]*>.*?</\\1>", " ")
       .replaceAll("(?is)</?(div|section|article|main|aside|nav|header|span)[^>]*>", " ")
-    val flatLower = flat.toLowerCase(java.util.Locale.ROOT) // hoisted: one
-    // pass, not one full-document lowercase per block
     val out = scala.collection.mutable.ArrayBuffer.empty[Block]
     val m = BlockOpen.matcher(flat)
     var pos = 0
@@ -128,10 +126,18 @@ object Structured {
         }
         pos = openEnd
       } else {
-        val close = flatLower.indexOf(s"</$tag", openEnd)
-        val inner = if (close >= 0) flat.substring(openEnd, close) else ""
-        val next = if (close >= 0)
-          math.max(close + tag.length + 3, flat.indexOf('>', close) + 1)
+        // DEPTH-BALANCED close, not the first `</tag`: nested same-name
+        // elements (table-in-table, ul-in-ul, nested blockquote) would
+        // otherwise truncate at the inner close and leave stray markup —
+        // BeautifulSoup's recursive parse (the reference semantics,
+        // structured.py) handles nesting; same fix mainContent() already
+        // uses via balancedInner
+        val inner0 = graft.sources.HtmlToMarkdown.balancedInner(flat, openEnd, tag)
+        val closeStart = openEnd + inner0.length
+        val hasClose = closeStart < flat.length // ran to EOF = never closed
+        val inner = if (hasClose) inner0 else ""
+        val next = if (hasClose)
+          math.max(closeStart + tag.length + 3, flat.indexOf('>', closeStart) + 1)
         else openEnd
         tag match {
           case h if h.startsWith("h") && h.length == 2 =>

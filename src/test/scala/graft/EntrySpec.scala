@@ -92,5 +92,27 @@ class EntrySpec extends SparkSpec {
     val a = thumbs.select("thumb_phash").as[Long].collect().toSeq
     val b = ImageBatch.thumbnails(images, 16, 16).select("thumb_phash").as[Long].collect().toSeq
     assert(a == b)
+
+    // corrupt/null payloads CLASSIFY (null dims/thumb), never crash the
+    // stage: at 100 TB a bad image is routine input
+    import org.apache.spark.sql.Row
+    val badRows = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row("bad-corrupt", "nope".getBytes("UTF-8"), "png"),
+        Row("bad-null", null, "jpg")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("image_id",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("bytes",
+          org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.types.StructField("fmt",
+          org.apache.spark.sql.types.StringType))))
+    val mixed = ImageBatch.thumbnails(
+      images.select("image_id", "bytes", "fmt").unionByName(badRows), 16, 16)
+      .collect()
+    assert(mixed.length == 26)
+    val bad = mixed.filter(_.getString(0).startsWith("bad-"))
+    assert(bad.length == 2 && bad.forall(r => r.isNullAt(2) && r.isNullAt(4)))
+    assert(mixed.count(r => !r.isNullAt(4)) == 24) // good rows unaffected
   }
 }

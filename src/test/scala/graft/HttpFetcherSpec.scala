@@ -368,6 +368,10 @@ class HttpFetcherSpec extends SparkSpec {
   }
 
   test("Ssrf: CPython inet_aton numeric host forms never reach DNS") {
+    // a null URL (UDF null row, e.g. a left-join miss) admits nothing —
+    // and must not NPE inside the per-row gate
+    assert(Ssrf.isSsrf(null))
+    assert(Ssrf.isSsrfResolving(null))
     // private in disguise → rejected
     assert(Ssrf.isSsrf("http://127.1/x"))
     assert(Ssrf.isSsrf("http://2130706433/x"))      // 127.0.0.1 decimal

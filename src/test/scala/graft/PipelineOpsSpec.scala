@@ -232,6 +232,45 @@ class PipelineOpsSpec extends SparkSpec {
         s"degenerate row ranked: $ids"))
   }
 
+  test("degenerate QUERIES: null/zero-norm/short query rows drop, not rank on NaN") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val badQ = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(9100001L, Seq.fill(64)(0.0f)), // zero norm → every cosine NaN
+        Row(9100002L, null),               // failed upstream embed
+        Row(9100003L, Seq.fill(32)(0.5f))),// truncated vector
+      schema)
+    val corpus = embs.select("vec_id", "embedding")
+    val queries = corpus.where($"vec_id" < 2).unionByName(badQ)
+    // a zero-norm query ranks k ARBITRARY rows first (NaN sorts above all
+    // reals); a null/short one NPEs or misindexes in the probe UDFs
+    val brute = Similarity.bruteForceTopK(corpus, queries, 3, dim = Some(64))
+    val lsh = Similarity.lshTopK(corpus, queries, 3, dim = 64, numPlanes = 6)
+    val model = Ivf.train(corpus, dim = 64, k = 4, iters = 1)
+    val ivf = Ivf.topK(corpus, queries, model, k = 3, nProbe = 2)
+    Seq("brute" -> brute, "lsh" -> lsh, "ivf" -> ivf).foreach { case (n, df) =>
+      val qids = df.select("qid").as[Long].collect().toSet
+      assert(qids == Set(0L, 1L), s"$n: degenerate query ranked: $qids")
+    }
+  }
+
+  test("simhash: empty/whitespace-only docs form no pairs (no shared hot bucket)") {
+    // split("") is Seq("") — not Python's [] — so without a guard every
+    // failed-extraction row hashes to ONE identical simhash and the band
+    // join emits all m(m-1)/2 pairs of the empty cluster
+    val docs = (Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again")) ++
+      (10L to 15L).map(i => (i, if (i % 2 == 0) "" else "   \t \n "))).toDF("id", "text")
+    val pairs = Dedup.simhashPairs(docs, $"id", $"text", maxHamming = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)),
+      s"empty docs must pair with nothing, got $pairs")
+  }
+
   test("LSH ANN recall vs brute force") {
     val queries = embs.where($"vec_id" < 10)
     val brute = Similarity.bruteForceTopK(embs, queries, 5)

@@ -60,6 +60,27 @@ class StructuredChunkerSpec extends SparkSpec {
     assert(img.head.content == "real.png")
   }
 
+  test("structured: nested same-name BLOCKS close depth-balanced, not at the first inner close") {
+    // BeautifulSoup recursion parity: a ul-in-ul (or table-in-table) must
+    // not truncate the outer block at the INNER close and leak stray
+    // markup as phantom blocks
+    val html = "<html><body><main>" +
+      "<ul><li>outer a<ul><li>inner x</li><li>inner y</li></ul></li>" +
+      "<li>outer b</li></ul>" +
+      "<table><tr><td><table><tr><td>nested cell</td></tr></table></td></tr>" +
+      "<tr><td>outer cell</td></tr></table>" +
+      "<p>tail</p></main></body></html>"
+    val blocks = Structured.parseBlocks(html)
+    assert(blocks.map(_.blockType) == Seq("list", "table", "paragraph"),
+      s"got ${blocks.map(b => (b.blockType, b.content))}")
+    // the outer list block covers BOTH outer items (inner list content is
+    // within the block, not spilled after it)
+    assert(blocks.head.content.contains("outer b"))
+    // the table block reaches its balanced close: the outer row survives
+    assert(blocks(1).content.contains("outer cell"))
+    assert(blocks.last.content == "tail")
+  }
+
   test("structured: nested same-tag elements inside role=main; attr keeps the other quote") {
     // <div> nested inside <div role=main> — a lazy (.*?)</div> would stop
     // at the INNER close and drop everything after the first child
