@@ -337,13 +337,24 @@ final class CrawlEngine(
     val fetchedPages = warmCacheFresh match {
       case None =>
         fetcher.fetchPages(deqOk).unionByName(ssrfFailedRows(deqRejected))
+          .withColumn("__donorEpoch", lit(null).cast("long"))
       case Some(cache) =>
         // hit join: tiny dequeued batch probes the big cache (AQE
         // broadcasts the deq side — one cache scan, no shuffle)
         val hits = deqOk
           .join(cache.drop("host"), Seq("urlNorm"), "inner")
           .withColumn("fetchMethod", lit("cache"))
-          .select(Fetcher.pageObservationSchema.fieldNames.map(col).toIndexedSeq: _*)
+          // carry the DONOR's TTL clock: a cache hit re-appended to this
+          // run's page_cache must keep the original fetch's cachedEpoch —
+          // re-stamping it "fresh" would let chained runs serve the same
+          // page from cache forever, defeating the 24h-rule TTL the
+          // reference ages entries by (cache.py:75-88 — a read does not
+          // rewrite the entry)
+          .withColumn("__donorEpoch",
+            (if (cache.columns.contains("cachedEpoch")) col("cachedEpoch")
+             else lit(null)).cast("long"))
+          .select((Fetcher.pageObservationSchema.fieldNames.map(col) :+
+            col("__donorEpoch")).toIndexedSeq: _*)
           .cache()
         warmHits = hits
         // misses = deqOk ∖ hits — anti against the ≤|deq| HIT set, not the
@@ -351,8 +362,10 @@ final class CrawlEngine(
         // so deq-anti-cache would shuffle the whole cache every epoch)
         val misses = deqOk
           .join(hits.select("urlNorm"), Seq("urlNorm"), "left_anti")
-        hits.unionByName(fetcher.fetchPages(misses))
-          .unionByName(ssrfFailedRows(deqRejected))
+        hits.unionByName(fetcher.fetchPages(misses)
+            .withColumn("__donorEpoch", lit(null).cast("long")))
+          .unionByName(ssrfFailedRows(deqRejected)
+            .withColumn("__donorEpoch", lit(null).cast("long")))
     }
     val pages0 = fetchedPages
       .join(deq.select("urlNorm", "priority"), Seq("urlNorm"))
@@ -486,8 +499,14 @@ final class CrawlEngine(
     val fetchedNew = refs
       .join(images, Seq("image_id"))
       .withColumn("psnr", ImageOps.psnrVsSyntheticUdf($"bytes", idNum, $"w", $"h"))
-      .withColumn("validPixels",
-        ($"fmt" === "png" && $"psnr" === 999.0) || ($"fmt" =!= "png" && $"psnr" >= 40.0))
+      .withColumn("validPixels", {
+        // J7 per-format invariant from the DECODER REGISTRY (X1), not a
+        // hardcoded format set — the column form of PayloadDecoder.valid,
+        // still codegen (isInCollection), snapshotted at plan time
+        val lossless = graft.sources.DecoderRegistry.losslessFormats.toSeq
+        ($"fmt".isInCollection(lossless) && $"psnr" === 999.0) ||
+          (!$"fmt".isInCollection(lossless) && $"psnr" >= 40.0)
+      })
       .withColumn("validCaption",
         $"caption" === graft.fixtures.CaptionCheck.expectedCaption(idNum))
       .select($"image_id", $"bytes", $"w", $"h", $"fmt", $"caption", $"phash",
@@ -529,10 +548,15 @@ final class CrawlEngine(
         "seen_content" -> okPages.select($"host", $"contentHash"),
         // S9 — page-cache sink: ok pages only (never blocked/failed),
         // reusable as `warmCache` by a later crawl; `cachedEpoch` is the
-        // TTL clock a consuming run ages rows against
+        // TTL clock a consuming run ages rows against. Cache HITS keep
+        // the donor's clock (coalesce) — re-stamping them would reset the
+        // TTL on every chained run and the page would never re-fetch
         "page_cache" -> okPages.select(
-          Fetcher.pageObservationSchema.fieldNames.map(col).toIndexedSeq: _*)
-          .withColumn("cachedEpoch", lit(epoch)),
+          (Fetcher.pageObservationSchema.fieldNames.map(col) :+
+            col("__donorEpoch")).toIndexedSeq: _*)
+          .withColumn("cachedEpoch", // int like always (readers cast up)
+            coalesce($"__donorEpoch", lit(epoch).cast("long")).cast("int"))
+          .drop("__donorEpoch"),
         "ledger" -> lineage,
         "fetched" -> fetchedNew.drop("validPixels", "validCaption")),
       // by-name: obsImg is populated by the `fetched` data write inside the

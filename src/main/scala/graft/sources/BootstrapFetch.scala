@@ -21,31 +21,18 @@ object BootstrapFetch {
     .followRedirects(java.net.http.HttpClient.Redirect.NEVER)
     .build()
 
-  /** One GET with manual redirect following (≤ 5 hops) — apex→www /
-    * http→https robots.txt redirects are routine, and silently treating a
-    * 301'd robots.txt as absent would disable robots enforcement for the
-    * host. Every hop target is re-validated (F6). */
+  /** One GET via the SHARED redirect loop ([[RedirectGet]] — one
+    * implementation of the security-sensitive hop/SSRF logic for every
+    * fetch path) — apex→www / http→https robots.txt redirects are
+    * routine, and silently treating a 301'd robots.txt as absent would
+    * disable robots enforcement for the host. Bootstrap error policy:
+    * transport failures and over-long chains mean "absent" (None). */
   def httpGet(url: String, timeoutMs: Int,
-      validate: String => Boolean): Option[(Int, Array[Byte])] = {
-    try {
-      var u = url
-      var hops = 0
-      while (hops <= 5) {
-        if (!validate(u)) return None
-        val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(u))
-          .timeout(java.time.Duration.ofMillis(timeoutMs.toLong)).GET().build()
-        val resp = client.send(req,
-          java.net.http.HttpResponse.BodyHandlers.ofByteArray())
-        val st = resp.statusCode()
-        val loc = resp.headers().firstValue("location").orElse("")
-        if (st >= 300 && st < 400 && loc.nonEmpty) {
-          u = java.net.URI.create(u).resolve(loc).toString
-          hops += 1
-        } else return Some((st, resp.body()))
-      }
-      None // redirect chain too long
-    } catch { case _: Exception => None }
-  }
+      validate: String => Boolean): Option[(Int, Array[Byte])] =
+    try RedirectGet.send(client, url, timeoutMs.toLong, validate, Nil,
+        java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+      .map(r => (r.statusCode(), r.body()))
+    catch { case _: Exception => None }
 
   /** robots.txt per seed host. Missing/failed/non-200 → no entry = fully
     * allowed (reference `robots.py:19-34`: failed load means no filtering).
@@ -95,6 +82,12 @@ object BootstrapFetch {
         }
       }
     }
+    // loss is LOGGED, never silent (same contract as Sitemaps.expandAll's
+    // truncation warning): a dropped subtree silently falling back to BFS
+    // would surface only as an unexplained replay divergence
+    if (queue.nonEmpty)
+      System.err.println(s"[graft] WARN sitemap bodies truncated at " +
+        s"maxDocs=$maxDocs; ${queue.size} discovered document(s) unfetched")
     out.toSeq
   }
 }

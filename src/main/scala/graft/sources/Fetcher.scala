@@ -58,6 +58,38 @@ final class FixtureFetcher(webGraph: DataFrame) extends Fetcher {
   }
 }
 
+/** THE manual-redirect GET — shared by both fetch paths (the per-partition
+  * task fetcher and the driver-side bootstrap). ≤ 5 hops, EVERY hop target
+  * re-validated (F6). One implementation on purpose: this loop is
+  * security-sensitive, and a fix to hop counting, Location resolution, or
+  * the SSRF re-check applied to one hand-rolled copy would silently weaken
+  * the other. Returns None = SSRF-rejected at some hop; throws IOException
+  * on transport errors and over-long chains — callers choose their policy
+  * (fetch levels retry / fall through; bootstrap treats as absent). */
+private[graft] object RedirectGet {
+  def send[T](client: java.net.http.HttpClient, url0: String, timeoutMs: Long,
+      validate: String => Boolean, headers: Seq[(String, String)],
+      handler: java.net.http.HttpResponse.BodyHandler[T])
+      : Option[java.net.http.HttpResponse[T]] = {
+    var url = url0
+    var hops = 0
+    while (hops <= 5) {
+      if (!validate(url)) return None
+      val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        .timeout(java.time.Duration.ofMillis(timeoutMs)).GET()
+      headers.foreach { case (k, v) => b.header(k, v) }
+      val resp = client.send(b.build(), handler)
+      val st = resp.statusCode()
+      val loc = resp.headers().firstValue("location").orElse("")
+      if (st >= 300 && st < 400 && loc.nonEmpty) {
+        url = java.net.URI.create(url).resolve(loc).toString
+        hops += 1
+      } else return Some(resp)
+    }
+    throw new java.io.IOException(s"redirect chain too long for $url0")
+  }
+}
+
 /** Minimal HTML→Markdown conversion — the `markdownify(heading_style=ATX,
   * strip=[script, style, nav, footer])` analog used by the HTTP fast path
   * and heavy level (reference `page.py:39-45`, `markdown.py:76-78`):
@@ -107,8 +139,12 @@ object HtmlToMarkdown {
       s = s.replaceAll(s"(?is)<h$i[^>]*>", "\n\n" + ("#" * i) + " ")
     }
     s = s.replaceAll("(?is)</h[1-6]\\s*>", "\n\n")
-    s = s.replaceAll("(?is)<li[^>]*>", "\n- ")
-    s = s.replaceAll("(?is)</?(p|div|section|article|main|table|tr|ul|ol|blockquote|pre)[^>]*>", "\n")
+    // \b is load-bearing: without it `<li` matches every `<link …>` in
+    // <head>, emitting a bogus bullet per stylesheet/preload/icon tag —
+    // corrupting content hashes and inflating the http_fast ≥500-char
+    // gate with boilerplate noise (markdownify bullets only real <li>)
+    s = s.replaceAll("(?is)<li\\b[^>]*>", "\n- ")
+    s = s.replaceAll("(?is)</?(p|div|section|article|main|table|tr|ul|ol|blockquote|pre)\\b[^>]*>", "\n")
     s = s.replaceAll("(?is)<br[^>]*>", "\n")
     s = s.replaceAll("(?s)<[^>]*>", "")
     // &amp; decoded LAST: decoding it first would double-decode escaped
@@ -334,34 +370,16 @@ final class HttpFetcher(
           "id=[\"'](?:sidebar|navbar|table-of-contents)[\"'])[^>]*>(.*?)</\\3>",
         java.util.regex.Pattern.CASE_INSENSITIVE | java.util.regex.Pattern.DOTALL)
 
-      /** One validated GET with manual redirect following (≤ 5 hops, each
-        * hop re-validated). None = SSRF-rejected. Throws on transport
-        * errors (callers decide retry/fall-through). */
-      def get(url0: String, headers: Seq[(String, String)]): Option[(Int, String, String)] = {
-        var url = url0
-        var hops = 0
-        while (hops <= 5) {
-          if (!admit(url)) return None
-          val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
-            .timeout(java.time.Duration.ofMillis(tmoutMs.toLong)).GET()
-          headers.foreach { case (k, v) => b.header(k, v) }
-          val resp = client.send(b.build(),
+      /** One validated GET via the SHARED redirect loop ([[RedirectGet]]).
+        * None = SSRF-rejected. Throws on transport errors and over-long
+        * chains — levels treat both like any other failed request
+        * (retry / fall through), instead of the old Some((0,"","""))
+        * sentinel the heavy level mistook for a render. */
+      def get(url0: String, headers: Seq[(String, String)]): Option[(Int, String, String)] =
+        RedirectGet.send(client, url0, tmoutMs.toLong, admit, headers,
             java.net.http.HttpResponse.BodyHandlers.ofString())
-          val st = resp.statusCode()
-          val loc = resp.headers().firstValue("location").orElse("")
-          if (st >= 300 && st < 400 && loc.nonEmpty) {
-            url = java.net.URI.create(url).resolve(loc).toString
-            hops += 1
-          } else {
-            return Some((st,
-              resp.headers().firstValue("content-type").orElse(""), resp.body()))
-          }
-        }
-        // transport-error semantics: levels treat it like any other
-        // failed request (retry / fall through), instead of the old
-        // Some((0,"","")) sentinel the heavy level mistook for a render
-        throw new java.io.IOException(s"redirect chain too long for $url0")
-      }
+          .map(r => (r.statusCode(),
+            r.headers().firstValue("content-type").orElse(""), r.body()))
 
       def anchors(p: java.util.regex.Pattern, s: String, group: Int): Seq[String] = {
         val m = p.matcher(s)

@@ -66,4 +66,11 @@ object DecoderRegistry {
   def get(fmt: String): PayloadDecoder =
     decoders.getOrElse(fmt, throw new IllegalArgumentException(s"no decoder for $fmt"))
   def supported: Set[String] = decoders.keySet
+
+  /** Formats whose registered decoder declares lossless — the plan-time
+    * source for the engine's J7 pixel gate (the column form of
+    * [[PayloadDecoder.valid]]; hardcoding the set at the validation site
+    * would silently mis-validate any newly registered format). */
+  def losslessFormats: Set[String] =
+    decoders.collect { case (f, d) if d.lossless => f }.toSet
 }

@@ -117,7 +117,15 @@ final class PlaywrightRenderClient(
         Some((200, "text/html", html))
       } finally scala.util.Try( // a dead connection must not mask the
         conn.call("Target.closeTarget", obj("targetId" -> targetId))) // real failure
-    } catch { case e: Throwable => invalidate(conn); throw e }
+    } catch { case e: Throwable =>
+      // invalidate ONLY on connection-level failure: the pool is shared
+      // by every render on the executor, and closing it for one page's
+      // CDP error or slow evaluate (a healthy connection!) would markDead
+      // all other in-flight renders and stampede-redial. Connection death
+      // is what the keepalive ping + markDead detect.
+      if (conn.isDead || isConnectionFailure(e)) invalidate(conn)
+      throw e
+    }
   }
 
   private def evalString(conn: CdpConnection, sessionId: String,
@@ -129,6 +137,13 @@ final class PlaywrightRenderClient(
 
 object PlaywrightRenderClient {
   private[graft] val mapper = new ObjectMapper()
+
+  /** Transport-level failure (socket/IO anywhere in the cause chain) vs a
+    * per-command outcome on a healthy connection (CdpError → plain
+    * RuntimeException; one slow page's evaluate → TimeoutException). */
+  private def isConnectionFailure(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+      .exists(_.isInstanceOf[java.io.IOException])
 
   /** JVM-wide (= per-executor) connection pool, keyed by CDP endpoint. */
   private val connectionPool = new ConcurrentHashMap[String, CdpConnection]()

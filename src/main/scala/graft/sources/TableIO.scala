@@ -59,11 +59,14 @@ object TableIO {
   * snapshot ids, counters). That single append is the atomic pointer;
   * reads time-travel (`VERSION AS OF`) to the recorded snapshot ids, so a
   * crash between data write and manifest append leaves orphan snapshots
-  * that no reader references (and an idempotent epoch re-run is safe:
-  * duplicate appended data sits in snapshots the manifest never points
-  * at). Operational requirement: snapshot expiry must retain
-  * manifest-referenced snapshots (`expire_snapshots` older-than the
-  * oldest manifest row still needed for resume).
+  * that no reader references. Idempotent epoch re-run: overwrite tables
+  * supersede orphans naturally, but Iceberg APPEND snapshots are
+  * CUMULATIVE — a re-run's append would include the orphaned pre-crash
+  * rows too — so every append first resets the table to the manifest's
+  * recorded snapshot (rollback, or delete-all when the crash predated the
+  * first manifest row). Operational requirement: snapshot expiry must
+  * retain manifest-referenced snapshots (`expire_snapshots` older-than
+  * the oldest manifest row still needed for resume).
   *
   * No Iceberg runtime jar ships in this sandbox, so construction is gated
   * on [[IcebergTableIO.available]]; the SQL builders are pure and
@@ -90,6 +93,13 @@ trait IcebergCatalog {
   /** THE atomic pointer move (one appended manifest row). */
   def appendManifest(manifestFqn: String, entry: IcebergTableIO.ManifestEntry): Unit
   def readVersionAsOf(fqn: String, snapshotId: Long): DataFrame
+  /** Reset the table's CURRENT state to `snapshotId` (discarding later,
+    * orphaned appends from visible history) — crash-recovery for append
+    * tables before a re-run appends again. */
+  def rollbackTo(fqn: String, snapshotId: Long): Unit
+  /** Logical truncate — crash-recovery when appends were orphaned before
+    * the FIRST manifest row existed (no snapshot to roll back to). */
+  def deleteAll(fqn: String): Unit
 }
 
 /** Live catalog calls, verbatim from the pre-seam implementation. */
@@ -131,6 +141,12 @@ final class SparkIcebergCatalog(spark: SparkSession) extends IcebergCatalog {
 
   override def readVersionAsOf(fqn: String, snapshotId: Long): DataFrame =
     spark.sql(s"SELECT * FROM $fqn VERSION AS OF $snapshotId")
+
+  override def rollbackTo(fqn: String, snapshotId: Long): Unit =
+    spark.sql(rollbackSql(fqn, snapshotId))
+
+  override def deleteAll(fqn: String): Unit =
+    spark.sql(deleteAllSql(fqn))
 }
 
 final class IcebergTableIO private[graft] (catalog: IcebergCatalog,
@@ -165,8 +181,22 @@ final class IcebergTableIO private[graft] (catalog: IcebergCatalog,
     def writeOne(name: String, df: DataFrame, isAppend: Boolean): Unit = {
       catalog.sql(TableIO.icebergDDL(fqn(name),
         df.schema.toDDL, bucketCol = bucketColFor(df, bucketCol), numBuckets))
-      if (isAppend) catalog.append(fqn(name), df)
-      else catalog.overwrite(fqn(name), df)
+      if (isAppend) {
+        // append snapshots are CUMULATIVE: a crash between a data append
+        // and the manifest append leaves orphaned rows that a naive
+        // re-run would silently double (the overwrite path supersedes
+        // orphans by construction). Reset to the manifest's recorded
+        // snapshot first — a metadata-only check in the common case
+        // (current == recorded).
+        (prevEntries.get(name), catalog.latestSnapshotId(fqn(name))) match {
+          case (Some(recorded), Some(cur)) if recorded != cur =>
+            catalog.rollbackTo(fqn(name), recorded)
+          case (None, Some(_)) => // orphan predates the first manifest row
+            catalog.deleteAll(fqn(name))
+          case _ => ()
+        }
+        catalog.append(fqn(name), df)
+      } else catalog.overwrite(fqn(name), df)
       // a snapshot-less table (empty append on a fresh table) is omitted
       // from the entry — read() treats it as absent, same as never written
       catalog.latestSnapshotId(fqn(name)).foreach(written(name) = _)
@@ -216,6 +246,20 @@ object IcebergTableIO {
   private[graft] def latestSnapshotSql(fqn: String): String =
     s"SELECT snapshot_id FROM $fqn.snapshots " +
       "ORDER BY committed_at DESC, snapshot_id DESC LIMIT 1"
+
+  /** `CALL <catalog>.system.rollback_to_snapshot('<ns.table>', <id>)` —
+    * the procedure takes the table WITHOUT its catalog prefix, which is
+    * the call's routing component. */
+  private[graft] def rollbackSql(fqn: String, snapshotId: Long): String = {
+    val (cat, table) = fqn.split("\\.", 2) match {
+      case Array(c, t) => (c, t)
+      case _ => sys.error(s"fqn must be catalog-qualified: $fqn")
+    }
+    s"CALL $cat.system.rollback_to_snapshot('$table', ${snapshotId}L)"
+  }
+
+  private[graft] def deleteAllSql(fqn: String): String =
+    s"DELETE FROM $fqn WHERE true"
 }
 
 /** Parquet + manifest-pointer implementation. Layout:

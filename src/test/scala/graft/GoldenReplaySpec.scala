@@ -196,6 +196,32 @@ class GoldenReplaySpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("S9 TTL clock: cache hits keep the DONOR's cachedEpoch, not a fresh stamp") {
+    // a read must not rewrite the entry (cache.py:75-88 — the 24h clock
+    // starts at the ORIGINAL fetch): re-stamping hits with the consuming
+    // run's epoch would let chained runs serve the same page from cache
+    // forever, with the TTL never expiring anything
+    val donor = engine.table("page_cache").get
+    val donorEpochs = donor.select($"urlNorm",
+      $"cachedEpoch".cast("long").as("donorEpoch"))
+    val dir = Files.createTempDirectory("graft-ttlclock").toString
+    val e4 = new CrawlEngine(
+      spark, cfg, new FixtureFetcher(webGraph), images,
+      new ParquetSnapshotTableIO(spark, dir), policies,
+      sitemaps = Some(FixtureGen.sitemapsDF(spark, params)),
+      warmCache = Some(donor))
+    e4.run()
+    val hits = e4.orderLog.where($"fetchMethod" === "cache").select("urlNorm")
+    assert(hits.count() > 0)
+    val mismatched = e4.table("page_cache").get
+      .join(hits, Seq("urlNorm"))
+      .join(donorEpochs, Seq("urlNorm"))
+      .where($"cachedEpoch".cast("long") =!= $"donorEpoch")
+      .count()
+    assert(mismatched == 0,
+      "a cache hit must carry the donor's TTL clock forward")
+  }
+
   test("A4: maxUrls cap hit — deterministic lexicographic admission, stable across runs") {
     // host 0 (pure BFS host) reaches far more than cap=15 URLs; the engine
     // must stop at the cap, selecting the lexicographically-first fresh

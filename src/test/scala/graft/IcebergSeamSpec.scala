@@ -47,6 +47,22 @@ class FakeIcebergCatalog extends IcebergCatalog {
   override def readVersionAsOf(fqn: String, snapshotId: Long): DataFrame =
     snapshots(fqn).find(_._1 == snapshotId)
       .getOrElse(sys.error(s"no snapshot $snapshotId for $fqn"))._2
+
+  val rollbacks = mutable.Buffer.empty[(String, Long)]
+
+  /** rollback_to_snapshot semantics: current state returns to the target
+    * snapshot (ids are monotonic, so drop everything after it). */
+  override def rollbackTo(fqn: String, snapshotId: Long): Unit = {
+    rollbacks += ((fqn, snapshotId))
+    val buf = snapshots(fqn)
+    require(buf.exists(_._1 == snapshotId), s"no snapshot $snapshotId for $fqn")
+    snapshots(fqn) = buf.filter(_._1 <= snapshotId)
+  }
+
+  override def deleteAll(fqn: String): Unit =
+    snapshots.get(fqn).flatMap(_.lastOption).foreach { case (_, state) =>
+      record(fqn, state.limit(0))
+    }
 }
 
 /** Round-3 ask #6: the Iceberg backend's commit/read/resume ORCHESTRATION
@@ -114,6 +130,37 @@ class IcebergSeamSpec extends SparkSpec {
     io.commit("fetch", 2, tables = Map("pending" -> df("new" -> "h")))
     assert(io.read("pending").get.as[(String, String)].head()._1 == "new")
     assert(cat.manifestTail("prod.crawl.graft_manifest").get.version == 2)
+  }
+
+  test("crash-orphaned APPEND rows are rolled back, not doubled, on epoch re-run") {
+    val cat = new FakeIcebergCatalog
+    val io = newIo(cat)
+    io.commit("fetch", 1, Map.empty, appends = Map("seen" -> df("a" -> "h")))
+    // crashed epoch 2: the data append landed, the manifest append did not
+    cat.append("prod.crawl.graft_seen", df("b" -> "h"))
+    // re-run of epoch 2 — append snapshots are cumulative, so without the
+    // rollback the re-run snapshot would contain b TWICE
+    io.commit("fetch", 2, Map.empty, appends = Map("seen" -> df("b" -> "h")))
+    val rows = io.read("seen").get.as[(String, String)].collect().map(_._1)
+    assert(rows.sorted.toSeq == Seq("a", "b"),
+      s"orphaned append must not double on re-run: ${rows.toSeq}")
+    assert(cat.rollbacks.nonEmpty, "the orphan must be rolled back")
+
+    // same crash before the FIRST manifest row: delete-all, then append
+    val cat2 = new FakeIcebergCatalog
+    val io2 = newIo(cat2)
+    cat2.sql(graft.sources.IcebergTableIO.manifestDDL("prod.crawl.graft_manifest"))
+    cat2.append("prod.crawl.graft_seen", df("x" -> "h")) // orphan, no manifest
+    io2.commit("fetch", 1, Map.empty, appends = Map("seen" -> df("x" -> "h")))
+    val rows2 = io2.read("seen").get.as[(String, String)].collect().map(_._1)
+    assert(rows2.toSeq == Seq("x"), s"first-commit orphan doubled: ${rows2.toSeq}")
+  }
+
+  test("rollback/delete SQL builders") {
+    assert(graft.sources.IcebergTableIO.rollbackSql("prod.crawl.graft_seen", 42L) ==
+      "CALL prod.system.rollback_to_snapshot('crawl.graft_seen', 42L)")
+    assert(graft.sources.IcebergTableIO.deleteAllSql("prod.crawl.graft_seen") ==
+      "DELETE FROM prod.crawl.graft_seen WHERE true")
   }
 
   test("empty append on a fresh table is omitted from the manifest entry") {
