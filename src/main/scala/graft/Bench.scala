@@ -92,19 +92,12 @@ object Bench {
     val engCfg = graft.model.CrawlConfig(
       seedUrls = graft.fixtures.FixtureGen.seeds(engineParams), maxDepth = 6,
       epochSeconds = 60)
-    def runEngine(s: SparkSession): (Long, Double) = {
-      val io = new graft.sources.ParquetSnapshotTableIO(
-        s, graft.util.TempDirs.create("graft-bench-engine"))
-      // cached: uncached, every epoch's scans re-encode all fixture images
-      val web = graft.fixtures.FixtureGen.webGraphDF(s, engineParams).cache()
-      val imgs = graft.fixtures.FixtureGen.imagesDF(s, engineParams).cache()
-      val engine = new graft.epoch.CrawlEngine(s, engCfg,
-        new graft.sources.FixtureFetcher(web), imgs, io,
-        graft.fixtures.FixtureGen.robotsMap(engineParams))
-      val (_, sec) = timed(engine.run())
-      web.unpersist(); imgs.unpersist()
-      (engine.orderLog.count(), sec)
-    }
+    def runEngine(s: SparkSession): (Long, Double) =
+      graft.fixtures.FixtureGen.withFixtureEngine(
+          s, engineParams, engCfg, "graft-bench-engine") { engine =>
+        val (_, sec) = timed(engine.run())
+        (engine.orderLog.count(), sec)
+      }
     val (engineUrls, engineSec) = runEngine(spark)
     val engineRps = engineUrls / engineSec
     spark.stop()

@@ -61,6 +61,11 @@ object Crawl {
     val icebergDb = opts.get("iceberg-db")
     if (stateDir.isEmpty && icebergDb.isEmpty)
       usage("--state-dir or --iceberg-db required")
+    // exclusive, as the usage line promises: accepting both and silently
+    // ignoring --state-dir would leave an operator expecting local
+    // snapshot state with an empty directory and no diagnostic
+    if (stateDir.nonEmpty && icebergDb.nonEmpty)
+      usage("--state-dir and --iceberg-db are mutually exclusive")
     // the parquet-snapshot backend keeps its manifest via java.nio — a
     // LOCAL (or locally-mounted DFS) path; object stores go through the
     // Iceberg backend instead
@@ -94,8 +99,11 @@ object Crawl {
         .map(ws => new graft.sources.PlaywrightRenderClient(cdpWsUrl = ws): graft.sources.RenderClient)
         .getOrElse(graft.sources.RenderClient.Static),
       io = backend)
-    println(s"crawl done: ${engine.orderLog.count()} URLs dispatched; " +
-      s"counters=${engine.table("ledger").map(_ => "ledger committed").getOrElse("none")}")
+    // the ACTUAL committed counters (dequeued/ok/blocked/…), not a label —
+    // this line is what an operator reads in spark-submit logs
+    val counters = engine.counters.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k=$v" }.mkString(" ")
+    println(s"crawl done: ${engine.orderLog.count()} URLs dispatched; $counters")
   }
 
   def run(spark: SparkSession, cfg: CrawlConfig, stateDir: String,

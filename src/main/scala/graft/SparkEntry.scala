@@ -39,6 +39,15 @@ object SparkEntry {
       .schema("event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
       .parquet(s"$dir/events.parquet")
 
+  /** round(sum(double)*100) is a latent cross-engine lottery: double
+    * addition is not associative, Spark's partial-merge order is
+    * nondeterministic while DuckDB sums sequentially, so a group total
+    * landing near a half-cent boundary could round differently per
+    * engine/run. Each ROW casts to DECIMAL first — both engines compute
+    * the same IEEE double and round it to the same 6 decimals — making
+    * the aggregate exact and order-independent. The oracle SQL casts
+    * identically. */
+  private def dec6(c: Column): Column = c.cast("decimal(30,6)")
   private def cents(c: Column): Column = round(c * 100).cast("long")
 
   /** Zone-free epoch micros for TIMESTAMP_NTZ (see
@@ -78,7 +87,7 @@ object SparkEntry {
   /** q13 input: text with injected bot-check phrases (0 → 2 patterns =
     * blocked; 1 → a single pattern = NOT blocked — threshold test). */
   private val synthContent: String =
-    "concat(text, CASE WHEN doc_id % 17 = 0 THEN ' Checking your browser... Cloudflare Ray ID: 7x' " +
+    "concat(coalesce(text, ''), CASE WHEN doc_id % 17 = 0 THEN ' Checking your browser... Cloudflare Ray ID: 7x' " +
       "WHEN doc_id % 17 = 1 THEN ' this page discusses captcha topics' ELSE '' END)"
 
   private val synthFrontierUrl: String =
@@ -119,8 +128,8 @@ object SparkEntry {
     // ---- relational core (A1/A2, W1-W4, J1-J6, U1-U3 shapes) ----
     "q01_pricing_agg" -> ((s, d) => {
       li(s, d).groupBy("l_returnflag", "l_linestatus").agg(
-          cents(sum(col("l_quantity"))).as("sum_qty_c"),
-          cents(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_c"),
+          cents(sum(dec6(col("l_quantity")))).as("sum_qty_c"),
+          cents(sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount"))))).as("revenue_c"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -136,7 +145,7 @@ object SparkEntry {
         .join(broadcast(cust(s, d)), col("o_custkey") === col("c_custkey"))
         .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
-        .agg(count(lit(1)).as("n_orders"), cents(sum(col("o_totalprice"))).as("total_c"))
+        .agg(count(lit(1)).as("n_orders"), cents(sum(dec6(col("o_totalprice")))).as("total_c"))
         .orderBy("n_name")
     }),
     "q04_anti_join_unsold_parts" -> ((s, d) => {
@@ -154,7 +163,7 @@ object SparkEntry {
     }),
     "q07_running_sum_supplier" -> ((s, d) => {
       li(s, d).where(col("l_suppkey") <= 2)
-        .withColumn("running_c", cents(sum(col("l_extendedprice")).over(
+        .withColumn("running_c", cents(sum(dec6(col("l_extendedprice"))).over(
           Window.partitionBy("l_suppkey")
             .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))))
@@ -166,7 +175,7 @@ object SparkEntry {
       // session zone (see TimeFns.ntzTruncHour) — q08 only survived
       // whole-hour driver zones by luck before round 4.
       events(s, d).groupBy(graft.functions.TimeFns.ntzTruncHour(col("ts")).as("hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), cents(sum(col("value"))).as("value_c"))
+        .agg(count(lit(1)).as("n"), cents(sum(dec6(col("value")))).as("value_c"))
         .orderBy("hour", "event_type")
     }),
     "q09_sessionize" -> ((s, d) => {
@@ -287,7 +296,7 @@ object SparkEntry {
     }),
     "q23_embedding_topk" -> ((s, d) => {
       val e = embs(s, d)
-      Similarity.bruteForceTopK(e, e.where(col("vec_id") < 8), 10)
+      Similarity.bruteForceTopK(e, e.where(col("vec_id") < 8), 10, dim = Some(64))
         .select("qid", "id", "rank").orderBy("qid", "rank")
     }),
     "q24_embedding_neardup" -> ((s, d) => {
@@ -302,13 +311,17 @@ object SparkEntry {
       // built in ONE UDF pass: the equivalent SQL expression repeats
       // `substr(repeat(text,50),1,2000)` four times and CollapseProject
       // inlines each (~110 KB of string churn per row — measured 21 s).
+      // repeat-until-2000, NOT a fixed repeat count: with repeat(·,60) a
+      // doc under 34 chars builds md ≤ 6000 chars, the chunker's
+      // whole-text early-return emits ONE chunk, and the oracle's
+      // unconditional 3 rows go red — a fixture-regen lottery. Pinning t
+      // to exactly 2000 chars for ANY non-empty text (same formula in the
+      // oracle SQL) removes the length dependence; the ≥1-char filter is
+      // shared with the oracle too (null/empty text has no defined t).
       val mdUdf = udf { (docId: Long, text: String) =>
-        val sb = new java.lang.StringBuilder(text.length * 60)
-        var i = 0
-        while (i < 60) { sb.append(text); i += 1 }
-        // DuckDB substr returns what exists on short input; mirror that
-        // instead of throwing (BMP-only corpus: chars == codepoints)
-        val t = sb.substring(0, math.min(2000, sb.length))
+        val sb = new java.lang.StringBuilder(2100)
+        while (sb.length < 2000) sb.append(text)
+        val t = sb.substring(0, 2000) // BMP-only corpus: chars == codepoints
         s"# Intro $docId\n\n$t\n\n## Part A $docId\n\n$t" +
           s"\n\n#### deep $docId\n\n$t\n\n### Part B $docId\n\n$t"
       }
@@ -316,7 +329,8 @@ object SparkEntry {
       // ~2 ms/doc UDF chain across the cluster before it runs. Explicit
       // partition count: AQE would coalesce a by-column repartition of a
       // few MB back to one partition, re-serializing the UDF stage.
-      val df = docs(s, d).repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val df = docs(s, d).where(length(col("text")) >= 1)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), mdUdf(col("doc_id"), col("text")).as("md"))
       graft.operators.Chunker.chunks(df, col("doc_id"), col("md"))
         .select(col("id").as("doc_id"), col("chunk_idx"), col("chunk"))
@@ -393,19 +407,11 @@ object SparkEntry {
       val params = graft.fixtures.FixtureGen.Params(hosts = 2, pagesPerHost = 20)
       val cfg = graft.model.CrawlConfig(
         seedUrls = graft.fixtures.FixtureGen.seeds(params), maxDepth = 5)
-      val io = new graft.sources.ParquetSnapshotTableIO(
-        s, graft.util.TempDirs.create("graft-q29"))
-      // cache the synthetic web + image tables: every epoch's jobs scan
-      // them, and uncached each scan re-encodes all fixture images
-      val web = graft.fixtures.FixtureGen.webGraphDF(s, params).cache()
-      val imgs = graft.fixtures.FixtureGen.imagesDF(s, params).cache()
-      val engine = new graft.epoch.CrawlEngine(s, cfg,
-        new graft.sources.FixtureFetcher(web), imgs, io,
-        graft.fixtures.FixtureGen.robotsMap(params))
-      try engine.run()
-      finally { web.unpersist(); imgs.unpersist() }
-      engine.orderLog.select("host", "priority", "urlNorm", "disposition")
-        .orderBy("host", "priority")
+      graft.fixtures.FixtureGen.withFixtureEngine(s, params, cfg, "graft-q29") { engine =>
+        engine.run()
+        engine.orderLog.select("host", "priority", "urlNorm", "disposition")
+          .orderBy("host", "priority")
+      }
     })
   )
 
@@ -415,17 +421,11 @@ object SparkEntry {
     val params = graft.fixtures.FixtureGen.Params(hosts = 2, pagesPerHost = 12)
     val cfg = graft.model.CrawlConfig(
       seedUrls = graft.fixtures.FixtureGen.seeds(params), maxDepth = 4)
-    val io = new graft.sources.ParquetSnapshotTableIO(
-      spark, graft.util.TempDirs.create("graft-entry"))
-    val web = graft.fixtures.FixtureGen.webGraphDF(spark, params).cache()
-    val imgs = graft.fixtures.FixtureGen.imagesDF(spark, params).cache()
-    val engine = new graft.epoch.CrawlEngine(spark, cfg,
-      new graft.sources.FixtureFetcher(web), imgs, io,
-      graft.fixtures.FixtureGen.robotsMap(params))
-    // the result reads committed parquet, so the fixture caches release now
-    try engine.run()
-    finally { web.unpersist(); imgs.unpersist() }
-    engine.fetched.select("image_id", "url", "fmt", "caption", "phash", "epoch")
+    graft.fixtures.FixtureGen.withFixtureEngine(spark, params, cfg, "graft-entry") { engine =>
+      engine.run()
+      // the result reads committed parquet, so the fixture caches release now
+      engine.fetched.select("image_id", "url", "fmt", "caption", "phash", "epoch")
+    }
   }
 
   // =====================================================================
@@ -496,8 +496,8 @@ object SparkEntry {
       dim = 64, k = 8, iters = 3, topK = 10, nProbe = 3, maxQid = 8),
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
-         CAST(round(sum(l_quantity)*100) AS BIGINT) AS sum_qty_c,
-         CAST(round(sum(l_extendedprice*(1-l_discount))*100) AS BIGINT) AS revenue_c,
+         CAST(round(sum(CAST(l_quantity AS DECIMAL(30,6)))*100) AS BIGINT) AS sum_qty_c,
+         CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,6)))*100) AS BIGINT) AS revenue_c,
          count(*) AS n
          FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
     "q02_topk_per_group" ->
@@ -507,7 +507,7 @@ object SparkEntry {
            FROM orders) WHERE rnk <= 3 ORDER BY o_custkey, rnk""",
     "q03_join_agg_nation" ->
       """SELECT n_name, count(*) AS n_orders,
-         CAST(round(sum(o_totalprice)*100) AS BIGINT) AS total_c
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,6)))*100) AS BIGINT) AS total_c
          FROM orders JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
          GROUP BY n_name ORDER BY n_name""",
@@ -525,14 +525,14 @@ object SparkEntry {
          ORDER BY c_custkey""",
     "q07_running_sum_supplier" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
-         CAST(round(sum(l_extendedprice) OVER (PARTITION BY l_suppkey
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,6))) OVER (PARTITION BY l_suppkey
            ORDER BY l_shipdate, l_orderkey, l_linenumber
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)*100) AS BIGINT) AS running_c
          FROM lineitem WHERE l_suppkey <= 2
          ORDER BY l_suppkey, l_orderkey, l_linenumber""",
     "q08_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
-         CAST(round(sum(value)*100) AS BIGINT) AS value_c
+         CAST(round(sum(CAST(value AS DECIMAL(30,6)))*100) AS BIGINT) AS value_c
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "q09_sessionize" ->
       """WITH t AS (
@@ -656,7 +656,9 @@ object SparkEntry {
          WHERE list_cosine_similarity(a.v, b.v) >= 0.95
          ORDER BY id_a, id_b""",
     "q32_chunking" ->
-      s"""WITH base AS (SELECT doc_id, substr(repeat(text, 60), 1, 2000) AS t FROM documents),
+      s"""WITH base AS (SELECT doc_id,
+           substr(repeat(text, CAST(ceil(2000.0 / length(text)) AS INT)), 1, 2000) AS t
+           FROM documents WHERE length(text) >= 1),
          r AS (
            SELECT doc_id, 1 AS chunk_idx,
              regexp_replace(concat('# Intro ', doc_id, chr(10), chr(10), t),

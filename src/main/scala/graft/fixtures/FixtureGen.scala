@@ -98,9 +98,7 @@ object FixtureGen {
       else (c % 4) match {
         case 0 => cu                                     // absolute
         case 1 => pagePath(c)                            // path-absolute
-        case 2 => cu.substring(cu.lastIndexOf('/') + 1) match { // relative
-          case last => last
-        }
+        case 2 => cu.substring(cu.lastIndexOf('/') + 1) // relative
         case _ => cu + "/"                               // trailing slash
       }
     }
@@ -256,4 +254,22 @@ object FixtureGen {
 
   def robotsMap(p: Params): Map[String, graft.operators.Robots.Policy] =
     (0 until p.hosts).map(h => hostName(h) -> graft.operators.Robots.parse(robotsTxt(h))).toMap
+
+  /** THE fixture-engine harness (q29, `SparkEntry.entry`, and the bench's
+    * engine kernel all drive the same shape): temp parquet state, CACHED
+    * web/image frames — uncached, every epoch's scans re-encode all
+    * fixture images — and a guaranteed unpersist even when `use` throws.
+    * One copy keeps the cache/unpersist discipline uniform. */
+  def withFixtureEngine[T](spark: SparkSession, p: Params,
+      cfg: graft.model.CrawlConfig, tmpPrefix: String)
+      (use: graft.epoch.CrawlEngine => T): T = {
+    val io = new graft.sources.ParquetSnapshotTableIO(
+      spark, graft.util.TempDirs.create(tmpPrefix))
+    val web = webGraphDF(spark, p).cache()
+    val imgs = imagesDF(spark, p).cache()
+    val engine = new graft.epoch.CrawlEngine(spark, cfg,
+      new graft.sources.FixtureFetcher(web), imgs, io, robotsMap(p))
+    try use(engine)
+    finally { web.unpersist(); imgs.unpersist() }
+  }
 }

@@ -1,25 +1,26 @@
 package graft.model
 
-/** Core data model of the engine — typed `Dataset[T]` row shapes (SURVEY.md
-  * §1 D1-D9). Schemas are fixed by these case classes via `Encoders.product`;
-  * no schema inference anywhere (determinism).
+/** Data dictionary for the engine's committed tables (SURVEY.md §1 D1-D9).
+  * These case classes DOCUMENT the row shapes and serve as typed
+  * `Encoders.product` anchors for readers of the tables; the engine itself
+  * constructs the frames with explicit column selects (never schema
+  * inference), and the golden-replay/resume specs assert the committed
+  * schemas match these shapes. RobotsRuleRow/CrawlDelayRow are also used
+  * directly (Robots.toRuleRows).
   */
 
-/** D1 — URL frontier row. Hash-partitioned by host at rest; `state` is one of
-  * pending|fetched|failed|filtered. Reference analog: the ordered
-  * `urls: list[str]` work list + BFS `current_level`
-  * (`src/jobs/runner.py:255-342`, `src/crawler/discovery.py:163-224`). */
+/** D1 — URL frontier (`pending` table) row. Hash-partitioned by host at
+  * rest. Reference analog: the ordered `urls: list[str]` work list + BFS
+  * `current_level` (`src/jobs/runner.py:255-342`,
+  * `src/crawler/discovery.py:163-224`). */
 final case class FrontierEntry(
-    url: String,
     urlNorm: String,
     host: String,
     depth: Int,
-    priority: Long,
-    epoch: Int,
-    state: String)
+    priority: Long)
 
 /** D2 — URL-seen set row (`visited` set, `discovery.py:163,188-191`). */
-final case class SeenEntry(urlNorm: String, epochAdded: Int)
+final case class SeenEntry(urlNorm: String, host: String, depth: Int)
 
 /** D4 — fetched row; payload is image+caption per the graft cell
   * (`BASELINE.json.input_hint`), provenance from the fetch chain
@@ -48,15 +49,17 @@ final case class RobotsRuleRow(
 /** Per-host crawl-delay (seconds), from `Crawl-delay:` (`robots.py:53-58`). */
 final case class CrawlDelayRow(host: String, crawlDelaySec: Double)
 
-/** D6 — epoch ledger row: counters + lineage checkpointed per epoch commit
-  * (north rule: "per-partition lineage and counters checkpointed").
-  * Reference analog: `.job_state.json` (`src/jobs/state.py:35-62`). */
+/** D6 — one per-partition lineage row of the `ledger` table, checkpointed
+  * per epoch commit (north rule: "per-partition lineage and counters
+  * checkpointed"; scalar counters live in the manifest, read via
+  * `TableIO.lastCounters`). Reference analog: `.job_state.json`
+  * (`src/jobs/state.py:35-62`). */
 final case class EpochLedgerEntry(
-    phase: String, // "discover" | "fetch"
-    epoch: Int,
+    partitionId: Int, // host bucket (the at-rest partition key)
     rowsIn: Long,
-    rowsOut: Long,
-    counters: Map[String, Long])
+    rowsOk: Long,
+    epoch: Int,
+    phase: String) // "discover" | "fetch"
 
 /** D3 — job configuration. Field defaults/ranges transcribed from the
   * reference's `JobRequest` (`src/api/models.py:19-150`); validation via
