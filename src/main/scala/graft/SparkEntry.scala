@@ -242,7 +242,10 @@ object SparkEntry {
       val seen = docs(s, d).where(col("doc_id") % 3 === 0)
         .select(expr(synthFrontierUrl).as("urlNorm"))
       val bloom = Seen.buildBloom(seen, 100000L, 0.001)
-      Seen.admitPartitioned(all, seen, s.sparkContext.broadcast(bloom))
+      // the 10^10 shape (seen-Bloom candidate routing + candidate-Bloom
+      // seen-side prune), driver-verified ≡ the plain anti-join oracle
+      Seen.admitAtScale(all, seen, s.sparkContext.broadcast(bloom),
+        expectedCandidates = 100000L, fpp = 0.001)
         .orderBy("urlNorm")
     }),
     "q17_cache_join" -> ((s, d) => {

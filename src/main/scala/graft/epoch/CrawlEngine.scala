@@ -108,6 +108,12 @@ final class CrawlEngine(
   private var seenBloomBc: org.apache.spark.broadcast.Broadcast[
     org.apache.spark.util.sketch.BloomFilter] = null
 
+  /** Driver-tracked |seen| for the admission-shape gate
+    * (cfg.seenScaleJoinMinRows): counted once per run from the committed
+    * snapshot (a parquet footer-metadata count), then advanced by each
+    * epoch's admittedCount — never a per-epoch job. -1 = not yet counted. */
+  private var seenTotal: Long = -1L
+
   /** Static gates for the zero-job Bloom-delta fold (cfg.bloomDeltaCollectMax):
     * an epoch's delta size is bounded by config — per-host cap × hosts in
     * discovery, Σ politeness budgets in fetch — so the choice between
@@ -141,21 +147,44 @@ final class CrawlEngine(
       stopAfterDepth: Option[Int] = None): Boolean = {
     var depth = startDepth
     var level = startLevel
+    // exact |level| for candidate-Bloom sizing in the scale regime: carried
+    // from each epoch's level_next write observation; -1 = unknown (run
+    // start / resume / lost observation) → one count() fallback when needed
+    var levelRows = -1L
     var continue = true
     while (continue) {
       if (stopFlagged) return false
       val seen = io.read("seen").getOrElse(emptyDf(seenSchema))
-      // Bloom-prune + exact anti-join (J1). Probe = carried Bloom (delta-
-      // folded), authority = anti-join vs the committed snapshot.
+      // J1 admission, shape gated by |seen| (driver-tracked, no per-epoch
+      // job): below the gate the plain exact anti-join broadcasts the seen
+      // side under AQE — a Bloom cannot improve a broadcast hash probe, so
+      // adding one is pure ceremony there. At-or-above it, admitAtScale
+      // routes candidates through the carried seen-Bloom (negatives bypass
+      // the join) and prunes the seen side with a per-epoch candidate
+      // Bloom, so the confirm join shuffles O(|level|) on BOTH sides
+      // instead of O(|seen|). The carried Bloom is built and delta-folded
+      // in BOTH regimes so a mid-run regime flip finds it current.
       val fresh0 =
         if (seen.isEmpty) level
         else {
+          if (seenTotal < 0)
+            seenTotal = described("seen count: admission gate, once per run")(
+              seen.count())
           if (seenBloom == null)
             seenBloom = described("bloom rebuild: seen snapshot")(
               Seen.buildBloom(seen, cfg.bloomExpectedItems, cfg.bloomFpp))
           if (seenBloomBc != null) seenBloomBc.unpersist() // previous epoch's copy
           seenBloomBc = spark.sparkContext.broadcast(seenBloom)
-          Seen.admitPartitioned(level, seen, seenBloomBc)
+          if (seenTotal >= cfg.seenScaleJoinMinRows) {
+            // candidate-Bloom sizing: exact level count carried from the
+            // previous epoch's level_next write observation; the count()
+            // fallback fires once per run (resume / first scale epoch).
+            // Sizing is non-semantic — undersizing only degrades pruning.
+            if (levelRows < 0)
+              levelRows = described("level count: scale-admission sizing")(
+                level.count())
+            Seen.admitAtScale(level, seen, seenBloomBc, levelRows, cfg.bloomFpp)
+          } else Seen.admit(level, seen)
         }
       // per-host cap (A4): deterministic lexicographic cap, NOT arbitrary
       // limit. (Reference caps in set-iteration order, which is
@@ -200,10 +229,18 @@ final class CrawlEngine(
             .select(urlfns.url_canonicalize($"clean").as("urlNorm"), $"host")
             .distinct()
         }
+      // next level's row count rides the level_next commit write — it sizes
+      // the next epoch's candidate Bloom (scale regime) with zero extra jobs
+      val obsLevelRows = Observation(s"level_rows_$depth")
       commitTracked("discover", depth,
-        tables = Map("level_next" -> nextLevel, "host_counts" -> newCounts),
+        tables = Map(
+          "level_next" -> nextLevel.observe(obsLevelRows, count(lit(1)).as("rows")),
+          "host_counts" -> newCounts),
         appends = Map("seen" -> admitted),
         counters = Map("admitted" -> admittedCount, "depth" -> depth.toLong))
+      if (seenTotal >= 0) seenTotal += admittedCount
+      levelRows = (try obsLevelRows.get.get("rows") catch { case _: Exception => None })
+        .collect { case n: Long => n }.getOrElse(-1L) // lost obs → count() fallback
       // fold only the epoch delta into the carried Bloom (north rule:
       // per-epoch treeAggregate rebuild — over the delta, merged
       // broadcast); statically-small deltas fold from the observation
@@ -747,6 +784,7 @@ final class CrawlEngine(
     // skip the exact anti-join and already-seen URLs would be re-admitted
     seenBloom = null
     contentBloom = null
+    seenTotal = -1L // re-count per run: cascades/other runs may have appended
     if (seenBloomBc != null) { seenBloomBc.unpersist(); seenBloomBc = null }
     if (contentBloomBc != null) { contentBloomBc.unpersist(); contentBloomBc = null }
     graft.operators.Preflight.validate(spark, fetcher, scorer) // F10

@@ -93,6 +93,13 @@ final case class CrawlConfig(
       * distributed treeAggregate build runs instead (the 10^10-URL path).
       */
     bloomDeltaCollectMax: Long = 100000L,
+    /** |seen| at-or-above which discovery admission switches from the plain
+      * exact anti-join (which AQE broadcasts at this size — a Bloom cannot
+      * improve a broadcast probe) to [[graft.operators.Seen.admitAtScale]],
+      * the two-Bloom shape that keeps both confirm-join sides O(|level|)
+      * instead of shuffling O(|seen|). Default ≈ what AQE will actually
+      * broadcast: the 10 MB default threshold / ~50 B per urlNorm row. */
+    seenScaleJoinMinRows: Long = 200000L,
     /** S9 warm-cache TTL in donor-run epochs (the deterministic analog of
       * the reference's 24h disk-cache TTL, `src/scraper/cache.py:23-44`).
       * None derives the 24h analog from `epochSeconds`; enforced by
@@ -108,6 +115,7 @@ final case class CrawlConfig(
   require(epochSeconds >= 1 && epochSeconds <= 86400,
     "epochSeconds in [1, 86400]") // also keeps the derived 24h TTL >= 1
   require(bloomDeltaCollectMax >= 0, "bloomDeltaCollectMax >= 0")
+  require(seenScaleJoinMinRows >= 1, "seenScaleJoinMinRows >= 1")
   require(seedUrls.nonEmpty, "at least one seed URL")
   require(delayMs >= 100 && delayMs <= 60000, "delay_ms in [100, 60000]") // models.py:27
   require(maxConcurrent >= 1 && maxConcurrent <= 10, "max_concurrent in [1, 10]") // models.py:28

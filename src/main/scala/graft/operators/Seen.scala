@@ -22,7 +22,7 @@ object Seen {
     import spark.implicits._
     val zero = BloomFilter.create(math.max(64L, expectedItems), fpp)
     // null keys skipped: putString NPEs, and a null can never equi-join
-    // against the seen set anyway (see admitPartitioned)
+    // against the seen set anyway (see admitAtScale)
     seen.select("urlNorm").as[String].rdd.treeAggregate(zero)(
       seqOp = (bf, s) => { if (s != null) bf.putString(s); bf },
       combOp = (a, b) => { a.mergeInPlace(b); a },
@@ -34,30 +34,59 @@ object Seen {
   def admit(candidates: DataFrame, seen: DataFrame): DataFrame =
     candidates.join(seen.select("urlNorm"), Seq("urlNorm"), "left_anti")
 
-  /** Scale-path admission: candidates the Bloom says are definitely-unseen
-    * skip the join entirely; only possible-hits join. Equivalent result,
-    * far smaller shuffle when the frontier ≫ new links. */
-  def admitPartitioned(candidates: DataFrame, seen: DataFrame,
-      bloom: Broadcast[BloomFilter]): DataFrame = {
-    // null-safe: a null urlNorm is "definitely new" (false) — the exact
-    // admit()'s left-anti also passes null keys through (an equi-join
-    // never matches null), so the two admission paths stay equivalent
-    // instead of the scale path NPE-ing where the exact path succeeds
+  /** Scale-path admission of a candidate level against a HUGE seen set —
+    * the 10^10-URL shape, selected by the engine when `seen` exceeds
+    * broadcast size (below that, the plain [[admit]] broadcasts under AQE
+    * and no Bloom can improve it). Two Blooms, each doing real work:
+    *
+    *  1. the carried SEEN-set Bloom routes candidates: definitely-unseen
+    *     rows (Bloom has no false negatives) bypass the join entirely, so
+    *     only bloom-positive candidates reach the confirm join's shuffle;
+    *  2. a per-epoch CANDIDATE Bloom — built over the positives via
+    *     treeAggregate, an O(|level|) job at the delta scale, never
+    *     O(|seen|) — prunes the seen side BEFORE its exchange: seen is
+    *     scanned once and only rows that can possibly equal a candidate
+    *     are shuffled. Both sides of the exact confirm join then move
+    *     O(|level|) rows instead of the seen side shuffling O(|seen|).
+    *
+    * Spark cannot derive shape 2 itself: `InjectRuntimeFilter`'s
+    * `canPruneRight` covers Inner/LeftSemi/LeftOuter only, so a LeftAnti's
+    * build side is never runtime-bloom-filtered (verified against the
+    * 4.1.2 catalyst jar) — even though pruning it with a left-side Bloom
+    * is safe (a seen row matching no candidate cannot change the anti
+    * result).
+    *
+    * `admitAtScale ≡ admit`: the exact anti-join stays the authority on
+    * every bloom-positive row; Bloom false positives only add confirm rows
+    * (shape 1) or retained seen rows (shape 2), never change the result.
+    * Null-urlNorm candidates route to the bypass branch — the same
+    * pass-through that `admit`'s null-never-equi-matches gives, so the
+    * paths stay equivalent instead of this one NPE-ing in `putString`.
+    *
+    * Candidates' lineage is evaluated three times (two route filters + the
+    * Bloom build): callers hand in a committed-table read (the engine's
+    * `level_next`) or a cached frame, never an expensive recompute.
+    *
+    * `expectedCandidates` sizes the candidate Bloom. Undersizing only
+    * degrades the prune ratio (correctness is the exact join's);
+    * oversizing only costs broadcast bytes — a rough upper bound is fine.
+    */
+  def admitAtScale(candidates: DataFrame, seen: DataFrame,
+      bloom: Broadcast[BloomFilter], expectedCandidates: Long,
+      fpp: Double): DataFrame = {
+    val spark = candidates.sparkSession
     val mightContain = udf((s: String) =>
       s != null && bloom.value.mightContainString(s))
-    // ONE pass over candidates: the Bloom verdict rides as an EXTRA
-    // anti-join condition — a bloom-negative row satisfies it for no seen
-    // row, so it passes through unmatched. The earlier two-filter split
-    // (definitely-new ∪ confirmed) recomputed the whole candidate lineage
-    // AND the probe UDF once per branch; this shape computes both once.
-    // (Catalyst cannot push a left-side join-condition conjunct below a
-    // left-anti — doing so would drop preserved rows — so the Bloom probe
-    // stays in the join.) The seen side's shuffle is identical; only rows
-    // the Bloom flags can pair up and the exact anti-join stays the
-    // authority on them.
-    candidates.join(seen.select(col("urlNorm").as("__seenUrl")),
-      col("urlNorm") === col("__seenUrl") && mightContain(col("urlNorm")),
-      "left_anti")
+    val pos = candidates.where(mightContain(col("urlNorm")))
+    val neg = candidates.where(!mightContain(col("urlNorm")))
+    val candBloom = spark.sparkContext.broadcast(
+      buildBloom(pos, math.max(64L, expectedCandidates), fpp))
+    val prune = udf((s: String) =>
+      s != null && candBloom.value.mightContainString(s))
+    val confirmed = pos.join(
+      seen.select("urlNorm").where(prune(col("urlNorm"))),
+      Seq("urlNorm"), "left_anti")
+    neg.unionByName(confirmed)
   }
 
   /** Anti-join shaped for a TINY left against a HUGE right: a plain

@@ -9,7 +9,7 @@ import graft.sources.TableIO
 class TableSeenSpec extends SparkSpec {
   import spark.implicits._
 
-  test("property: bloom-split admission ≡ exact anti-join (no false negatives)") {
+  test("property: admitAtScale ≡ exact anti-join (no false negatives, nulls pass)") {
     val rnd = new scala.util.Random(1234)
     (1 to 5).foreach { trial =>
       val n = 200 + rnd.nextInt(800)
@@ -17,14 +17,58 @@ class TableSeenSpec extends SparkSpec {
         .distinct
       val (seenPart, candPart) = all.partition(_ => rnd.nextBoolean())
       val seen = seenPart.toDF("urlNorm")
-      // candidates overlap seen partially
-      val cands = (candPart ++ seenPart.take(seenPart.size / 2)).toDF("urlNorm")
-      val exact = Seen.admit(cands, seen).as[String].collect().sorted.toSeq
+      // candidates overlap seen partially; a null key must pass through
+      // both paths (an equi-join never matches null)
+      val cands = (candPart.map(Option(_)) ++ seenPart.take(seenPart.size / 2)
+        .map(Option(_)) :+ Option.empty[String]).toDF("urlNorm")
+      val exact = Seen.admit(cands, seen).as[Option[String]].collect().sorted.toSeq
       val bloom = Seen.buildBloom(seen, 10000L, 0.01)
-      val split = Seen.admitPartitioned(cands, seen, spark.sparkContext.broadcast(bloom))
-        .as[String].collect().sorted.toSeq
-      assert(split == exact, s"trial $trial: bloom-split differs from exact")
+      val scale = Seen.admitAtScale(cands, seen, spark.sparkContext.broadcast(bloom),
+          expectedCandidates = 10000L, fpp = 0.01)
+        .as[Option[String]].collect().sorted.toSeq
+      assert(scale == exact, s"trial $trial: admitAtScale differs from exact")
+      assert(scale.contains(None), s"trial $trial: null candidate must pass through")
     }
+    // empty-seen edge: everything is definitely new
+    val cands = Seq("a", "b").toDF("urlNorm")
+    val emptySeen = spark.emptyDataset[String].toDF("urlNorm")
+    val bloom = Seen.buildBloom(emptySeen, 64L, 0.01)
+    assert(Seen.admitAtScale(cands, emptySeen, spark.sparkContext.broadcast(bloom),
+      64L, 0.01).count() == 2L)
+  }
+
+  test("admitAtScale plan: seen side Bloom-pruned BEFORE its exchange; negatives bypass the join") {
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, Union}
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the SMJ regime
+    try {
+      val seen = spark.range(20000).select(concat(lit("https://h/p"), $"id").as("urlNorm"))
+      val cands = spark.range(200)
+        .select(concat(lit("https://h/p"), $"id" * 150).as("urlNorm"), lit("h").as("host"))
+      val bloom = Seen.buildBloom(seen, 20000L, 0.01)
+      val df = Seen.admitAtScale(cands, seen, spark.sparkContext.broadcast(bloom),
+        expectedCandidates = 256L, fpp = 0.01)
+      val plan = df.queryExecution.optimizedPlan
+      val joins = plan.collect { case j: Join => j }
+      assert(joins.size == 1 && joins.head.joinType == LeftAnti)
+      // the candidate-Bloom prune sits on the seen (right/build) side, below
+      // the join — the filter Spark itself will not inject for a LeftAnti
+      // (InjectRuntimeFilter.canPruneRight: Inner/LeftSemi/LeftOuter only)
+      assert(joins.head.right.collect { case f: Filter => f }
+        .exists(_.condition.exists(_.isInstanceOf[ScalaUDF])),
+        s"seen side missing the Bloom prune:\n$plan")
+      // the bloom-negative branch reaches the union without any join
+      val union = plan.collect { case u: Union => u }
+      assert(union.nonEmpty, s"expected a bypass union:\n$plan")
+      assert(union.head.children.exists(_.collect { case j: Join => j }.isEmpty),
+        s"no join-free bypass branch:\n$plan")
+      // and the result is still the exact anti-join under forced SMJ
+      val exact = Seen.admit(cands, seen).select("urlNorm")
+        .as[String].collect().sorted.toSeq
+      assert(df.select("urlNorm").as[String].collect().sorted.toSeq == exact)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("property: two-phase salted dequeue ≡ naive per-host top-k") {
