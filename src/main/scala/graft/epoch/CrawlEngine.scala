@@ -108,6 +108,13 @@ final class CrawlEngine(
   private var seenBloomBc: org.apache.spark.broadcast.Broadcast[
     org.apache.spark.util.sketch.BloomFilter] = null
 
+  /** Per-epoch candidate-Bloom broadcast from `Seen.admitAtScale` (scale
+    * regime only), held so the previous epoch's copy is unpersisted
+    * eagerly instead of lingering until the GC-driven ContextCleaner —
+    * at the design scale it is sized to |level| per epoch. */
+  private var candBloomBc: org.apache.spark.broadcast.Broadcast[
+    org.apache.spark.util.sketch.BloomFilter] = null
+
   /** Driver-tracked |seen| for the admission-shape gate
     * (cfg.seenScaleJoinMinRows): counted once per run from the committed
     * snapshot (a parquet footer-metadata count), then advanced by each
@@ -134,12 +141,33 @@ final class CrawlEngine(
     b
   }
 
-  private def observedKeys(o: Observation): scala.collection.Seq[String] =
-    o.get.get("keys") match {
+  /** Bounded read of an Observation's metrics row. Spark's `Observation.get`
+    * awaits an internal promise with NO timeout, and delivery rides the
+    * async listener bus — a dropped SQLExecutionEnd event (routine on a
+    * busy cluster's bounded listener queue) would hang the driver between
+    * epochs, with no exception for a catch block to rescue. The bounded
+    * accessors (`getOrEmpty`/`getRowOrEmpty`) are private[sql], so this
+    * awaits the public `future` with a deadline instead. None = event
+    * lost/late → the caller MUST run its explicit fallback (a labeled job
+    * for correctness-bearing reads, a warned degrade for counters).
+    * InterruptedException propagates (cancellation is not a lost event). */
+  private def observedWithin(o: Observation, what: String): Option[Map[String, Any]] =
+    try {
+      val row = scala.concurrent.Await.result(o.future, CrawlEngine.observationWait)
+      Some(row.schema.fieldNames.iterator.zip(row.toSeq.iterator).toMap)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft] WARN $what observation lost " +
+          s"(${e.getClass.getSimpleName}) — running fallback")
+        None
+    }
+
+  private def observedKeys(o: Observation, what: String): Option[scala.collection.Seq[String]] =
+    observedWithin(o, what).map(_.get("keys") match {
       case Some(s: scala.collection.Seq[_]) =>
         s.collect { case x: String => x }
       case _ => Seq.empty
-    }
+    })
 
   /** One BFS epoch per depth; commits (seen, level_next, host_counts)
     * atomically. */
@@ -173,9 +201,14 @@ final class CrawlEngine(
           if (seenBloom == null)
             seenBloom = described("bloom rebuild: seen snapshot")(
               Seen.buildBloom(seen, cfg.bloomExpectedItems, cfg.bloomFpp))
-          if (seenBloomBc != null) seenBloomBc.unpersist() // previous epoch's copy
-          seenBloomBc = spark.sparkContext.broadcast(seenBloom)
           if (seenTotal >= cfg.seenScaleJoinMinRows) {
+            // broadcast the carried Bloom only in the regime that probes it
+            // (below the gate the plain anti-join never references it —
+            // re-broadcasting there every epoch would be pure ceremony);
+            // previous epoch's copies are done (commit completed) → drop
+            if (seenBloomBc != null) seenBloomBc.unpersist()
+            seenBloomBc = spark.sparkContext.broadcast(seenBloom)
+            if (candBloomBc != null) { candBloomBc.unpersist(); candBloomBc = null }
             // candidate-Bloom sizing: exact level count carried from the
             // previous epoch's level_next write observation; the count()
             // fallback fires once per run (resume / first scale epoch).
@@ -183,7 +216,11 @@ final class CrawlEngine(
             if (levelRows < 0)
               levelRows = described("level count: scale-admission sizing")(
                 level.count())
-            Seen.admitAtScale(level, seen, seenBloomBc, levelRows, cfg.bloomFpp)
+            // described: the candidate-Bloom treeAggregate inside is an
+            // eager job and must not be invisible in the attribution
+            described(s"admission: candidate bloom, discover/$depth")(
+              Seen.admitAtScale(level, seen, seenBloomBc, levelRows,
+                cfg.bloomFpp, bc => candBloomBc = bc))
           } else Seen.admit(level, seen)
         }
       // per-host cap (A4): deterministic lexicographic cap, NOT arbitrary
@@ -239,19 +276,27 @@ final class CrawlEngine(
         appends = Map("seen" -> admitted),
         counters = Map("admitted" -> admittedCount, "depth" -> depth.toLong))
       if (seenTotal >= 0) seenTotal += admittedCount
-      levelRows = (try obsLevelRows.get.get("rows") catch { case _: Exception => None })
-        .collect { case n: Long => n }.getOrElse(-1L) // lost obs → count() fallback
+      levelRows = observedWithin(obsLevelRows, s"discover/$depth level-rows")
+        .flatMap(_.get("rows")).collect { case n: Long => n }
+        .getOrElse(-1L) // lost obs → labeled count() fallback next epoch
       // fold only the epoch delta into the carried Bloom (north rule:
       // per-epoch treeAggregate rebuild — over the delta, merged
       // broadcast); statically-small deltas fold from the observation
-      // collected by the count() above instead of a dedicated job
+      // collected by the count() above instead of a dedicated job.
+      // CORRECTNESS-BEARING: the carried Bloom must contain every admitted
+      // key (admitAtScale routes Bloom-negatives past the exact join), so
+      // a lost/late observation falls back to the labeled treeAggregate
+      // over the still-cached delta — never an empty fold.
       if (admittedCount > 0) {
-        if (seenDeltaCollectable)
-          seenBloom = foldBloom(seenBloom, observedKeys(obsSeenKeys))
-        else {
-          val delta = described(s"bloom delta: discover/$depth")(
-            Seen.buildBloom(admitted, cfg.bloomExpectedItems, cfg.bloomFpp))
-          if (seenBloom == null) seenBloom = delta else seenBloom.mergeInPlace(delta)
+        val obsDelta = if (seenDeltaCollectable)
+          observedKeys(obsSeenKeys, s"discover/$depth seen-delta") else None
+        obsDelta match {
+          case Some(keys) => seenBloom = foldBloom(seenBloom, keys)
+          case None =>
+            val delta = described(s"bloom delta: discover/$depth")(
+              Seen.buildBloom(admitted, cfg.bloomExpectedItems, cfg.bloomFpp))
+            if (seenBloom == null) seenBloom = delta
+            else seenBloom.mergeInPlace(delta)
         }
       }
       admitted.unpersist()
@@ -260,6 +305,9 @@ final class CrawlEngine(
       if (nxt.isEmpty) continue = false
       else { level = nxt; depth += 1 }
     }
+    // discovery done — the last epoch's candidate Bloom (sized to |level|)
+    // has no further consumer; don't carry it through the fetch phase
+    if (candBloomBc != null) { candBloomBc.unpersist(); candBloomBc = null }
     true
   }
 
@@ -504,15 +552,13 @@ final class CrawlEngine(
     // above), (d) the dequeue size arrives without its own job.
     described(s"fetch/$epoch dequeue+fetch+classify")(classified.count())
 
+    // counters degrade (with observedWithin's warning) but never silently:
+    // an epoch without counters means the metrics pipeline broke, not that
+    // nothing happened — and deqCount has its own count-on-cache fallback
     def observed(o: Observation, what: String): Map[String, Long] =
-      try o.get.collect { case (k, v: Long) => k -> v }
-      catch { case e: Exception =>
-        // degrade but never silently: an epoch without counters means the
-        // metrics pipeline broke, not that nothing happened
-        System.err.println(s"[graft] WARN fetch epoch $epoch: $what " +
-          s"observation lost (${e.getClass.getSimpleName}: ${e.getMessage})")
-        Map.empty
-      }
+      observedWithin(o, s"fetch/$epoch $what")
+        .map(_.collect { case (k, v: Long) => k -> v })
+        .getOrElse(Map.empty)
     // obs fired on the count above; read it NOW for the termination test.
     // (A lost observation degrades to one extra count on the cache.)
     val dispCounts = observed(obs, "disposition")
@@ -603,16 +649,22 @@ final class CrawlEngine(
     pagesOkTotal += dispCounts.getOrElse("pages_ok", 0L) // committed only
     // fold this epoch's ok (host, hash) delta into the carried Bloom —
     // from the observation when statically small (no job), else via the
-    // distributed treeAggregate build
-    if (contentDeltaCollectable)
-      contentBloom = foldBloom(contentBloom, observedKeys(obsKeys))
-    else {
-      val contentDelta = described(s"bloom delta: fetch/$epoch content")(
-        Seen.buildBloom(
-          okPages.select(contentKey.as("urlNorm")),
-          cfg.bloomExpectedItems, cfg.bloomFpp))
-      if (contentBloom == null) contentBloom = contentDelta
-      else contentBloom.mergeInPlace(contentDelta)
+    // distributed treeAggregate build. CORRECTNESS-BEARING like the seen
+    // fold: a key missing from contentBloom makes a later duplicate look
+    // definitely-fresh (the `!maybe` branch skips the exact confirm), so a
+    // lost observation falls back to the treeAggregate over the
+    // still-cached classified plan — never an empty fold.
+    val obsContentDelta = if (contentDeltaCollectable)
+      observedKeys(obsKeys, s"fetch/$epoch content-delta") else None
+    obsContentDelta match {
+      case Some(keys) => contentBloom = foldBloom(contentBloom, keys)
+      case None =>
+        val contentDelta = described(s"bloom delta: fetch/$epoch content")(
+          Seen.buildBloom(
+            okPages.select(contentKey.as("urlNorm")),
+            cfg.bloomExpectedItems, cfg.bloomFpp))
+        if (contentBloom == null) contentBloom = contentDelta
+        else contentBloom.mergeInPlace(contentDelta)
     }
     deq.unpersist(); pages.unpersist(); classified.unpersist(); fetchedNew.unpersist()
     if (warmHits != null) warmHits.unpersist()
@@ -786,6 +838,7 @@ final class CrawlEngine(
     contentBloom = null
     seenTotal = -1L // re-count per run: cascades/other runs may have appended
     if (seenBloomBc != null) { seenBloomBc.unpersist(); seenBloomBc = null }
+    if (candBloomBc != null) { candBloomBc.unpersist(); candBloomBc = null }
     if (contentBloomBc != null) { contentBloomBc.unpersist(); contentBloomBc = null }
     graft.operators.Preflight.validate(spark, fetcher, scorer) // F10
     spark.sparkContext.setJobGroup(jobGroup, "graft crawl engine",
@@ -890,4 +943,14 @@ object CrawlEngine {
     * vanishing. */
   val knownMethods: Seq[String] =
     Seq("native", "proxy", "http_fast", "playwright", "cache", "ssrf_blocked", "none")
+
+  /** Deadline for reading an Observation after its action completed.
+    * Delivery is normally milliseconds behind the action (async listener
+    * bus); the deadline only bites when the SQLExecutionEnd event was
+    * dropped, where `Observation.get` would otherwise block forever. Each
+    * caller has an explicit fallback, so a timeout costs one labeled job
+    * (correctness-bearing reads) or a warned counter degrade — never a
+    * hang and never a silently-wrong Bloom. */
+  val observationWait: scala.concurrent.duration.FiniteDuration =
+    scala.concurrent.duration.FiniteDuration(10, java.util.concurrent.TimeUnit.SECONDS)
 }

@@ -70,17 +70,26 @@ object Seen {
     * `expectedCandidates` sizes the candidate Bloom. Undersizing only
     * degrades the prune ratio (correctness is the exact join's);
     * oversizing only costs broadcast bytes — a rough upper bound is fine.
+    *
+    * `onCandBloom` hands the caller the per-call candidate-Bloom broadcast
+    * so it can be unpersisted once the returned plan's actions are done —
+    * at the design scale it is ~|level| bits per epoch, and leaving it to
+    * the GC-driven ContextCleaner accumulates epochs of Blooms on the
+    * driver and executors (the engine unpersists it next epoch, exactly
+    * like the carried seen-Bloom broadcast).
     */
   def admitAtScale(candidates: DataFrame, seen: DataFrame,
       bloom: Broadcast[BloomFilter], expectedCandidates: Long,
-      fpp: Double): DataFrame = {
+      fpp: Double,
+      onCandBloom: Broadcast[BloomFilter] => Unit = _ => ()): DataFrame = {
     val spark = candidates.sparkSession
     val mightContain = udf((s: String) =>
       s != null && bloom.value.mightContainString(s))
     val pos = candidates.where(mightContain(col("urlNorm")))
     val neg = candidates.where(!mightContain(col("urlNorm")))
     val candBloom = spark.sparkContext.broadcast(
-      buildBloom(pos, math.max(64L, expectedCandidates), fpp))
+      buildBloom(pos, expectedCandidates, fpp)) // buildBloom floors at 64
+    onCandBloom(candBloom)
     val prune = udf((s: String) =>
       s != null && candBloom.value.mightContainString(s))
     val confirmed = pos.join(

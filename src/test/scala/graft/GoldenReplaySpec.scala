@@ -43,9 +43,41 @@ class GoldenReplaySpec extends SparkSpec {
     e
   }
 
-  test("URL-seen set equality with the reference (per host)") {
-    val got = engine.seen.select("host", "urlNorm").as[(String, String)]
+  // Shared sim-comparison accessors: one implementation serves the base
+  // gates AND the scale-regime gate, so the two can never drift apart.
+  private def seenByHost(e: CrawlEngine): Map[String, Set[String]] =
+    e.seen.select("host", "urlNorm").as[(String, String)]
       .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  private def orderByHost(e: CrawlEngine): Map[String, Seq[String]] =
+    e.orderLog.select("host", "priority", "urlNorm")
+      .as[(String, Long, String)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+
+  private def dispositionsByHost(e: CrawlEngine): Map[String, Map[String, String]] =
+    e.orderLog.select("host", "urlNorm", "disposition")
+      .as[(String, String, String)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+
+  private def assertMatchesSim(e: CrawlEngine, label: String): Unit = {
+    val gotSeen = seenByHost(e)
+    val gotOrder = orderByHost(e)
+    val gotDisp = dispositionsByHost(e)
+    (0 until params.hosts).foreach { h =>
+      val host = FixtureGen.hostName(h)
+      assert(gotSeen.getOrElse(host, Set.empty) == sim(host).seen,
+        s"$label: seen mismatch for $host")
+      assert(gotOrder.getOrElse(host, Seq.empty) == sim(host).order,
+        s"$label: order mismatch for $host")
+      assert(gotDisp.getOrElse(host, Map.empty) == sim(host).dispositions,
+        s"$label: disposition mismatch for $host")
+    }
+  }
+
+  test("URL-seen set equality with the reference (per host)") {
+    val got = seenByHost(engine)
     (0 until params.hosts).foreach { h =>
       val host = FixtureGen.hostName(h)
       assert(got.getOrElse(host, Set.empty) == sim(host).seen, s"seen mismatch for $host")
@@ -53,11 +85,7 @@ class GoldenReplaySpec extends SparkSpec {
   }
 
   test("crawl (dispatch) ordering equality with the reference (per host)") {
-    val got = engine.orderLog
-      .select("host", "priority", "urlNorm")
-      .as[(String, Long, String)].collect()
-      .groupBy(_._1).view
-      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val got = orderByHost(engine)
     (0 until params.hosts).foreach { h =>
       val host = FixtureGen.hostName(h)
       assert(got.getOrElse(host, Seq.empty) == sim(host).order, s"order mismatch for $host")
@@ -65,11 +93,7 @@ class GoldenReplaySpec extends SparkSpec {
   }
 
   test("dispositions match the reference (failed/blocked/skipped/ok)") {
-    val got = engine.orderLog
-      .select("host", "urlNorm", "disposition")
-      .as[(String, String, String)].collect()
-      .groupBy(_._1).view
-      .mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    val got = dispositionsByHost(engine)
     (0 until params.hosts).foreach { h =>
       val host = FixtureGen.hostName(h)
       assert(got.getOrElse(host, Map.empty) == sim(host).dispositions,
@@ -308,6 +332,21 @@ class GoldenReplaySpec extends SparkSpec {
     assert(!got.contains(FixtureGen.pageUrl(2, 1)))
     // BFS hosts unaffected: depth>0 rows exist for host 0
     assert(engine.seen.where($"host" === FixtureGen.hostName(0) && $"depth" > 0).count() > 0)
+  }
+
+  test("scale admission regime (seenScaleJoinMinRows=1): full crawl ≡ reference") {
+    // Forces Seen.admitAtScale (the two-Bloom 10^10 shape) for EVERY
+    // discovery epoch with a non-empty seen set — the live-engine
+    // counterpart of TableSeenSpec's operator-level equivalence: seen set,
+    // dispatch order, and dispositions must still match the reference sim
+    // bit-for-bit, proving the regime flip is invisible to crawl semantics.
+    val dir = Files.createTempDirectory("graft-scale-regime").toString
+    val e = new CrawlEngine(
+      spark, cfg.copy(seenScaleJoinMinRows = 1L), new FixtureFetcher(webGraph),
+      images, new ParquetSnapshotTableIO(spark, dir), policies,
+      sitemaps = Some(FixtureGen.sitemapsDF(spark, params)))
+    e.run()
+    assertMatchesSim(e, "scale-regime")
   }
 }
 
