@@ -243,7 +243,10 @@ object SparkEntry {
         .select(expr(synthFrontierUrl).as("urlNorm"))
       val bloom = Seen.buildBloom(seen, 100000L, 0.001)
       // the 10^10 shape (seen-Bloom candidate routing + candidate-Bloom
-      // seen-side prune), driver-verified ≡ the plain anti-join oracle
+      // seen-side prune), driver-verified ≡ the plain anti-join oracle.
+      // One-shot query context: broadcast lifetime is left to the
+      // ContextCleaner here (two small blooms per invocation); the engine
+      // path manages both broadcasts' lifecycles explicitly.
       Seen.admitAtScale(all, seen, s.sparkContext.broadcast(bloom),
         expectedCandidates = 100000L, fpp = 0.001)
         .orderBy("urlNorm")

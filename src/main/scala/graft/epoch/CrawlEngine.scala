@@ -163,11 +163,24 @@ final class CrawlEngine(
     }
 
   private def observedKeys(o: Observation, what: String): Option[scala.collection.Seq[String]] =
-    observedWithin(o, what).map(_.get("keys") match {
+    observedWithin(o, what).flatMap(_.get("keys") match {
       case Some(s: scala.collection.Seq[_]) =>
-        s.collect { case x: String => x }
-      case _ => Seq.empty
+        Some(s.collect { case x: String => x })
+      // missing/malformed metric shape reads as LOST, not as "no keys":
+      // Some(empty) would skip the correctness-bearing treeAggregate
+      // fallback and silently hole the carried Bloom
+      case _ => None
     })
+
+  /** Drop the per-epoch broadcast Bloom copies. Called on pause/stop exits
+    * and at phase end, not just the happy path: a paused job held by the
+    * JobManager must not pin |seen|/|level|-sized Blooms on the executors
+    * for as long as it stays paused. The driver-side filters survive for a
+    * same-instance resume; the next scale epoch re-broadcasts. */
+  private def dropAdmissionBroadcasts(): Unit = {
+    if (seenBloomBc != null) { seenBloomBc.unpersist(); seenBloomBc = null }
+    if (candBloomBc != null) { candBloomBc.unpersist(); candBloomBc = null }
+  }
 
   /** One BFS epoch per depth; commits (seen, level_next, host_counts)
     * atomically. */
@@ -181,7 +194,7 @@ final class CrawlEngine(
     var levelRows = -1L
     var continue = true
     while (continue) {
-      if (stopFlagged) return false
+      if (stopFlagged) { dropAdmissionBroadcasts(); return false }
       val seen = io.read("seen").getOrElse(emptyDf(seenSchema))
       // J1 admission, shape gated by |seen| (driver-tracked, no per-epoch
       // job): below the gate the plain exact anti-join broadcasts the seen
@@ -190,22 +203,24 @@ final class CrawlEngine(
       // routes candidates through the carried seen-Bloom (negatives bypass
       // the join) and prunes the seen side with a per-epoch candidate
       // Bloom, so the confirm join shuffles O(|level|) on BOTH sides
-      // instead of O(|seen|). The carried Bloom is built and delta-folded
-      // in BOTH regimes so a mid-run regime flip finds it current.
+      // instead of O(|seen|). ALL carried-Bloom work (build, fold,
+      // broadcast) lives in the scale regime too: below the gate nothing
+      // probes the Bloom, so building/folding it there would be a
+      // per-epoch job spent on nothing — and a mid-run regime flip is
+      // covered because the flip epoch's snapshot read contains every
+      // committed row, making the one-time rebuild complete by
+      // construction.
       val fresh0 =
         if (seen.isEmpty) level
         else {
           if (seenTotal < 0)
             seenTotal = described("seen count: admission gate, once per run")(
               seen.count())
-          if (seenBloom == null)
-            seenBloom = described("bloom rebuild: seen snapshot")(
-              Seen.buildBloom(seen, cfg.bloomExpectedItems, cfg.bloomFpp))
           if (seenTotal >= cfg.seenScaleJoinMinRows) {
-            // broadcast the carried Bloom only in the regime that probes it
-            // (below the gate the plain anti-join never references it —
-            // re-broadcasting there every epoch would be pure ceremony);
-            // previous epoch's copies are done (commit completed) → drop
+            if (seenBloom == null)
+              seenBloom = described("bloom rebuild: seen snapshot")(
+                Seen.buildBloom(seen, cfg.bloomExpectedItems, cfg.bloomFpp))
+            // previous epoch's broadcast copies are done (commit completed)
             if (seenBloomBc != null) seenBloomBc.unpersist()
             seenBloomBc = spark.sparkContext.broadcast(seenBloom)
             if (candBloomBc != null) { candBloomBc.unpersist(); candBloomBc = null }
@@ -286,8 +301,10 @@ final class CrawlEngine(
       // CORRECTNESS-BEARING: the carried Bloom must contain every admitted
       // key (admitAtScale routes Bloom-negatives past the exact join), so
       // a lost/late observation falls back to the labeled treeAggregate
-      // over the still-cached delta — never an empty fold.
-      if (admittedCount > 0) {
+      // over the still-cached delta — never an empty fold. Below the gate
+      // no Bloom exists (seenBloom == null) and the fold is skipped — the
+      // flip epoch rebuilds from the committed snapshot instead.
+      if (admittedCount > 0 && seenBloom != null) {
         val obsDelta = if (seenDeltaCollectable)
           observedKeys(obsSeenKeys, s"discover/$depth seen-delta") else None
         obsDelta match {
@@ -300,14 +317,16 @@ final class CrawlEngine(
         }
       }
       admitted.unpersist()
-      if (stopAfterDepth.contains(depth)) return false // paused (ST2)
+      if (stopAfterDepth.contains(depth)) { // paused (ST2)
+        dropAdmissionBroadcasts(); return false
+      }
       val nxt = io.read("level_next").get
       if (nxt.isEmpty) continue = false
       else { level = nxt; depth += 1 }
     }
-    // discovery done — the last epoch's candidate Bloom (sized to |level|)
-    // has no further consumer; don't carry it through the fetch phase
-    if (candBloomBc != null) { candBloomBc.unpersist(); candBloomBc = null }
+    // discovery done — the admission Blooms have no further consumer;
+    // don't carry |seen|/|level|-sized broadcasts through the fetch phase
+    dropAdmissionBroadcasts()
     true
   }
 
@@ -562,7 +581,8 @@ final class CrawlEngine(
     // obs fired on the count above; read it NOW for the termination test.
     // (A lost observation degrades to one extra count on the cache.)
     val dispCounts = observed(obs, "disposition")
-    val deqCount = dispCounts.getOrElse("dequeued", classified.count())
+    val deqCount = dispCounts.getOrElse("dequeued",
+      described(s"fetch/$epoch dequeue count (obs lost)")(classified.count()))
     if (deqCount == 0L) {
       // empty dequeue = crawl done — nothing to commit for this epoch
       deq.unpersist(); pages.unpersist(); classified.unpersist()
@@ -683,6 +703,10 @@ final class CrawlEngine(
     // `continue` still true = the flag (not frontier exhaustion or the
     // stop-after gate) ended the loop — there was work left to do
     if (continue && (cancelRequested || stopRequested)) stoppedEarlyFlag = true
+    // drop the content-dedup broadcast on EVERY exit (done or paused): a
+    // paused job must not pin it on the executors; the driver-side filter
+    // survives and the next fetch epoch re-broadcasts
+    if (contentBloomBc != null) { contentBloomBc.unpersist(); contentBloomBc = null }
   }
 
   // ------------------------------------------------------------------
