@@ -154,7 +154,13 @@ final class CrawlEngine(
   private def observedWithin(o: Observation, what: String): Option[Map[String, Any]] =
     try {
       val row = scala.concurrent.Await.result(o.future, CrawlEngine.observationWait)
-      Some(row.schema.fieldNames.iterator.zip(row.toSeq.iterator).toMap)
+      // Spark notifies a schema-less Row.empty to unblock waiters when the
+      // observed execution FAILED or was cancelled — no metrics to read
+      if (row == null || row.schema == null) {
+        System.err.println(s"[graft] WARN $what observation empty " +
+          "(observed execution failed/cancelled) — running fallback")
+        None
+      } else Some(row.schema.fieldNames.iterator.zip(row.toSeq.iterator).toMap)
     } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[graft] WARN $what observation lost " +

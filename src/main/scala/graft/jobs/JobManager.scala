@@ -69,7 +69,12 @@ final class JobManager(
     val engine = new CrawlEngine(spark, cfg, fetcher, images, io, policies,
       ssrfCheck = ssrfCheck)
     val job = new Job(engine, Queued, 0L)
-    jobs.put(jobId, job)
+    // putIfAbsent is the authoritative uniqueness check — the containsKey
+    // require above is a fast-fail; two concurrent submits of one id must
+    // not both pass (the loser's put would orphan the winner's worker and
+    // run two engines over one state dir)
+    require(jobs.putIfAbsent(jobId, job) == null,
+      s"job $jobId already submitted")
     schedule(job)
   }
 
@@ -155,10 +160,18 @@ final class JobManager(
     Option(jobs.get(jobId)).foreach { j =>
       j.synchronized {
         if (j.status == Queued || j.status == Running || j.status == Paused) {
+          val wasPaused = j.status == Paused
           j.status = Cancelled
           j.engine.cancel()
-          // a paused job has no worker to observe the terminal transition
-          if (j.finishedAtMs == 0L) j.finishedAtMs = System.currentTimeMillis()
+          // Queued/Running: the worker's finally stamps finishedAtMs when
+          // the engine actually exits — stamping here would let a TTL
+          // sweep delete the state dir while the cancelled run is still
+          // unwinding (job-group cancellation is asynchronous and the
+          // engine commits the in-flight epoch at stop boundaries).
+          // Paused: no worker to observe the transition — stamp NOW, and
+          // fresh: the worker's pause-era stamp would backdate the TTL
+          // clock and sweep the promised resume point immediately.
+          if (wasPaused) j.finishedAtMs = System.currentTimeMillis()
         }
       }
     }

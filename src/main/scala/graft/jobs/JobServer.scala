@@ -58,7 +58,13 @@ final class JobServer(
     try route(ex)
     catch {
       case e: Exception =>
-        respond(ex, 500, s"""{"error":${quote(e.getMessage)}}""")
+        // only answer 500 if no response has started — after an SSE
+        // stream's 200 headers, a second sendResponseHeaders throws and
+        // masks the original error; log that one instead
+        if (ex.getResponseCode == -1)
+          respond(ex, 500, s"""{"error":${quote(e.getMessage)}}""")
+        else System.err.println(s"[graft] WARN ${ex.getRequestURI.getPath}: " +
+          s"${e.getClass.getSimpleName}: ${e.getMessage} (response already started)")
     } finally ex.close()
   })
 
@@ -105,15 +111,19 @@ final class JobServer(
     // admission order mirrors the reference: rate limit (decorator), then
     // the active-jobs cap (routes.py:94-99), then validation
     val now = System.currentTimeMillis()
-    createTimes.synchronized {
+    // decide under the lock, write to the socket OUTSIDE it — responding
+    // while holding the monitor would let one slow-reading client block
+    // every other create on the rate-limit check
+    val rateLimited = createTimes.synchronized {
       while (!createTimes.isEmpty && now - createTimes.peekFirst() > 60000L)
         createTimes.pollFirst()
-      if (createTimes.size >= createLimitPerMinute) {
-        respond(ex, 429,
-          s"""{"error":${quote(s"rate limit exceeded ($createLimitPerMinute/minute)")}}""")
-        return
-      }
-      createTimes.addLast(now)
+      if (createTimes.size >= createLimitPerMinute) true
+      else { createTimes.addLast(now); false }
+    }
+    if (rateLimited) {
+      respond(ex, 429,
+        s"""{"error":${quote(s"rate limit exceeded ($createLimitPerMinute/minute)")}}""")
+      return
     }
     // fast-path cap rejection first, mirroring the reference's admission
     // order (cap before validation, routes.py:94-99)…
@@ -152,13 +162,23 @@ final class JobServer(
     }
 
   private def statusJson(id: String): String = {
-    val st = mgr.status(id).map(statusName).getOrElse("unknown")
+    val status = mgr.status(id)
+    val st = status.map(statusName).getOrElse("unknown")
     val (pages, phase) = mgr.engineOf(id)
       .map(e => (e.pagesCompleted, e.phaseEpoch)).getOrElse((0L, None))
     s"""{"id":${quote(id)},"status":${quote(st)},"pages_completed":$pages,""" +
       s""""phase":${quote(phase.map(_._1).getOrElse(""))},""" +
-      s""""epoch":${phase.map(_._2).getOrElse(-1)}}"""
+      s""""epoch":${phase.map(_._2).getOrElse(-1)}${errorField(status)}}"""
   }
+
+  /** `,"error":…` for Failed jobs — the captured failure reason is the one
+    * piece of state the Failed case exists to carry; without this no HTTP
+    * client could learn WHY a job failed (reference JobStatus.error). */
+  private def errorField(status: Option[JobManager.Status]): String =
+    status match {
+      case Some(JobManager.Failed(err)) => s""","error":${quote(err)}"""
+      case _ => ""
+    }
 
   /** SSE: progress on counter advance, keepalive while idle, terminal
     * job_done, close. */
@@ -189,7 +209,7 @@ final class JobServer(
             Some(JobManager.Failed(_)) =>
           // mirror the reference's terminal event then stream close
           val status = st.map(statusName).getOrElse("unknown")
-          send("job_done", s"""{"status":${quote(status)}}""")
+          send("job_done", s"""{"status":${quote(status)}${errorField(st)}}""")
           terminal = true
         case _ =>
           if (now - lastSentMs >= keepaliveEveryMs) {
@@ -200,9 +220,13 @@ final class JobServer(
       }
     }
     // a disconnected client surfaces as an IOException from send(); end
-    // the stream quietly (reference: GeneratorExit, manager.py:122-124)
+    // the stream quietly (reference: GeneratorExit, manager.py:122-124).
+    // An interrupt (pool shutdown mid-stream) likewise just ends it.
     try loop()
-    catch { case _: java.io.IOException => () }
+    catch {
+      case _: java.io.IOException => ()
+      case _: InterruptedException => ()
+    }
   }
 
   private def respond(ex: HttpExchange, code: Int, json: String): Unit = {

@@ -24,10 +24,28 @@ object EventsStreaming {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  /** Per-query upsert stores backing [[hourlyCounts]]: Update-mode output
+    * must land in a sink that upserts by key — the memory sink only
+    * APPENDS, so a window updated across several micro-batches would leave
+    * duplicate rows a consumer cannot tell apart (production analog:
+    * Iceberg MERGE INTO / a compacted topic). Row volume is bounded by
+    * windows × event types, so a driver-side map is the honest test-scale
+    * stand-in. */
+  private val upsertStores = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentHashMap[(Long, String), (Long, Long)]]()
+
   /** File-stream over an events DIRECTORY → watermarked hourly windows →
-    * memory sink (synchronous for tests via Trigger.AvailableNow). */
-  def hourlyCounts(spark: SparkSession, eventsDir: String, queryName: String): StreamingQuery = {
-    val stream = spark.readStream.schema(eventSchema).parquet(eventsDir)
+    * foreachBatch upsert sink keyed by (window, event_type); read the final
+    * per-window rows with [[hourlyResult]] (synchronous for tests via
+    * Trigger.AvailableNow). */
+  def hourlyCounts(spark: SparkSession, eventsDir: String, queryName: String,
+      /** cap files per micro-batch (tests force multi-batch windows with
+        * it; None = source default, usually one AvailableNow batch). */
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val reader = spark.readStream.schema(eventSchema)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(eventsDir)
     // event time must be TIMESTAMP (watermarks reject NTZ), but a bare
     // session-local cast made hourly buckets depend on
     // spark.sql.session.timeZone (naive 10:15 and 10:45 in a +05:30 zone
@@ -39,9 +57,33 @@ object EventsStreaming {
       .withWatermark("ts_utc", "1 hour")
       .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")) * 100).cast("long").as("value_c"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"), col("value_c"))
+    upsertStores.remove(queryName) // fresh store per query start
+    val store = upsertStores.computeIfAbsent(queryName,
+      _ => new java.util.concurrent.ConcurrentHashMap[(Long, String), (Long, Long)]())
     agg.writeStream.outputMode(OutputMode.Update())
-      .format("memory").queryName(queryName)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // collect is bounded: only windows UPDATED this batch, each one
+        // row — upsert makes re-delivered updates idempotent
+        batch.collect().foreach { r =>
+          store.put((r.getAs[java.sql.Timestamp]("hour").getTime,
+            r.getAs[String]("event_type")),
+            (r.getAs[Long]("n"), r.getAs[Long]("value_c")))
+        }
+        ()
+      }
+      .queryName(queryName)
       .trigger(Trigger.AvailableNow()).start()
+  }
+
+  /** Final per-window rows accumulated by [[hourlyCounts]]'s upsert sink. */
+  def hourlyResult(spark: SparkSession, queryName: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    Option(upsertStores.get(queryName)).map(_.asScala.toSeq).getOrElse(Seq.empty)
+      .map { case ((hourMs, eventType), (n, valueC)) =>
+        (new java.sql.Timestamp(hourMs), eventType, n, valueC)
+      }.toDF("hour", "event_type", "n", "value_c")
   }
 
   final case class FrontierReq(host: String, urlNorm: String, priority: Long)
@@ -67,12 +109,17 @@ object EventsStreaming {
     * micro-batch, cumulative count kept in state — the W3 politeness window
     * expressed as `flatMapGroupsWithState` for a continuously-arriving
     * frontier. Requests over budget are DEFERRED in state (not dropped —
-    * a token bucket must never lose frontier URLs) and re-emitted ahead of
-    * newer arrivals on the host's next batch. A host with a deferred tail
-    * arms a ProcessingTimeTimeout heartbeat so a QUIET host (no new input)
-    * still drains `budgetPerBatch` per `drainIntervalMs` instead of
-    * stranding its tail forever. Deterministic: the merged pending+incoming
-    * queue is sorted by (priority, urlNorm) before admission. */
+    * a token bucket must never lose frontier URLs) and compete with newer
+    * arrivals in strict (priority, urlNorm) order on the host's next batch
+    * — the same priority semantics as the batch dequeue (W3), which means
+    * a sustained flood of higher-priority arrivals defers lower-priority
+    * URLs for as long as it lasts (that ordering is the frontier's point;
+    * the deferred tail is host backlog, the streaming analog of the batch
+    * pending table, and is never lost). A host with a deferred tail arms a
+    * ProcessingTimeTimeout heartbeat so a QUIET host (no new input) still
+    * drains `budgetPerBatch` per `drainIntervalMs` instead of stranding
+    * its tail forever. Deterministic: the merged pending+incoming queue is
+    * sorted by (priority, urlNorm) before admission. */
   def politenessThrottle(reqs: Dataset[FrontierReq], budgetPerBatch: Int,
       drainIntervalMs: Long = 1000L): Dataset[Admitted] = {
     import reqs.sparkSession.implicits._

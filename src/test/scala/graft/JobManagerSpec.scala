@@ -77,6 +77,69 @@ class JobManagerSpec extends SparkSpec {
     mgr.shutdown()
   }
 
+  test("TTL clock vs cancel: mid-run cancel is unsweepable until the worker exits; " +
+      "cancelling a paused job restarts the clock") {
+    // half 1 — cancel mid-run: the cancelled engine is still unwinding
+    // (job-group cancellation is async, the epoch commits at a stop
+    // boundary), so an immediate sweep(0) must NOT delete the state dir
+    // out from under it; only the worker's own exit stamp makes the job
+    // TTL-eligible.
+    val root = Files.createTempDirectory("graft-jobs-ttlclock").toString
+    val mgr = new JobManager(spark, root, maxConcurrentJobs = 1)
+    mgr.submit("job-c", cfg, images, new FixtureFetcher(web), policies)
+    val deadline = System.currentTimeMillis() + 60000
+    while (!mgr.status("job-c").contains(JobManager.Running) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(10)
+    assert(mgr.status("job-c").contains(JobManager.Running))
+    mgr.cancel("job-c")
+    assert(mgr.status("job-c").contains(JobManager.Cancelled))
+    // awaitAll returns immediately (cancel already flipped the status), so
+    // poll: the job stays UNSWEEPABLE until the worker's own exit stamp
+    // lands — each empty sweep() here is the fix working (the old code
+    // stamped at cancel time and the first sweep deleted the state dir
+    // under the still-unwinding engine)
+    val dl = System.currentTimeMillis() + 60000
+    var swept = Seq.empty[String]
+    while (swept.isEmpty && System.currentTimeMillis() < dl) {
+      swept = mgr.sweep(ttlMs = 0L)
+      if (swept.isEmpty) Thread.sleep(20)
+    }
+    assert(swept == Seq("job-c"))
+
+    // half 2 — cancel of a PAUSED job: TTL must measure from the cancel,
+    // not from the pause-era worker exit (a stale stamp would let the
+    // next sweep destroy the resume point cancel() promises to keep)
+    val p2 = FixtureGen.Params(hosts = 2, pagesPerHost = 60, skew = 3)
+    val cfg2 = CrawlConfig(
+      seedUrls = FixtureGen.seeds(p2), maxDepth = 6, epochSeconds = 30)
+    val web2 = FixtureGen.webGraphDF(spark, p2).cache()
+    val img2 = FixtureGen.imagesDF(spark, p2).cache()
+    val mgr2 = new JobManager(spark,
+      Files.createTempDirectory("graft-jobs-ttlpause").toString, 1)
+    mgr2.submit("job-p", cfg2, img2, new FixtureFetcher(web2),
+      FixtureGen.robotsMap(p2))
+    val dl2 = System.currentTimeMillis() + 60000
+    var paused = false
+    while (!paused && System.currentTimeMillis() < dl2) {
+      paused = mgr2.pause("job-p") // true once the job is Running
+      if (!paused) Thread.sleep(10)
+    }
+    assert(paused, "pause never landed")
+    mgr2.awaitAll() // worker exits → Paused (stamps pause-era finishedAtMs)
+    if (mgr2.status("job-p").contains(JobManager.Paused)) {
+      Thread.sleep(300) // age the pause-era stamp past the TTL below
+      mgr2.cancel("job-p")
+      // with the stale stamp the job would look 300ms old and sweep NOW
+      assert(mgr2.sweep(ttlMs = 250L).isEmpty,
+        "freshly-cancelled paused job must not be TTL-expired yet")
+      Thread.sleep(300)
+      assert(mgr2.sweep(ttlMs = 250L) == Seq("job-p"))
+    } // else: the crawl finished before the pause took effect — covered
+      // deterministically by the dedicated pause test's bigger fixture
+    mgr2.shutdown()
+    mgr.shutdown()
+  }
+
   test("resume-from-state: submitting into an existing state dir continues, not restarts") {
     // the reference's POST /jobs/resume-from-state analog: a NEW manager
     // (new process) over the same state root picks up the committed

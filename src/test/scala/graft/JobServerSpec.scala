@@ -154,4 +154,39 @@ class JobServerSpec extends SparkSpec {
       mgr2.shutdown()
     } finally server2.stop()
   }
+
+  test("failed job: the captured error reaches status JSON and the job_done event") {
+    val root = Files.createTempDirectory("graft-http-fail").toString
+    val mgr = new JobManager(spark, root, maxConcurrentJobs = 2)
+    // a transport that dies on first use → the run throws → Failed(error)
+    val boom = new graft.sources.Fetcher {
+      override def fetchPages(urls: org.apache.spark.sql.DataFrame) =
+        throw new RuntimeException("synthetic transport failure")
+    }
+    val server = new JobServer(mgr, (id, req) => {
+      val cfg = CrawlConfig(seedUrls = Seq(req.url), maxDepth = req.maxDepth,
+        epochSeconds = 30, respectRobotsTxt = req.respectRobotsTxt)
+      mgr.submit(id, cfg, images, boom, policies)
+    })
+    server.start()
+    val base = s"http://127.0.0.1:${server.boundPort}"
+    try {
+      val created = post(s"$base/api/jobs", """{"url":"https://site-0.test/docs"}""")
+      assert(created.statusCode() == 200, created.body())
+      val id = "\"id\":\"([^\"]+)\"".r.findFirstMatchIn(created.body()).get.group(1)
+      mgr.awaitAll()
+      // the failure reason is the one piece of state Failed carries — it
+      // must be readable over HTTP, not only in driver logs
+      val st = get(s"$base/api/jobs/$id/status")
+      assert(st.body().contains("\"status\":\"failed\""), st.body())
+      assert(st.body().contains("synthetic transport failure"), st.body())
+      // an SSE stream opened on an already-failed job goes straight to
+      // job_done, which must carry the same error
+      val sse = client.send(
+        HttpRequest.newBuilder(URI.create(s"$base/api/jobs/$id/events")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(sse.body().contains("job_done"), sse.body())
+      assert(sse.body().contains("synthetic transport failure"), sse.body())
+    } finally { server.stop(); mgr.shutdown() }
+  }
 }

@@ -203,8 +203,9 @@ class SourcesStreamingSpec extends SparkSpec {
       java.nio.file.Paths.get(evDir, "events.parquet"))
     val q = EventsStreaming.hourlyCounts(spark, evDir, "stream_hourly")
     q.awaitTermination(60000)
-    val streamed = spark.sql(
-      "SELECT window.start AS hour, event_type, n, value_c FROM stream_hourly")
+    // read the upsert sink (Update mode needs a keyed sink: the memory
+    // sink appends one row per update, duplicating multi-batch windows)
+    val streamed = EventsStreaming.hourlyResult(spark, "stream_hourly")
     val batch = SparkEntry.queries("q08_events_hourly")(spark, "/root/testdata/sf0.001")
       .withColumn("hour", $"hour".cast("timestamp"))
     val a = streamed.select("hour", "event_type", "n", "value_c")
@@ -212,6 +213,52 @@ class SourcesStreamingSpec extends SparkSpec {
     val b = batch.select("hour", "event_type", "n", "value_c")
       .as[(java.sql.Timestamp, String, Long, Long)].collect().toSet
     assert(a == b)
+  }
+
+  test("streaming: windows updated across MULTIPLE micro-batches stay exact (upsert sink)") {
+    // Split the events by TIME into two files so the boundary hour is
+    // updated in two different micro-batches (maxFilesPerTrigger=1). The
+    // time split keeps every batch-2 row inside the batch-1 watermark;
+    // the boundary window's second update is the case an append-only
+    // memory sink double-reports and the upsert sink must overwrite.
+    val evDir = java.nio.file.Files.createTempDirectory("graft-events-mb").toString
+    // pinned NTZ read so the rewritten files carry the same parquet type
+    // the streaming schema declares (an inferred-LTZ write would flip the
+    // column's isAdjustedToUTC and shift every window)
+    val events = spark.read.schema(EventsStreaming.eventSchema)
+      .parquet("/root/testdata/sf0.001/events.parquet")
+    val micros = graft.functions.TimeFns.ntzEpochMicros($"ts")
+    val mid = events.select(percentile_approx(micros, lit(0.5), lit(1000)))
+      .as[Long].head()
+    val older = events.where(micros <= mid)
+    val newer = events.where(micros > mid)
+    assert(older.count() > 0 && newer.count() > 0)
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String, mtimeMs: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ev-part").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      val dst = java.nio.file.Paths.get(evDir, name)
+      java.nio.file.Files.copy(part, dst)
+      // FileStreamSource orders by modification time — pin it so the
+      // older half is batch 1 (a newer-first order would watermark-drop
+      // the older half and test nothing)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    }
+    val base = System.currentTimeMillis() - 60000
+    writeOne(older, "part1.parquet", base)
+    writeOne(newer, "part2.parquet", base + 10000)
+    val q = EventsStreaming.hourlyCounts(spark, evDir, "stream_hourly_mb",
+      maxFilesPerTrigger = Some(1))
+    q.awaitTermination(60000)
+    val streamed = EventsStreaming.hourlyResult(spark, "stream_hourly_mb")
+    val batch = SparkEntry.queries("q08_events_hourly")(spark, "/root/testdata/sf0.001")
+      .withColumn("hour", $"hour".cast("timestamp"))
+    val a = streamed.as[(java.sql.Timestamp, String, Long, Long)].collect().toSet
+    val b = batch.select("hour", "event_type", "n", "value_c")
+      .as[(java.sql.Timestamp, String, Long, Long)].collect().toSet
+    assert(a == b, "multi-batch window updates must converge to the batch result")
   }
 
   test("politeness throttle: quiet-host drain — timeout transitions empty the deferred tail") {
