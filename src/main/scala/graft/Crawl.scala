@@ -90,7 +90,10 @@ object Crawl {
     val spark = SparkSession.builder().appName("graft-crawl").getOrCreate()
     val backend: Option[graft.sources.TableIO] = icebergDb.map(db =>
       new graft.sources.IcebergTableIO(spark, db, numBuckets = cfg.numBuckets))
-    val engine = run(spark, cfg, stateDir.getOrElse(""),
+    // run()'s own validation (e.g. the one-seed-per-host require) is bad
+    // INPUT too — route it through usage() like the config requires above,
+    // not a raw stack trace out of spark-submit
+    val engine = try run(spark, cfg, stateDir.getOrElse(""),
       images = spark.read.parquet(imagesPath),
       warmCache = opts.get("warm-cache").map(spark.read.parquet(_)),
       // S8: --cdp-ws ws://browser:9222/devtools/browser/<id> renders the
@@ -99,6 +102,7 @@ object Crawl {
         .map(ws => new graft.sources.PlaywrightRenderClient(cdpWsUrl = ws): graft.sources.RenderClient)
         .getOrElse(graft.sources.RenderClient.Static),
       io = backend)
+    catch { case e: IllegalArgumentException => usage(e.getMessage) }
     // the ACTUAL committed counters (dequeued/ok/blocked/…), not a label —
     // this line is what an operator reads in spark-submit logs
     val counters = engine.counters.toSeq.sortBy(_._1)

@@ -83,12 +83,21 @@ object ImageOps {
     bos.toByteArray
   }
 
-  /** null for unparseable bytes (ImageIO contract) — validation consumers
-    * below map null to "invalid", never NPE: a corrupt payload must
-    * CLASSIFY as invalid (J7's whole purpose), not crash the epoch into a
-    * resume loop that re-decodes the same bad bytes forever. */
+  /** null for unparseable bytes — validation consumers below map null to
+    * "invalid", never NPE: a corrupt payload must CLASSIFY as invalid
+    * (J7's whole purpose), not crash the epoch into a resume loop that
+    * re-decodes the same bad bytes forever. ImageIO.read returns null
+    * only when NO reader claims the stream; a recognized-but-truncated
+    * payload (valid JPEG SOI, cut body) THROWS IIOException — and some
+    * readers throw RuntimeExceptions on malformed headers — so both map
+    * to null here, not up through the task. */
   def decode(bytes: Array[Byte]): BufferedImage =
-    if (bytes == null) null else ImageIO.read(new ByteArrayInputStream(bytes))
+    if (bytes == null) null
+    else try ImageIO.read(new ByteArrayInputStream(bytes))
+    catch {
+      case _: java.io.IOException => null
+      case _: RuntimeException => null
+    }
 
   private def rgb(img: BufferedImage): Array[Int] =
     img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)

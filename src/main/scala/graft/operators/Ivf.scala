@@ -53,10 +53,18 @@ object Ivf {
   def train(corpus: DataFrame, dim: Int, k: Int, iters: Int = 3): Model = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    // null / wrong-length rows would NPE or misindex inside the assign UDF
-    // (a single failed-upstream embed must not abort training)
+    // same degenerate-row guard as topK (Similarity.wellFormed): a null/
+    // wrong-length row would NPE or misindex inside the assign UDF, a
+    // null ELEMENT unboxes to 0.0 in assign but is skipped by the sum
+    // while count still counts the row (biasing that centroid), and a NaN
+    // element sends every row to cluster 0 — train must not learn from
+    // rows topK will never serve anyway
     val vecs = corpus.select($"vec_id", $"embedding".cast("array<double>").as("v"))
-      .where($"v".isNotNull && size($"v") === dim)
+      .where(Similarity.wellFormed($"v", dim))
+      // the corpus lineage feeds init + one assign→agg job per Lloyd
+      // iteration; at the 100 TB scale path that is the dominant scan —
+      // pay it once
+      .persist()
     val init = vecs.orderBy("vec_id").limit(k).select("v")
       .as[Seq[Double]].collect().map(_.toArray)
     var model = Model(init)
@@ -72,6 +80,7 @@ object Ivf {
       sums.foreach { case (c, p, sq, n) => next(c)(p) = sq.toDouble / (n.toDouble * QuantScale) }
       model = Model(next)
     }
+    vecs.unpersist()
     model
   }
 
@@ -89,22 +98,18 @@ object Ivf {
         .map { case (c, i) => (sqDist(v, c), i) }
         .sortBy(t => (t._1, t._2)).take(nProbe).map(_._2)
     }
+    // one shared degenerate-row guard (Similarity.wellFormed) on BOTH
+    // sides: a null/truncated vector would NPE or misindex inside the
+    // assign/probe UDFs, and a zero-norm one ranks arbitrary rows first
+    // on NaN cosine
+    val dim = model.centroids.headOption.map(_.length).getOrElse(0)
     val indexed = corpus
       .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
-      // same degenerate-row guard as train(); zero-norm rows additionally
-      // produce NaN cosine (Spark sorts NaN first — see Similarity)
-      .where($"v".isNotNull && size($"v") === model.centroids.headOption
-        .map(c => lit(c.length)).getOrElse(lit(0)) &&
-        aggregate($"v", lit(0.0), (acc, x) => acc + x * x) > 0.0)
+      .where(Similarity.wellFormed($"v", dim))
       .withColumn("cluster", assignUdf(model)($"v"))
     val q0 = queries
       .select($"vec_id".as("qid"), $"embedding".cast("array<double>").as("qv"))
-      // query side needs the SAME degenerate-row guard as the corpus: a
-      // null/truncated query would NPE or misindex inside probesUdf, and
-      // a zero-norm one ranks arbitrary rows first on NaN cosine
-      .where($"qv".isNotNull && size($"qv") === model.centroids.headOption
-        .map(c => lit(c.length)).getOrElse(lit(0)) &&
-        aggregate($"qv", lit(0.0), (acc, x) => acc + x * x) > 0.0)
+      .where(Similarity.wellFormed($"qv", dim))
       .withColumn("cluster", explode(probesUdf($"qv")))
     val q = if (broadcastQueries) broadcast(q0) else q0
     indexed.join(q, Seq("cluster"))

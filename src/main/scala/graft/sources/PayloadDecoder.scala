@@ -41,8 +41,10 @@ final class JpgDecoder extends PayloadDecoder {
 final class VideoFrameDecoderStub extends PayloadDecoder {
   override val fmt = "video"
   override val lossless = false
-  override def decode(bytes: Array[Byte]): BufferedImage =
-    ImageOps.decode(ImageOps.sampleFramesStub(bytes, 1).head) // deterministic fake
+  override def decode(bytes: Array[Byte]): BufferedImage = // deterministic fake;
+    // sampleFramesStub returns Seq.empty for undecodable bytes — that must
+    // surface as the registry's null-decode contract, not a .head crash
+    ImageOps.sampleFramesStub(bytes, 1).headOption.map(ImageOps.decode).orNull
   override def encode(img: BufferedImage): Array[Byte] = ImageOps.encode(img, "png")
 }
 

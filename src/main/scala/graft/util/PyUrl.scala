@@ -80,11 +80,14 @@ object PyUrl {
     Parsed(scheme, netloc, url, "", query, fragment)
   }
 
-  /** CPython `urlparse`: urlsplit + params split off the LAST path segment. */
+  /** CPython `urlparse`: urlsplit + params split off the LAST path segment
+    * — gated on `uses_params` like CPython (for ws/file/svn/… the ';' stays
+    * in the path, which matters downstream: urljoin's dot-segment
+    * resolution must see `..;q` as one literal segment there). */
   def urlparse(url: String, defaultScheme: String = ""): Parsed = {
     val sp = urlsplit(url, defaultScheme)
     val path = sp.path
-    if (path.indexOf(';') >= 0) {
+    if (usesParams.contains(sp.scheme) && path.indexOf(';') >= 0) {
       val slash = path.lastIndexOf('/')
       if (slash >= 0) {
         val semi = path.indexOf(';', slash)
@@ -131,6 +134,8 @@ object PyUrl {
     "imap", "wais", "file", "mms", "https", "shttp", "snews", "prospero",
     "rtsp", "rtspu", "rsync", "svn", "svn+ssh", "sftp", "nfs", "git",
     "git+ssh", "ws", "wss", "itms-services")
+  private val usesParams = Set("", "ftp", "hdl", "prospero", "http", "imap",
+    "https", "shttp", "rtsp", "rtspu", "sip", "sips", "mms", "sftp", "tel")
 
   /** CPython `urljoin` — RFC 3986 §5 relative resolution with CPython's
     * exact quirks (empty-interior-segment filtering, '..' over-pop, trailing

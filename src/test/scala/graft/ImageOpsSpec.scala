@@ -55,6 +55,24 @@ class ImageOpsSpec extends SparkSpec {
     frames.foreach(f => assert(ImageOps.decode(f) != null))
   }
 
+  test("corrupt payloads decode to null, never throw (one bad row must not kill a stage)") {
+    val r = FixtureGen.imageRow(8)
+    // recognized-but-truncated: valid magic bytes, cut body — ImageIO.read
+    // THROWS IIOException for most readers here (it does not return null
+    // on its own); a few readers instead return a partial image, so the
+    // contract under test is NO THROW, with null-or-image both acceptable
+    val truncated = r.bytes.take(r.bytes.length / 2)
+    ImageOps.decode(truncated) // must not throw
+    // unrecognized garbage: ImageIO's no-reader null path
+    assert(ImageOps.decode("not an image".getBytes) == null)
+    assert(ImageOps.decode(Array.emptyByteArray) == null)
+    // the video stub honors the registry's null-decode contract for
+    // undecodable bytes instead of .head-crashing on zero frames
+    val video = graft.sources.DecoderRegistry.get("video")
+    assert(video.decode("junk".getBytes) == null)
+    assert(video.decode(truncated) == null)
+  }
+
   test("distributed images table: every row passes the J7 invariant") {
     val images = FixtureGen.imagesDF(spark, 64L)
     val checked = images

@@ -82,6 +82,20 @@ class PyUrlSpec extends AnyFunSuite {
     assert(PyUrl.canonicalize("https://example.com/p;v=1?q=2#f") == "https://example.com/p;v=1?q=2")
   }
 
+  test("params split gated on uses_params like CPython (ws/file keep ';' in the path)") {
+    // verified against CPython 3.11 urllib.parse this round:
+    //   urlparse('ws://h/p;x').params == ''  (ws not in uses_params)
+    //   urljoin('ws://h/a/b', '..;q')   == 'ws://h/a/..;q'  ('..;q' literal)
+    //   urljoin('http://h/a/b', '..;q') == 'http://h/;q'    (params split off)
+    //   urljoin('file:///a/b/c', '..;z') == 'file:///a/b/..;z'
+    assert(PyUrl.urlparse("ws://h/p;x").params == "")
+    assert(PyUrl.urlparse("ws://h/p;x").path == "/p;x")
+    assert(PyUrl.urlparse("http://h/p;x").params == "x")
+    assert(PyUrl.urljoin("ws://h/a/b", "..;q") == "ws://h/a/..;q")
+    assert(PyUrl.urljoin("http://h/a/b", "..;q") == "http://h/;q")
+    assert(PyUrl.urljoin("file:///a/b/c", "..;z") == "file:///a/b/..;z")
+  }
+
   // urljoin cases — values verified against CPython urllib.parse.urljoin
   test("urljoin absolute href wins") {
     assert(PyUrl.urljoin("https://a.com/x/y", "https://b.com/z") == "https://b.com/z")
