@@ -760,7 +760,9 @@ final class CrawlEngine(
     * hosts with ≥1 nav URL are fully discovered and skip BFS. */
   private def cascadeNav(): Unit = {
     val candidates = bfsSeedLevel
-    val pages = fetcher.fetchPagesForDiscovery(candidates)
+    // rendered path: the reference's try_nav_parse is ALWAYS Playwright
+    // (discovery.py:277-284) — a browser-backed transport must see this page
+    val pages = fetcher.fetchPagesForNavParse(candidates)
     val nav = pages
       .where($"status" === 200 && $"contentType".contains("text/html"))
       .select($"urlNorm".as("pageUrl"), $"host", explode($"navLinks").as("href"))

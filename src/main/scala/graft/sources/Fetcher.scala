@@ -19,6 +19,15 @@ trait Fetcher extends Serializable {
     * uses plain GETs (`discovery.py:96-118`), separate from the scrape
     * chain. Default: same as fetchPages (fixture transports serve HTML). */
   def fetchPagesForDiscovery(urls: DataFrame): DataFrame = fetchPages(urls)
+
+  /** Nav-parse fetch (cascade strategy 2): the reference renders this page
+    * with Playwright UNCONDITIONALLY (`discovery.py:277-284` — "Useful for
+    * JS-rendered navigation that httpx can't see"), so transports carrying
+    * a browser-backed [[RenderClient]] must route it there even when a
+    * static level would otherwise win. Default: same as discovery (fixture
+    * transports carry navLinks directly). */
+  def fetchPagesForNavParse(urls: DataFrame): DataFrame =
+    fetchPagesForDiscovery(urls)
 }
 
 object Fetcher {
@@ -325,12 +334,28 @@ final class HttpFetcher(
   /** Discovery must see HTML (links): run the chain without the markdown
     * levels — a host honoring `Accept: text/markdown` would otherwise
     * return linkless markdown during BFS and silently stop discovery at
-    * its seed while the fetch phase still reported ok pages. */
+    * its seed while the fetch phase still reported ok pages. The renderer
+    * is forced Static too: the reference's BFS is plain httpx GETs
+    * (`discovery.py:172-211`, no Playwright) — an injected browser must
+    * not turn every BFS page into a render. */
   override def fetchPagesForDiscovery(urls: DataFrame): DataFrame =
-    if (!useNativeMarkdown && markdownProxyUrl.isEmpty) fetchPages(urls)
+    if (!useNativeMarkdown && markdownProxyUrl.isEmpty &&
+        (renderer eq RenderClient.Static)) fetchPages(urls)
     else new HttpFetcher(maxRetries, timeoutMs,
       useNativeMarkdown = false, markdownProxyUrl = None,
       useHttpFastPath = useHttpFastPath, backoffUnitMs = backoffUnitMs,
+      validate = validate, converter = converter,
+      renderer = RenderClient.Static).fetchPages(urls)
+
+  /** Nav-parse fetch: straight to the heavy level so the injected renderer
+    * sees the seed page — the reference's `try_nav_parse` drives Playwright
+    * unconditionally (`discovery.py:277-284`), it never falls back to the
+    * static transport; with the Static default this is the same plain GET
+    * as before, so sandbox behavior is unchanged. */
+  override def fetchPagesForNavParse(urls: DataFrame): DataFrame =
+    new HttpFetcher(maxRetries, timeoutMs,
+      useNativeMarkdown = false, markdownProxyUrl = None,
+      useHttpFastPath = false, backoffUnitMs = backoffUnitMs,
       validate = validate, converter = converter,
       renderer = renderer).fetchPages(urls)
 
@@ -359,15 +384,20 @@ final class HttpFetcher(
         "<a\\s[^>]*href=(?:\"([^\"]+)\"|'([^']+)')", java.util.regex.Pattern.CASE_INSENSITIVE)
       val imgRe = java.util.regex.Pattern.compile(
         "<img\\s[^>]*src=(?:\"([^\"]+)\"|'([^']+)')", java.util.regex.Pattern.CASE_INSENSITIVE)
-      // static approximation of the reference's rendered nav selectors
-      // (page.py NOISE/nav list: nav, [role=navigation], .sidebar/#sidebar,
-      // .navbar/#navbar, .table-of-contents/#table-of-contents, .toc,
-      // .breadcrumb) — element-level regex scope, no DOM rendering
+      // static approximation of the reference's NAV DISCOVERY selectors —
+      // exactly discovery.py:257-265 NAV_SELECTORS ("nav a", "aside a",
+      // ".sidebar a", ".navigation a", '[role="navigation"] a', ".toc a",
+      // ".menu a"): tag scope for nav/aside, CLASS-TOKEN scope for the
+      // class selectors (CSS .sidebar matches a whitespace-delimited class
+      // token, hence the \w- lookarounds), role=navigation for the
+      // attribute selector. page.py's NOISE_SELECTORS (navbar, breadcrumb,
+      // table-of-contents, #ids) are a DIFFERENT list used for content
+      // CLEANUP, not nav discovery — matching them here over-triggered the
+      // nav cascade vs the reference. Element-level regex scope, no DOM.
       val navRe = java.util.regex.Pattern.compile(
         "<(nav|aside)\\b[^>]*>(.*?)</\\1>|" +
           "<([a-z]+)\\b[^>]*(?:role=[\"']navigation[\"']|" +
-          "class=[\"'][^\"']*(?<![\\w-])(?:sidebar|navbar|toc|table-of-contents|breadcrumb)(?![\\w-])[^\"']*[\"']|" +
-          "id=[\"'](?:sidebar|navbar|table-of-contents)[\"'])[^>]*>(.*?)</\\3>",
+          "class=[\"'][^\"']*(?<![\\w-])(?:sidebar|navigation|toc|menu)(?![\\w-])[^\"']*[\"'])[^>]*>(.*?)</\\3>",
         java.util.regex.Pattern.CASE_INSENSITIVE | java.util.regex.Pattern.DOTALL)
 
       /** One validated GET via the SHARED redirect loop ([[RedirectGet]]).

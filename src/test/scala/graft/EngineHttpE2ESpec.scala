@@ -145,4 +145,57 @@ class EngineHttpE2ESpec extends SparkSpec {
         .forall(Set("skip", "cleanup", "heavy")))
     } finally server.stop(0)
   }
+
+  test("E2E nav cascade: JS-rendered nav discovered through an injected renderer") {
+    // the seed's STATIC html has no nav element (its only static link is a
+    // BFS decoy); the injected browser renders a JS-built nav. Reference
+    // parity (discovery.py try_nav_parse = always Playwright): the nav
+    // cascade must discover the RENDERED nav links, skip BFS entirely,
+    // and the fetch phase then scrapes those pages over plain HTTP.
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val port = server.getAddress.getPort
+    val base = s"http://127.0.0.1:$port"
+    val host = s"127.0.0.1:$port"
+    server.createContext("/robots.txt", handler(200, "text/plain",
+      "User-agent: *\n".getBytes("UTF-8")))
+    server.createContext("/docs", html(200,
+      bigHtml("seed", s"""<a href="/docs/bfs-decoy">d</a>""")))
+    server.createContext("/docs/bfs-decoy", html(200, bigHtml("decoy")))
+    server.createContext("/docs/js1", html(200, bigHtml("one")))
+    server.createContext("/docs/js2", html(200, bigHtml("two")))
+    server.start()
+    val renderedNav =
+      "<html><body><h1>App</h1><nav><a href='/docs/js1'>1</a>" +
+        "<a href='/docs/js2'>2</a></nav></body></html>"
+    val browserBacked = new graft.sources.RenderClient {
+      override def render(url: String, get: graft.sources.RenderClient.Get)
+          : Option[(Int, String, String)] =
+        Some((200, "text/html", renderedNav))
+    }
+    try {
+      val seeds = Map(host -> s"$base/docs")
+      val policies = graft.sources.BootstrapFetch.robotsPolicies(
+        seeds, validate = allowLoopback)
+      val cfg = CrawlConfig(seedUrls = Seq(s"$base/docs"), maxDepth = 3)
+      val tableIo = new ParquetSnapshotTableIO(
+        spark, Files.createTempDirectory("graft-e2e-nav").toString)
+      val engine = new CrawlEngine(spark, cfg,
+        new HttpFetcher(maxRetries = 1, timeoutMs = 3000, backoffUnitMs = 0L,
+          validate = allowLoopback, renderer = browserBacked),
+        graft.fixtures.FixtureGen.imagesDF(spark, 2L), tableIo,
+        policies, ssrfCheck = allowLoopback)
+      engine.run()
+
+      // discovered set = the rendered nav links ONLY: no static-link BFS
+      // expansion (nav success skips strategy 3), no seed page
+      val seen = engine.seen.select("urlNorm").as[String].collect().toSet
+      assert(seen == Set(s"$base/docs/js1", s"$base/docs/js2"))
+      val disp = engine.orderLog.select("urlNorm", "disposition", "fetchMethod")
+        .as[(String, String, String)].collect()
+        .map(t => t._1.stripPrefix(base) -> ((t._2, t._3))).toMap
+      // the scrape itself stays on the static chain (http_fast wins here)
+      assert(disp == Map("/docs/js1" -> (("ok", "http_fast")),
+        "/docs/js2" -> (("ok", "http_fast"))))
+    } finally server.stop(0)
+  }
 }

@@ -391,4 +391,125 @@ class HttpFetcherSpec extends SparkSpec {
     assert(!Ssrf.isSsrf("https://example.com/x"))
     assert(Ssrf.isSsrf("not-a-url"))                // no hostname → reject
   }
+
+  test("nav scope is exactly discovery.py's NAV_SELECTORS, not page.py's noise list") {
+    // one anchor inside each reference selector (discovery.py:257-265):
+    // nav, aside, .sidebar, .navigation, [role=navigation], .toc, .menu —
+    // plus decoys from page.py's NOISE_SELECTORS (.navbar, .breadcrumb,
+    // .table-of-contents, #sidebar), which are a content-CLEANUP list the
+    // nav cascade must NOT trigger on
+    val html = "<html><body>" +
+      "<nav><a href='/n-nav'>1</a></nav>" +
+      "<aside><a href='/n-aside'>2</a></aside>" +
+      "<div class='left sidebar'><a href='/n-sidebar'>3</a></div>" +
+      "<div class='navigation'><a href='/n-navigation'>4</a></div>" +
+      "<span role='navigation'><a href='/n-role'>5</a></span>" +
+      "<div class='toc'><a href='/n-toc'>6</a></div>" +
+      "<ul class='menu'><a href='/n-menu'>7</a></ul>" +
+      "<div class='navbar'><a href='/x-navbar'>d1</a></div>" +
+      "<div class='breadcrumb'><a href='/x-breadcrumb'>d2</a></div>" +
+      "<div class='table-of-contents'><a href='/x-toc-long'>d3</a></div>" +
+      "<div id='sidebar'><a href='/x-id-sidebar'>d4</a></div>" +
+      "<div class='main-menu'><a href='/x-hyphen-menu'>d5</a></div>" +
+      "<p>body</p></body></html>"
+    val fake = new graft.sources.RenderClient {
+      override def render(url: String, get: graft.sources.RenderClient.Get)
+          : Option[(Int, String, String)] = Some((200, "text/html", html))
+    }
+    val f = new HttpFetcher(maxRetries = 0, timeoutMs = 1000,
+      useNativeMarkdown = false, markdownProxyUrl = None,
+      useHttpFastPath = false, backoffUnitMs = 0L,
+      validate = _ => true, renderer = fake)
+    val r = f.fetchPages(
+        Seq(("https://nav.test/docs", "nav.test")).toDF("urlNorm", "host"))
+      .collect().head
+    assert(r.getAs[scala.collection.Seq[String]]("navLinks").toSet ==
+      Set("/n-nav", "/n-aside", "/n-sidebar", "/n-navigation", "/n-role",
+        "/n-toc", "/n-menu"))
+    // decoys still count as ordinary page links, just not nav-scoped
+    val links = r.getAs[scala.collection.Seq[String]]("links").toSet
+    assert(links.contains("/x-navbar") && links.contains("/x-id-sidebar"))
+  }
+
+  test("renderer routing: BFS discovery never renders, nav-parse always renders") {
+    // reference routing (discovery.py): BFS levels are plain httpx GETs
+    // (:172-211, no Playwright); try_nav_parse is ALWAYS Playwright
+    // (:277-284). So with a browser injected: discovery must keep the
+    // static transport; nav-parse must reach the renderer even though the
+    // static http_fast level would win on this page.
+    val staticBody =
+      "<html><body><h1>Static</h1><p>" + ("static prose sentence. " * 30) +
+        "</p><nav><a href='/static-nav'>s</a></nav>" +
+        "<a href='/static-child'>c</a></body></html>"
+    val renderedBody =
+      "<html><body><h1>App</h1><nav><a href='/js-nav'>j</a></nav>" +
+        "<a href='/js-child'>jc</a></body></html>"
+    val (server, base) = newServer()
+    server.createContext("/seed", handler(200, "text/html", staticBody))
+    server.start()
+    // witness is the OUTPUT, not shared state: task closures are
+    // serialized even in local mode, so a captured counter would count on
+    // the deserialized copy — the rendered DOM's distinct links are the
+    // serialization-safe proof of which transport ran
+    val browserBacked = new graft.sources.RenderClient {
+      override def render(url: String, get: graft.sources.RenderClient.Get)
+          : Option[(Int, String, String)] =
+        Some((200, "text/html", renderedBody))
+    }
+    try {
+      val f = new HttpFetcher(maxRetries = 0, timeoutMs = 3000,
+        useNativeMarkdown = true, markdownProxyUrl = None,
+        useHttpFastPath = true, backoffUnitMs = 0L,
+        validate = allowLoopback, renderer = browserBacked)
+      val urls = Seq((s"$base/seed", "127.0.0.1")).toDF("urlNorm", "host")
+
+      // BFS discovery: static chain wins at http_fast; renderer untouched
+      val disc = f.fetchPagesForDiscovery(urls).collect().head
+      assert(disc.getAs[String]("fetchMethod") == "http_fast")
+      assert(disc.getAs[scala.collection.Seq[String]]("navLinks").toSeq ==
+        Seq("/static-nav"))
+
+      // nav-parse: the renderer's DOM, even though http_fast would win
+      val nav = f.fetchPagesForNavParse(urls).collect().head
+      assert(nav.getAs[String]("fetchMethod") == "playwright")
+      assert(nav.getAs[scala.collection.Seq[String]]("navLinks").toSeq ==
+        Seq("/js-nav"))
+      assert(nav.getAs[scala.collection.Seq[String]]("links").toSet ==
+        Set("/js-nav", "/js-child"))
+
+      // scrape chain unchanged: http_fast still shadows the heavy level,
+      // and its navLinks stay the static body's (no render happened)
+      val page = f.fetchPages(urls).collect().head
+      assert(page.getAs[String]("fetchMethod") == "http_fast")
+      assert(page.getAs[scala.collection.Seq[String]]("navLinks").toSeq ==
+        Seq("/static-nav"))
+    } finally server.stop(0)
+  }
+
+  test("BFS discovery falling through to the heavy level stays a static GET") {
+    // a sub-500-char page misses the http_fast gate; during DISCOVERY the
+    // heavy level must degrade to the static transport (reference BFS never
+    // renders), not consult the injected browser
+    val tiny = "<html><body>tiny<a href='/bfs-child'>c</a></body></html>"
+    val (server, base) = newServer()
+    server.createContext("/tiny", handler(200, "text/html", tiny))
+    server.start()
+    val browserBacked = new graft.sources.RenderClient {
+      override def render(url: String, get: graft.sources.RenderClient.Get)
+          : Option[(Int, String, String)] =
+        Some((200, "text/html", "<html><a href='/js-only'>x</a></html>"))
+    }
+    try {
+      val f = new HttpFetcher(maxRetries = 0, timeoutMs = 3000,
+        useNativeMarkdown = false, markdownProxyUrl = None,
+        useHttpFastPath = true, backoffUnitMs = 0L,
+        validate = allowLoopback, renderer = browserBacked)
+      val urls = Seq((s"$base/tiny", "127.0.0.1")).toDF("urlNorm", "host")
+      val disc = f.fetchPagesForDiscovery(urls).collect().head
+      assert(disc.getAs[String]("fetchMethod") == "playwright") // heavy level…
+      // …but the STATIC body's links — a render would have shown /js-only
+      assert(disc.getAs[scala.collection.Seq[String]]("links").toSeq ==
+        Seq("/bfs-child"))
+    } finally server.stop(0)
+  }
 }
