@@ -106,18 +106,42 @@ private[graft] object RedirectGet {
   * breaks, tag strip, basic entity decode, blank-line collapse.
   * Deterministic and dependency-free. */
 object HtmlToMarkdown {
+  // markdownify's strip list ONLY (page.py:39-45: strip=["script",
+  // "style", "nav", "footer"]) — the http_fast path converts the RAW
+  // body; NOISE_SELECTORS belong to the heavy level's DOM pre-clean
+  // ([[removeNoise]]), NOT here: applying them on the fast path would
+  // drop sidebar/header text the reference's fast-path markdown keeps,
+  // diverging content hashes (J2) and the ≥500-char gate
   private val Dropped = java.util.regex.Pattern.compile(
     "(?is)<(script|style|nav|footer)\\b[^>]*>.*?</\\1>")
 
-  // static analog of the reference's class/role NOISE_SELECTORS
-  // (page.py:101-130) for the leaf-ish containers a regex can remove
-  // safely (non-greedy close match — nested same-tag content is the DOM
-  // renderer's job, out of scope without a browser)
+  // the FULL NOISE_SELECTORS analog (page.py:101-130), heavy level only:
+  // tag scope (script/style/noscript/iframe/nav/footer/header), role
+  // scope, class-TOKEN scope (.sidebar … .footer/.header/.search-bar),
+  // id scope (#sidebar/#navbar/#table-of-contents), [id*='mintlify']
+  // substring scope, [data-search] attribute scope. Non-greedy close
+  // match — nested same-tag content is the DOM renderer's job, out of
+  // scope without a browser.
+  private val NoiseTags = java.util.regex.Pattern.compile(
+    "(?is)<(script|style|noscript|iframe|nav|footer|header)\\b[^>]*>.*?</\\1>")
   private val NoiseClassed = java.util.regex.Pattern.compile(
     "(?is)<([a-z]+)\\b[^>]*(?:role=[\"'](?:banner|contentinfo|navigation)[\"']|" +
       "class=[\"'][^\"']*(?<![\\w-])(?:sidebar|navbar|breadcrumb|cookie-banner|" +
-      "table-of-contents|prev-next-links|pagination-nav|edit-this-page|" +
-      "last-updated|theme-toggle|search-bar)(?![\\w-])[^\"']*[\"'])[^>]*>.*?</\\1>")
+      "table-of-contents|footer|header|prev-next-links|pagination-nav|" +
+      "edit-this-page|last-updated|theme-toggle|search-bar)(?![\\w-])[^\"']*[\"']|" +
+      "id=[\"'](?:sidebar|navbar|table-of-contents)[\"']|" +
+      "id=[\"'][^\"']*mintlify[^\"']*[\"']|" +
+      "\\sdata-search\\b)[^>]*>.*?</\\1>") // \s = attribute position, not a class-value substring
+
+  /** Heavy-level DOM pre-clean — `_remove_noise` (page.py:181-199),
+    * applied BEFORE content extraction and ONLY on the rendered path,
+    * exactly like the reference (`get_html`: goto → _remove_noise →
+    * _extract_content; the fast path never runs it). */
+  def removeNoise(html: String): String = {
+    var s = NoiseTags.matcher(stripComments(html)).replaceAll(" ")
+    s = NoiseClassed.matcher(s).replaceAll(" ")
+    s
+  }
 
   /** Comments are dropped whole, FIRST: the reference's BeautifulSoup never
     * sees commented-out markup, but a raw regex scan would — a comment
@@ -143,7 +167,6 @@ object HtmlToMarkdown {
 
   def convert(html: String): String = {
     var s = Dropped.matcher(stripComments(html)).replaceAll(" ")
-    s = NoiseClassed.matcher(s).replaceAll(" ")
     (1 to 6).foreach { i =>
       s = s.replaceAll(s"(?is)<h$i[^>]*>", "\n\n" + ("#" * i) + " ")
     }
@@ -167,8 +190,11 @@ object HtmlToMarkdown {
   }
 
   /** Main-content extraction analog of the heavy level's CONTENT_SELECTORS
-    * priority list (`page.py:133-143`): first of main/article/#content/
-    * .content with ≥200 chars of inner HTML, else the whole body. Static
+    * priority list — ALL NINE of `page.py:134-143`, same order: main,
+    * article, [role=main], #content, .content, .markdown-body,
+    * .docs-content, .documentation, #main-content — first with ≥200 chars
+    * (MIN_CONTENT_LENGTH) of inner HTML, else the whole body. Class
+    * selectors match whitespace-delimited class TOKENS like CSS. Static
     * regex scope — no DOM/JS rendering exists in this container. */
   def extractMain(rawHtml: String): String = {
     // comment-masked scan: `<!-- </main> -->` must not close a region
@@ -176,12 +202,18 @@ object HtmlToMarkdown {
     // regions close on the DEPTH-BALANCED end tag: a lazy (.*?)</tag>
     // stops at the first NESTED close (e.g. an inner <div> of
     // <div role="main">) and truncates the region to its first child
+    def classPat(token: String): String =
+      s"(?is)<([a-z]+)\\b[^>]*\\bclass=[\"'][^\"']*(?<![\\w-])$token(?![\\w-])[^\"']*[\"'][^>]*>"
     val pats = Seq(
       "(?is)<(main)\\b[^>]*>",
       "(?is)<(article)\\b[^>]*>",
       "(?is)<([a-z]+)\\b[^>]*\\brole=[\"']main[\"'][^>]*>",
       "(?is)<([a-z]+)\\b[^>]*\\bid=[\"']content[\"'][^>]*>",
-      "(?is)<([a-z]+)\\b[^>]*\\bclass=[\"'][^\"']*(?<![\\w-])content(?![\\w-])[^\"']*[\"'][^>]*>")
+      classPat("content"),
+      classPat("markdown-body"),
+      classPat("docs-content"),
+      classPat("documentation"),
+      "(?is)<([a-z]+)\\b[^>]*\\bid=[\"']main-content[\"'][^>]*>")
     pats.view.flatMap { p =>
       val m = java.util.regex.Pattern.compile(p).matcher(html)
       if (m.find()) {
@@ -488,7 +520,12 @@ final class HttpFetcher(
                   status = st; ctype = ct; rawHtml = if (ct.contains("text/html")) body else ""
                   content =
                     if (ct.contains("text/html"))
-                      conv.convert(HtmlToMarkdown.extractMain(body))
+                      // reference heavy walk (page.py get_html): goto →
+                      // _remove_noise (full NOISE_SELECTORS) →
+                      // _extract_content (CONTENT_SELECTORS) → convert;
+                      // the fast path above converts the RAW body instead
+                      conv.convert(HtmlToMarkdown.extractMain(
+                        HtmlToMarkdown.removeNoise(body)))
                     else body
                   method = "playwright"
                   done = true

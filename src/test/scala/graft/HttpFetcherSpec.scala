@@ -163,6 +163,66 @@ class HttpFetcherSpec extends SparkSpec {
     assert(!md.contains("nav") && !md.contains("foot") && !md.contains("var a"))
   }
 
+  test("removeNoise: full NOISE_SELECTORS scope — tags, roles, classes, ids, mintlify, data-search") {
+    import graft.sources.HtmlToMarkdown.{convert, removeNoise}
+    val html = "<html><body><p>keep me</p>" +
+      "<header>site-header</header><noscript>nos-text</noscript>" +
+      "<iframe>ifr-text</iframe>" +
+      "<div id='table-of-contents'>toc-text</div>" +
+      "<div id='mintlify-widget-x'>mint-text</div>" +
+      "<div data-search='true'>search-ui</div>" +
+      "<div class='page footer'>class-foot</div>" +
+      "<div class='header dark'>class-head</div>" +
+      "<span role='contentinfo'>legal-fine-print</span>" +
+      // decoys: token boundaries and attribute position
+      "<div class='data-search-results'>result-list</div>" +
+      "<div class='footer-note-like'>note-keep</div></body></html>"
+    val cleaned = convert(removeNoise(html))
+    assert(cleaned.contains("keep me"))
+    for (gone <- Seq("site-header", "nos-text", "ifr-text", "toc-text",
+        "mint-text", "search-ui", "class-foot", "class-head",
+        "legal-fine-print"))
+      assert(!cleaned.contains(gone), s"'$gone' must be noise-removed")
+    // a class VALUE containing data-search is not the [data-search]
+    // attribute; footer-note-like is not the .footer class token
+    assert(cleaned.contains("result-list") && cleaned.contains("note-keep"))
+    // the fast path (convert alone) keeps everything markdownify keeps:
+    // only script/style/nav/footer TAGS are stripped there
+    val fast = convert(html)
+    assert(fast.contains("site-header") && fast.contains("toc-text") &&
+      fast.contains("class-foot"))
+  }
+
+  test("extractMain: all nine CONTENT_SELECTORS, reference priority order") {
+    // page.py:134-143: main, article, [role=main], #content, .content,
+    // .markdown-body, .docs-content, .documentation, #main-content —
+    // first selector whose region holds ≥200 chars wins
+    val filler = "<p>" + ("content prose sentence here. " * 10) + "</p>"
+    def region(inner: String): String =
+      HtmlToMarkdown.extractMain(s"<html><body>$inner<p>post</p></body></html>")
+
+    // each of the four previously-missing selectors is found alone
+    for (wrap <- Seq("<div class='markdown-body'>", "<div class='docs-content'>",
+        "<section class='documentation'>", "<div id='main-content'>")) {
+      val tag = if (wrap.startsWith("<section")) "section" else "div"
+      val r = region(s"$wrap$filler<p>tail-mark</p></$tag>")
+      assert(r.contains("tail-mark") && !r.contains("post"), s"$wrap: $r")
+    }
+    // priority: .content beats .markdown-body; article beats both
+    val pri = region(s"<div class='markdown-body'>$filler<p>mb</p></div>" +
+      s"<div class='content'>$filler<p>ct</p></div>")
+    assert(pri.contains("ct") && !pri.contains("mb"))
+    val pri2 = region(s"<article>$filler<p>ar</p></article>" +
+      s"<div class='content'>$filler<p>ct</p></div>")
+    assert(pri2.contains("ar") && !pri2.contains("ct"))
+    // class tokens are CSS-style: documentation-footer is NOT .documentation
+    val decoy = region(s"<div class='documentation-footer'>$filler<p>df</p></div>")
+    assert(decoy.contains("post"), "decoy class must fall through to body")
+    // MIN_CONTENT_LENGTH: a sub-200-char region falls through to body
+    val small = region("<div class='markdown-body'><p>tiny</p></div>")
+    assert(small.contains("post"))
+  }
+
   test("extractMain: nested same-tag elements close on the balanced end tag") {
     // an inner <div> inside <div role=main> must not truncate the region
     // to its first child (lazy (.*?)</div> stopped at the inner close)

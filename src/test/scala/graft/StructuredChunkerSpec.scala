@@ -179,17 +179,27 @@ class StructuredChunkerSpec extends SparkSpec {
     }
   }
 
-  test("HtmlToMarkdown strips class/role noise containers (static selector set)") {
+  test("noise split: convert keeps fast-path text; removeNoise strips the selector set") {
     import graft.sources.HtmlToMarkdown
     val html = "<html><body><div class='x sidebar'>side links</div>" +
       "<span role='banner'>big banner</span>" +
       "<div class='breadcrumb'>home / docs</div>" +
       "<p>real content stays</p>" +
       "<div class='content-like'>also stays</div></body></html>"
+    // fast path = markdownify strip ONLY (script/style/nav/footer,
+    // page.py:39-45): class/role noise SURVIVES, exactly like the
+    // reference's http_fast markdown — stripping it here would diverge
+    // content hashes (J2) from the reference
     val md = HtmlToMarkdown.convert(html)
     assert(md.contains("real content stays") && md.contains("also stays"))
-    assert(!md.contains("side links") && !md.contains("big banner") &&
-      !md.contains("home / docs"))
+    assert(md.contains("side links") && md.contains("big banner") &&
+      md.contains("home / docs"))
+    // heavy-path DOM pre-clean (_remove_noise, page.py:181-199): the full
+    // NOISE_SELECTORS list goes; class-token decoys (content-like) stay
+    val cleaned = HtmlToMarkdown.convert(HtmlToMarkdown.removeNoise(html))
+    assert(cleaned.contains("real content stays") && cleaned.contains("also stays"))
+    assert(!cleaned.contains("side links") && !cleaned.contains("big banner") &&
+      !cleaned.contains("home / docs"))
   }
 
   test("Postprocess: chunk + classify + cleaner gated off skip chunks") {
