@@ -418,6 +418,30 @@ object SparkEntry {
         engine.orderLog.select("host", "priority", "urlNorm", "disposition")
           .orderBy("host", "priority")
       }
+    }),
+    "q35_video_frames" -> ((s, d) => {
+      // X1 — REAL video decode (Y4M, the codec-free container): synthesize
+      // a deterministic multi-frame payload per doc, decode EVERY frame
+      // through the real parser ([[graft.functions.Y4m]]), and emit the
+      // decoded gray level. Frames are uniform by construction, so min==max
+      // across all decoded pixels proves the full plane converted (a
+      // non-uniform decode emits -1 and reddens the hash); the oracle
+      // recomputes the BT.601 limited-range math in closed-form SQL.
+      val framesUdf = udf((docId: Long) => {
+        val bytes = graft.fixtures.FixtureGen.y4mBytes(docId)
+        val parsed = graft.functions.Y4m.parse(bytes).get
+        (0 until parsed.frameCount).map { k =>
+          val img = graft.functions.Y4m.frame(bytes, parsed, k)
+          val px = img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
+          val r0 = (px(0) >> 16) & 0xff
+          val uniform = px.forall { p =>
+            ((p >> 16) & 0xff) == r0 && ((p >> 8) & 0xff) == r0 && (p & 0xff) == r0 }
+          (k.toLong, if (uniform) r0.toLong else -1L)
+        }
+      })
+      docs(s, d).select(col("doc_id"), explode(framesUdf(col("doc_id"))).as("f"))
+        .select(col("doc_id"), col("f._1").as("frame_idx"), col("f._2").as("gray"))
+        .orderBy("doc_id", "frame_idx")
     })
   )
 
@@ -728,6 +752,15 @@ object SparkEntry {
                   'paragraph', 'tail', NULL, NULL, NULL FROM d)
          SELECT doc_id, concat('Doc ', doc_id) AS title, pos, block_type,
                 content, level, language, alt
-         FROM r ORDER BY doc_id, pos"""
+         FROM r ORDER BY doc_id, pos""",
+    // q35: the Y4M fixture writes (doc_id%3)+1 uniform frames with luma
+    // 16+(31·doc_id+7k)%220 and neutral chroma; BT.601 limited-range decode
+    // of (y, 128, 128) is r=g=b=(298·(y−16)+128)>>8, exactly this integer
+    // SQL (max luma 235 keeps it ≤255, so the clamp never fires)
+    "q35_video_frames" ->
+      """SELECT d.doc_id, t.u AS frame_idx,
+                (298*((31*d.doc_id + 7*t.u) % 220) + 128) // 256 AS gray
+         FROM documents d, unnest(range(d.doc_id % 3 + 1)) AS t(u)
+         ORDER BY doc_id, frame_idx"""
   )
 }

@@ -234,6 +234,33 @@ object FixtureGen {
     spark.range(count).as[Long].map(imageRow).toDF()
   }
 
+  /** q35 fixture: a deterministic multi-frame Y4M payload per doc id —
+    * (d%3)+1 uniform 8×4 4:2:0 frames, luma `16 + (31d+7k)%220` (within the
+    * 16..235 studio range), neutral chroma 128. The decoded gray is the
+    * closed form `(298·((31d+7k)%220)+128)>>8`, which the DuckDB oracle
+    * recomputes in integer SQL — so the REAL [[graft.functions.Y4m]] parse
+    * + BT.601 conversion is driver-gated end to end. */
+  def y4mBytes(docId: Long): Array[Byte] = {
+    val w = 8; val h = 4
+    val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420jpeg\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val nFrames = (docId % 3).toInt + 1
+    val ySize = w * h; val cSize = (w / 2) * (h / 2)
+    val marker = "FRAME\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new Array[Byte](header.length + nFrames * (marker.length + ySize + 2 * cSize))
+    System.arraycopy(header, 0, out, 0, header.length)
+    var pos = header.length
+    var k = 0
+    while (k < nFrames) {
+      System.arraycopy(marker, 0, out, pos, marker.length); pos += marker.length
+      val luma = (16 + (31 * docId + 7 * k) % 220).toByte
+      java.util.Arrays.fill(out, pos, pos + ySize, luma); pos += ySize
+      java.util.Arrays.fill(out, pos, pos + 2 * cSize, 128.toByte); pos += 2 * cSize
+      k += 1
+    }
+    out
+  }
+
   final case class PageRow(
       url: String, host: String, status: Int, contentType: String,
       content: String, links: Seq[String], navLinks: Seq[String],

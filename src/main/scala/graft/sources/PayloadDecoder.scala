@@ -35,9 +35,24 @@ final class JpgDecoder extends PayloadDecoder {
   override def encode(img: BufferedImage): Array[Byte] = ImageOps.encode(img, "jpg")
 }
 
-/** Audio/video payloads: the codec libraries don't ship in this container,
-  * so decode is STUBBED (clearly marked); the registry/dispatch plumbing,
-  * schema and batch shape are real and tested. */
+/** Uncompressed video (YUV4MPEG2): REAL decode — Y4M is header text + raw
+  * planar YCbCr, no codec needed, so [[graft.functions.Y4m]] parses it in
+  * pure JVM integer math (frame 0 here; frame sampling via
+  * [[graft.functions.Y4m.sampleFrames]]). Driver-gated by q35 against a
+  * closed-form DuckDB oracle. */
+final class Y4mDecoder extends PayloadDecoder {
+  override val fmt = "y4m"
+  override val lossless = false // BT.601 integer round-trip: ±2/channel ≫ 40 dB
+  override def decode(bytes: Array[Byte]): BufferedImage =
+    graft.functions.Y4m.decodeFirstFrame(bytes)
+  override def encode(img: BufferedImage): Array[Byte] =
+    graft.functions.Y4m.encodeFrame(img)
+}
+
+/** COMPRESSED video/audio payloads: the codec libraries don't ship in this
+  * container, so decode is STUBBED (clearly marked); the registry/dispatch
+  * plumbing, schema and batch shape are real and tested — and uncompressed
+  * Y4M video has the REAL [[Y4mDecoder]] above. */
 final class VideoFrameDecoderStub extends PayloadDecoder {
   override val fmt = "video"
   override val lossless = false
@@ -55,6 +70,7 @@ object DecoderRegistry {
     "png" -> new PngDecoder,
     "jpg" -> new JpgDecoder,
     "jpeg" -> new JpgDecoder,
+    "y4m" -> new Y4mDecoder,
     "video" -> new VideoFrameDecoderStub)
 
   /** "jpg"/"jpeg" are one format under two spellings — a registration for

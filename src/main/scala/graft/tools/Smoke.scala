@@ -101,6 +101,23 @@ object Smoke {
       println(s"SMOKE ntz-pin: q08=${base08.size} q09=${base09.size} rows invariant under LTZ-inference+Lord_Howe")
     }
 
+    // round-4 Y4M drive: the REAL video decode through the distributed
+    // batch operator AND the q35 query against its closed-form expectation
+    locally {
+      val vids = spark.range(24).select(
+        concat(lit("v"), $"id").as("image_id"),
+        udf((d: Long) => graft.fixtures.FixtureGen.y4mBytes(d)).apply($"id").as("bytes"),
+        lit("y4m").as("fmt"))
+      val thumbs = graft.operators.ImageBatch.thumbnails(vids, 4, 4)
+        .where($"w" === 8 && $"h" === 4 && $"thumb".isNotNull).count()
+      val q35 = graft.SparkEntry.queries("q35_video_frames")(spark, "/root/testdata/sf0.001")
+      val bad = q35.where($"gray" =!=
+        expr("(298*((31*doc_id + 7*frame_idx) % 220) + 128) div 256"))
+      assert(thumbs == 24, s"y4m thumbs=$thumbs")
+      assert(bad.isEmpty, "q35 decoded gray diverges from closed form")
+      println(s"SMOKE y4m: thumbs=$thumbs q35_rows=${q35.count()} all match closed form")
+    }
+
     // full engine drive: crawl the synthetic web end-to-end
     val params = graft.fixtures.FixtureGen.Params(hosts = 2, pagesPerHost = 40)
     val cfg = graft.model.CrawlConfig(
