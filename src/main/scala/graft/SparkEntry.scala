@@ -442,6 +442,24 @@ object SparkEntry {
       docs(s, d).select(col("doc_id"), explode(framesUdf(col("doc_id"))).as("f"))
         .select(col("doc_id"), col("f._1").as("frame_idx"), col("f._2").as("gray"))
         .orderBy("doc_id", "frame_idx")
+    }),
+    "q36_audio_features" -> ((s, d) => {
+      // X1 — REAL audio decode (WAV/PCM, the codec-free container):
+      // synthesize a deterministic square-wave payload per doc, parse it
+      // through the real RIFF walk ([[graft.functions.Wav]] — the fixture
+      // plants a LIST chunk between fmt and data, so fixed offsets would
+      // misparse), and emit extracted features; the oracle recomputes each
+      // in closed-form SQL (±A square wave: peak = RMS = A exactly).
+      val featUdf = udf((docId: Long) => {
+        val f = graft.functions.Wav.features(
+          graft.fixtures.FixtureGen.wavBytes(docId)).get
+        (f.sampleRate.toLong, f.nFrames.toLong, f.peak.toLong,
+          math.round(f.rms), f.durationMs)
+      })
+      docs(s, d).select(col("doc_id"), featUdf(col("doc_id")).as("f"))
+        .select(col("doc_id"), col("f._1").as("sr"), col("f._2").as("n_frames"),
+          col("f._3").as("peak"), col("f._4").as("rms"), col("f._5").as("dur_ms"))
+        .orderBy("doc_id")
     })
   )
 
@@ -761,6 +779,15 @@ object SparkEntry {
       """SELECT d.doc_id, t.u AS frame_idx,
                 (298*((31*d.doc_id + 7*t.u) % 220) + 128) // 256 AS gray
          FROM documents d, unnest(range(d.doc_id % 3 + 1)) AS t(u)
-         ORDER BY doc_id, frame_idx"""
+         ORDER BY doc_id, frame_idx""",
+    // q36: the WAV fixture is a ±A square wave (A = 1000 + (d%100)·31,
+    // 100 + d%50 frames at 8000 Hz): every sample² is A², so RMS == peak
+    // == A exactly; duration floors to ms like Features.durationMs
+    "q36_audio_features" ->
+      """SELECT doc_id, 8000::BIGINT AS sr, 100 + doc_id % 50 AS n_frames,
+                1000 + (doc_id % 100) * 31 AS peak,
+                1000 + (doc_id % 100) * 31 AS rms,
+                (100 + doc_id % 50) * 1000 // 8000 AS dur_ms
+         FROM documents ORDER BY doc_id"""
   )
 }

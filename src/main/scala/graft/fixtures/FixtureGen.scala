@@ -261,6 +261,31 @@ object FixtureGen {
     out
   }
 
+  /** q36 fixture: a deterministic PCM WAV per doc id — 16-bit mono at
+    * 8000 Hz, `100 + d%50` frames of a ±A square wave with
+    * `A = 1000 + (d%100)·31`. Every feature is closed-form for the DuckDB
+    * oracle: peak = A, RMS = A exactly (each sample² is A²), duration =
+    * frames·1000/8000 ms. A LIST chunk sits between fmt and data so the
+    * parser must actually WALK chunks, not assume fixed offsets. */
+  def wavBytes(docId: Long): Array[Byte] = {
+    val n = 100 + (docId % 50).toInt
+    val amp = (1000 + (docId % 100) * 31).toInt
+    val samples = Array.tabulate(n)(i => if (i % 2 == 0) amp else -amp)
+    val plain = graft.functions.Wav.encodePcm16Mono(samples, 8000)
+    // splice a LIST/INFO chunk (8 + 4 bytes) between "fmt " and "data"
+    val list = "LIST".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+      Array[Byte](4, 0, 0, 0) ++
+      "INFO".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new Array[Byte](plain.length + list.length)
+    System.arraycopy(plain, 0, out, 0, 36) // RIFF..fmt end
+    System.arraycopy(list, 0, out, 36, list.length)
+    System.arraycopy(plain, 36, out, 36 + list.length, plain.length - 36)
+    // RIFF size grew by the spliced chunk
+    val riffLen = (out.length - 8).toLong
+    (0 until 4).foreach(j => out(4 + j) = ((riffLen >> (8 * j)) & 0xff).toByte)
+    out
+  }
+
   final case class PageRow(
       url: String, host: String, status: Int, contentType: String,
       content: String, links: Seq[String], navLinks: Seq[String],

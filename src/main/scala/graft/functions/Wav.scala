@@ -1,0 +1,141 @@
+package graft.functions
+
+/** Real audio decode for the codec-free container: RIFF/WAVE PCM ("WAV").
+  * Like [[Y4m]] for video, WAV needs no codec library — a RIFF chunk walk
+  * plus little-endian PCM samples — so audio feature extraction (sample
+  * rate, frame count, duration, peak, RMS) runs as real pure-JVM parsing
+  * inside distributed operators. Compressed audio (mp3/aac/…) stays behind
+  * the clearly-marked stub, exactly like compressed video.
+  *
+  * Layout (public spec, RIFF 1991 / WAVE):
+  * {{{
+  *   "RIFF" <u32 size> "WAVE"
+  *   ( <4cc id> <u32 size> payload [pad byte if size odd] )*
+  *   "fmt ": u16 audioFormat(1=PCM) u16 channels u32 sampleRate
+  *           u32 byteRate u16 blockAlign u16 bitsPerSample
+  *   "data": interleaved frames (8-bit unsigned | 16-bit signed LE)
+  * }}}
+  * The chunk WALK matters: real files carry LIST/INFO/fact chunks before
+  * or after data — fixed offsets would misparse them.
+  *
+  * Contract matches [[ImageOps.decode]]/[[Y4m.parse]]: malformed, truncated
+  * or null payloads yield None — never a throw. A corrupt audio row must
+  * CLASSIFY as invalid, not abort the stage.
+  */
+object Wav {
+
+  /** Parsed stream facts + extracted features. `peak` is max |sample|,
+    * `rms` is sqrt(mean(sample²)) over ALL channels' samples, both in raw
+    * PCM units (8-bit samples are centered: value − 128). */
+  final case class Features(
+      channels: Int, sampleRate: Int, bitsPerSample: Int, nFrames: Int,
+      peak: Int, rms: Double) {
+    def durationMs: Long = nFrames.toLong * 1000L / sampleRate
+  }
+
+  private def u16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def u32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) | ((b(i + 2) & 0xffL) << 16) |
+      ((b(i + 3) & 0xffL) << 24)
+  private def fourcc(b: Array[Byte], i: Int, s: String): Boolean =
+    b(i) == s.charAt(0).toByte && b(i + 1) == s.charAt(1).toByte &&
+      b(i + 2) == s.charAt(2).toByte && b(i + 3) == s.charAt(3).toByte
+
+  def features(bytes: Array[Byte]): Option[Features] = {
+    if (bytes == null || bytes.length < 12) return None
+    if (!fourcc(bytes, 0, "RIFF") || !fourcc(bytes, 8, "WAVE")) return None
+    var channels = -1; var sampleRate = -1; var bits = -1
+    var dataOff = -1; var dataLen = -1
+    var pos = 12
+    while (pos + 8 <= bytes.length) {
+      val size = u32(bytes, pos + 4) // u32: already nonneg
+      val body = pos + 8
+      val avail = math.min(size, (bytes.length - body).toLong).toInt
+      if (fourcc(bytes, pos, "fmt ")) {
+        if (avail < 16) return None
+        val audioFormat = u16(bytes, body)
+        if (audioFormat != 1) return None // PCM only; compressed → classify
+        channels = u16(bytes, body + 2)
+        sampleRate = u32(bytes, body + 4).toInt
+        bits = u16(bytes, body + 14)
+      } else if (fourcc(bytes, pos, "data") && dataOff < 0) { // first data wins
+        dataOff = body
+        dataLen = avail // truncated data: use what's actually present
+      }
+      // advance in LONG: a hostile size near u32-max would overflow an Int
+      // pos negative and index out of bounds — clamp to end instead
+      val next = body.toLong + size + (size & 1L) // chunks pad to even
+      pos = if (next > bytes.length) bytes.length else next.toInt
+    }
+    if (channels <= 0 || sampleRate <= 0 || dataOff < 0) return None
+    if (bits != 8 && bits != 16) return None
+    val bytesPerSample = bits / 8
+    val frameBytes = bytesPerSample * channels
+    val nFrames = dataLen / frameBytes
+    val nSamples = nFrames * channels
+    var peak = 0
+    var sumSq = 0.0
+    var i = 0
+    while (i < nSamples) {
+      val v =
+        if (bits == 8) (bytes(dataOff + i) & 0xff) - 128 // 8-bit PCM is unsigned
+        else { // 16-bit signed little-endian
+          val raw = u16(bytes, dataOff + 2 * i)
+          if (raw >= 0x8000) raw - 0x10000 else raw
+        }
+      val a = math.abs(v)
+      if (a > peak) peak = a
+      sumSq += v.toDouble * v.toDouble
+      i += 1
+    }
+    val rms = if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples)
+    Some(Features(channels, sampleRate, bits, nFrames, peak, rms))
+  }
+
+  /** Raw centered samples (spec/debug surface; interleaved channel order). */
+  def samples(bytes: Array[Byte]): Option[Array[Int]] =
+    features(bytes).map { f =>
+      // re-walk for the data chunk; bounded to the features' frame count
+      val out = new Array[Int](f.nFrames * f.channels)
+      var pos = 12; var dataOff = -1
+      while (dataOff < 0 && pos + 8 <= bytes.length) {
+        if (fourcc(bytes, pos, "data")) dataOff = pos + 8
+        else {
+          val size = u32(bytes, pos + 4)
+          val next = pos + 8L + size + (size & 1L)
+          pos = if (next > bytes.length) bytes.length else next.toInt
+        }
+      }
+      var i = 0
+      while (i < out.length) {
+        out(i) =
+          if (f.bitsPerSample == 8) (bytes(dataOff + i) & 0xff) - 128
+          else {
+            val raw = u16(bytes, dataOff + 2 * i)
+            if (raw >= 0x8000) raw - 0x10000 else raw
+          }
+        i += 1
+      }
+      out
+    }
+
+  /** 16-bit PCM mono encode (the inverse surface, like [[Y4m.encodeFrame]]):
+    * header + fmt + data chunks, little-endian. */
+  def encodePcm16Mono(samples: Array[Int], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    def putAscii(i: Int, s: String): Unit =
+      (0 until 4).foreach(j => out(i + j) = s.charAt(j).toByte)
+    def put32(i: Int, v: Long): Unit =
+      (0 until 4).foreach(j => out(i + j) = ((v >> (8 * j)) & 0xff).toByte)
+    def put16(i: Int, v: Int): Unit = { out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte }
+    putAscii(0, "RIFF"); put32(4, 36L + dataLen); putAscii(8, "WAVE")
+    putAscii(12, "fmt "); put32(16, 16L)
+    put16(20, 1); put16(22, 1); put32(24, sampleRate.toLong)
+    put32(28, sampleRate.toLong * 2); put16(32, 2); put16(34, 16)
+    putAscii(36, "data"); put32(40, dataLen.toLong)
+    samples.indices.foreach(i => put16(44 + 2 * i, samples(i) & 0xffff))
+    out
+  }
+}

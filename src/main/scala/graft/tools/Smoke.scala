@@ -115,7 +115,12 @@ object Smoke {
         expr("(298*((31*doc_id + 7*frame_idx) % 220) + 128) div 256"))
       assert(thumbs == 24, s"y4m thumbs=$thumbs")
       assert(bad.isEmpty, "q35 decoded gray diverges from closed form")
-      println(s"SMOKE y4m: thumbs=$thumbs q35_rows=${q35.count()} all match closed form")
+      val q36 = graft.SparkEntry.queries("q36_audio_features")(spark, "/root/testdata/sf0.001")
+      val badWav = q36.where($"peak" =!= $"rms" ||
+        $"peak" =!= lit(1000) + ($"doc_id" % 100) * 31)
+      assert(badWav.isEmpty, "q36 wav features diverge from closed form")
+      println(s"SMOKE y4m+wav: thumbs=$thumbs q35_rows=${q35.count()} " +
+        s"q36_rows=${q36.count()} all match closed form")
     }
 
     // full engine drive: crawl the synthetic web end-to-end
