@@ -875,8 +875,23 @@ final class CrawlEngine(
     graft.operators.Preflight.validate(spark, fetcher, scorer) // F10
     spark.sparkContext.setJobGroup(jobGroup, "graft crawl engine",
       interruptOnCancel = true)
-    try runResume(stopAfterFetchEpoch, stopAfterDiscoverDepth)
-    catch {
+    try {
+      runResume(stopAfterFetchEpoch, stopAfterDiscoverDepth)
+      // Durable completion marker: a run that ended with NOTHING left to
+      // do commits a terminal `complete` manifest row (the reference's
+      // state file records completion — empty `state.pending_urls`,
+      // `src/jobs/state.py`), so resume-from-state can answer "job was
+      // complete" across processes without replaying the pending math.
+      // Counters re-commit (manifest counters are per-commit, and a bare
+      // row would zero the serving layer's cumulative pages_completed);
+      // table pointers carry forward by manifest semantics. Skipped on
+      // partial runs (stop-between-epochs) and when a facade already
+      // stamped its own terminal phase.
+      if (!stoppedEarlyFlag && stopAfterFetchEpoch.isEmpty &&
+          stopAfterDiscoverDepth.isEmpty &&
+          !io.lastCommitted.map(_._1).exists(Set("complete", "postprocess")))
+        commitTracked("complete", 0, tables = Map.empty, counters = io.lastCounters)
+    } catch {
       // a cancelled in-flight job throws from the interrupted action; if
       // WE asked for it, that is a clean stop, not a failure
       case _: Exception if cancelRequested => stoppedEarlyFlag = true
@@ -934,8 +949,8 @@ final class CrawlEngine(
         }
       case Some(("fetch", e)) =>
         fetchFrom(e + 1, stopAfterFetchEpoch)
-      case Some(("postprocess", _)) =>
-        () // crawl + post-scrape pipeline complete; nothing to resume
+      case Some(("postprocess", _)) | Some(("complete", _)) =>
+        () // crawl (+ post-scrape pipeline) complete; nothing to resume
       case Some((other, _)) =>
         throw new IllegalStateException(s"unknown phase $other")
     }

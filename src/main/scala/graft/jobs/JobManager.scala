@@ -149,6 +149,37 @@ final class JobManager(
   /** The configured cap, for the serving layer's admission message. */
   def maxConcurrent: Int = maxConcurrentJobs
 
+  /** Absolute state directory of a job — the durable identity unit
+    * (`stateRoot/jobId`, the reference's `.crawls/<id>`). The serving
+    * layer persists the validated create request here so
+    * resume-from-state can reconstruct it (reference `state.request`). */
+  def stateDirOf(jobId: String): Path = stateDir(jobId)
+
+  /** Phase/epoch of the job's last durable commit, read straight from the
+    * state dir's manifest — needs no live engine, so it works across
+    * process restarts (the resume-from-state completeness probe:
+    * `complete` — or the facade's `postprocess` — is the terminal phase a
+    * finished crawl commits). */
+  def lastCommittedPhase(jobId: String): Option[(String, Int)] =
+    new graft.sources.ParquetSnapshotTableIO(
+      spark, stateDir(jobId).toString).lastCommitted
+
+  /** Drop a TERMINAL job's in-memory entry so its id can be resubmitted
+    * over the same state dir (PR 3.1 resume-from-state, `routes.py:355` —
+    * the reference revives a finished/cancelled job's pending work as a
+    * new run; here job id ≡ state dir, so revival reuses the id). Returns
+    * false while the job is active — callers must 409, not hijack a
+    * running engine's state dir. */
+  def forgetTerminal(jobId: String): Boolean = {
+    val job = jobs.get(jobId)
+    job != null && job.synchronized {
+      job.status match {
+        case Done | Cancelled | Failed(_) => jobs.remove(jobId, job); true
+        case _ => false
+      }
+    }
+  }
+
   /** The job's engine, for table access (`orderLog`, `fetched`, …) — the
     * reference's `GET /api/jobs/{id}` result object analog. */
   def engineOf(jobId: String): Option[CrawlEngine] =

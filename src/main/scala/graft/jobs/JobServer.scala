@@ -29,6 +29,16 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   *    replaced by commit polling (progress is durable table state here,
   *    not an in-process queue, so a reconnecting client misses nothing).
   *  - `GET  /api/health/ready` → `{"status":"ok"}` (`routes.py:154`).
+  *  - `POST /api/jobs/resume-from-state` body `{"job_id": …}` → revives a
+  *    terminal job from its committed state dir under its ORIGINAL stored
+  *    request (`routes.py:355` — the `state_file_path` analog; job id ≡
+  *    state dir here). 404/422/409/429 mirror the reference.
+  *  - `GET  /api/converters` → converter registry + capability flags
+  *    (`routes.py:407`).
+  *  - `GET  /api/info` → app identity (`routes.py:426`). The reference's
+  *    `/models`/`/providers` routes are LLM-provider config surface with
+  *    no analog here: scorers are injected engine wiring (X2), not served
+  *    configuration.
   */
 final class JobServer(
     mgr: JobManager,
@@ -74,6 +84,9 @@ final class JobServer(
     (method, path) match {
       case ("GET", "/api/health/ready") => respond(ex, 200, """{"status":"ok"}""")
       case ("POST", "/api/jobs") => createJob(ex)
+      case ("POST", "/api/jobs/resume-from-state") => resumeFromState(ex)
+      case ("GET", "/api/converters") => respond(ex, 200, convertersJson)
+      case ("GET", "/api/info") => respond(ex, 200, infoJson)
       case ("GET", JobRoute(id, "status")) => jobStatus(ex, id)
       case ("POST", JobRoute(id, "cancel")) =>
         if (mgr.status(id).isEmpty) respond(ex, 404, notFound(id))
@@ -95,8 +108,28 @@ final class JobServer(
     }
   }
 
-  // sliding-window create timestamps for the rate limit
+  // sliding-window create timestamps for the rate limit (shared by create
+  // and resume-from-state, which the reference limits identically at
+  // 10/minute — routes.py:91,356)
   private val createTimes = new java.util.concurrent.ConcurrentLinkedDeque[Long]()
+
+  /** True (and 429 already written) if the shared create window is full.
+    * Decide under the lock, write to the socket OUTSIDE it — responding
+    * while holding the monitor would let one slow-reading client block
+    * every other create on the rate-limit check. */
+  private def rateLimitCreate(ex: HttpExchange): Boolean = {
+    val now = System.currentTimeMillis()
+    val rateLimited = createTimes.synchronized {
+      while (!createTimes.isEmpty && now - createTimes.peekFirst() > 60000L)
+        createTimes.pollFirst()
+      if (createTimes.size >= createLimitPerMinute) true
+      else { createTimes.addLast(now); false }
+    }
+    if (rateLimited)
+      respond(ex, 429,
+        s"""{"error":${quote(s"rate limit exceeded ($createLimitPerMinute/minute)")}}""")
+    rateLimited
+  }
 
   private def createJob(ex: HttpExchange): Unit = {
     // bounded read: an unbounded readAllBytes would let one client OOM the
@@ -110,21 +143,7 @@ final class JobServer(
     val body = new String(limited, UTF_8)
     // admission order mirrors the reference: rate limit (decorator), then
     // the active-jobs cap (routes.py:94-99), then validation
-    val now = System.currentTimeMillis()
-    // decide under the lock, write to the socket OUTSIDE it — responding
-    // while holding the monitor would let one slow-reading client block
-    // every other create on the rate-limit check
-    val rateLimited = createTimes.synchronized {
-      while (!createTimes.isEmpty && now - createTimes.peekFirst() > 60000L)
-        createTimes.pollFirst()
-      if (createTimes.size >= createLimitPerMinute) true
-      else { createTimes.addLast(now); false }
-    }
-    if (rateLimited) {
-      respond(ex, 429,
-        s"""{"error":${quote(s"rate limit exceeded ($createLimitPerMinute/minute)")}}""")
-      return
-    }
+    if (rateLimitCreate(ex)) return
     // fast-path cap rejection first, mirroring the reference's admission
     // order (cap before validation, routes.py:94-99)…
     val active = mgr.activeJobCount
@@ -147,13 +166,101 @@ final class JobServer(
           // check-then-act over two HTTP threads (or two server instances
           // on one manager) would let both pass at cap-1 and silently
           // queue the overflow job instead of 429ing it
-          if (mgr.tryAdmit(submitter(id, req))) respond(ex, 200, statusJson(id))
+          if (mgr.tryAdmit { persistRequest(id, req); submitter(id, req) })
+            respond(ex, 200, statusJson(id))
           else respond(ex, 429, s"""{"error":${quote(
             s"Too many active jobs (${mgr.maxConcurrent}/${mgr.maxConcurrent}). Try again later.")}}""")
         } catch { case e: IllegalArgumentException =>
           respond(ex, 422, s"""{"error":${quote(e.getMessage)}}""") }
     }
   }
+
+  /** The validated create request, written into the job's state dir — the
+    * reference stores it in the state file (`state.request`) so
+    * resume-from-state can reconstruct the ORIGINAL job instead of
+    * trusting resubmitted parameters. Normalized JSON, not the raw body. */
+  private def persistRequest(id: String, req: JobRequest): Unit = {
+    val dir = mgr.stateDirOf(id)
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve("request.json"),
+      requestJson(req).getBytes(UTF_8))
+  }
+
+  /** PR 3.1 — `POST /api/jobs/resume-from-state` (`routes.py:355`): revive
+    * a job from its committed state dir. Body `{"job_id": …}` — job id ≡
+    * state dir here, the reference's `state_file_path` analog. 404 no
+    * state dir; 422 nothing committed / no stored request; 409 crawl ran
+    * to completion (terminal `postprocess` commit — nothing pending) or
+    * the job is still active in-process; 429 at the cap; else the engine
+    * continues from its last committed epoch under the original request. */
+  private def resumeFromState(ex: HttpExchange): Unit = {
+    val limited = ex.getRequestBody.readNBytes(MaxBodyBytes + 1)
+    if (limited.length > MaxBodyBytes) {
+      respond(ex, 413, s"""{"error":"body exceeds $MaxBodyBytes bytes"}""")
+      return
+    }
+    if (rateLimitCreate(ex)) return
+    parseResumeRequest(new String(limited, UTF_8)) match {
+      case Left(err) => respond(ex, 422, s"""{"error":${quote(err)}}""")
+      case Right(id) =>
+        val dir = mgr.stateDirOf(id)
+        if (!java.nio.file.Files.isDirectory(dir)) {
+          respond(ex, 404, s"""{"error":${quote(s"State not found for job $id")}}""")
+          return
+        }
+        mgr.lastCommittedPhase(id) match {
+          case None =>
+            respond(ex, 422,
+              s"""{"error":${quote(s"No committed state for job $id")}}""")
+          case Some(("complete", _)) | Some(("postprocess", _)) =>
+            // a terminal phase: pending was empty when it committed
+            respond(ex, 409,
+              """{"error":"No pending work in state — job was complete."}""")
+          case Some(_) =>
+            if (mgr.status(id).isDefined && !mgr.forgetTerminal(id)) {
+              respond(ex, 409, s"""{"error":${quote(
+                s"Job $id is active; use pause/resume or cancel")}}""")
+              return
+            }
+            val reqFile = dir.resolve("request.json")
+            if (!java.nio.file.Files.isRegularFile(reqFile)) {
+              respond(ex, 422,
+                s"""{"error":${quote(s"No stored request for job $id")}}""")
+              return
+            }
+            parseRequest(new String(
+              java.nio.file.Files.readAllBytes(reqFile), UTF_8)) match {
+              case Left(err) => respond(ex, 422, s"""{"error":${quote(
+                s"Invalid request in state: $err")}}""")
+              case Right(req) =>
+                try {
+                  if (mgr.tryAdmit(submitter(id, req))) respond(ex, 200, statusJson(id))
+                  else respond(ex, 429, s"""{"error":${quote(
+                    s"Too many active jobs (${mgr.maxConcurrent}/${mgr.maxConcurrent}). Try again later.")}}""")
+                } catch { case e: IllegalArgumentException =>
+                  // lost a revival race: another thread resubmitted first
+                  respond(ex, 409, s"""{"error":${quote(e.getMessage)}}""") }
+            }
+        }
+    }
+  }
+
+  /** `GET /api/converters` (`routes.py:407`): the converter registry with
+    * capability flags, from [[graft.sources.MarkdownConverters]]. */
+  private def convertersJson: String = {
+    val cs = graft.sources.MarkdownConverters.available.map { n =>
+      val c = graft.sources.MarkdownConverters.get(n)
+      s"""{"name":${quote(n)},"supports_tables":${c.supportsTables},""" +
+        s""""supports_code_blocks":${c.supportsCodeBlocks}}"""
+    }
+    s"""{"converters":[${cs.mkString(",")}],"default":"markdownify"}"""
+  }
+
+  /** `GET /api/info` (`routes.py:426`): app identity. The reference's
+    * `/models`/`/providers` LLM-config routes have no analog — scorers
+    * are injected engine wiring here, not served configuration. */
+  private def infoJson: String =
+    """{"name":"docrawlspark","version":"0.4.0","engine":"spark"}"""
 
   private def jobStatus(ex: HttpExchange, id: String): Unit =
     mgr.status(id) match {
@@ -275,6 +382,27 @@ object JobServer {
         else if (req.maxDepth < 1 || req.maxDepth > 20) Left("max_depth in [1,20]")
         else if (req.delayMs < 100 || req.delayMs > 60000) Left("delay_ms in [100,60000]")
         else Right(req)
+      }
+    } catch { case e: Exception => Left(s"bad JSON: ${e.getMessage}") }
+
+  /** Canonical JSON for a validated request (the `request.json` payload —
+    * same field names [[parseRequest]] reads back on resume-from-state). */
+  private[graft] def requestJson(req: JobRequest): String =
+    s"""{"url":${quote(req.url)},"max_depth":${req.maxDepth},""" +
+      s""""delay_ms":${req.delayMs},"respect_robots_txt":${req.respectRobotsTxt}}"""
+
+  /** resume-from-state body: `{"job_id": …}`. */
+  private[graft] def parseResumeRequest(body: String): Either[String, String] =
+    try {
+      val n = mapper.readTree(body)
+      if (n == null || !n.hasNonNull("job_id")) Left("job_id is required")
+      else {
+        val id = n.get("job_id").asText()
+        // ids are path components of the state root — a traversal here
+        // would let a client probe arbitrary directories
+        if (id.isEmpty || id.contains('/') || id.contains('\\') ||
+          id.contains("..")) Left("invalid job_id")
+        else Right(id)
       }
     } catch { case e: Exception => Left(s"bad JSON: ${e.getMessage}") }
 

@@ -155,6 +155,73 @@ class JobServerSpec extends SparkSpec {
     } finally server2.stop()
   }
 
+  test("resume-from-state revives a mid-crawl state dir under its stored request") {
+    val (server, mgr, base) = newServer(createLimit = 100)
+    try {
+      // introspection routes (routes.py:407 converters, :426 info)
+      val conv = get(s"$base/api/converters")
+      assert(conv.statusCode() == 200, conv.body())
+      assert(conv.body().contains("\"markdownify\"") &&
+        conv.body().contains("\"readerlm\""), conv.body())
+      assert(conv.body().contains("\"supports_tables\":true"), conv.body())
+      assert(conv.body().contains("\"default\":\"markdownify\""), conv.body())
+      val info = get(s"$base/api/info")
+      assert(info.statusCode() == 200 && info.body().contains("docrawlspark"))
+
+      // failure modes mirror the reference (routes.py:355-396)
+      def resume(body: String) = post(s"$base/api/jobs/resume-from-state", body)
+      assert(resume("""{"job_id":"ghost"}""").statusCode() == 404)
+      assert(resume("""{"job_id":"../../etc"}""").statusCode() == 422) // traversal
+      assert(resume("{}").statusCode() == 422)
+      assert(resume("not json").statusCode() == 422)
+      Files.createDirectories(mgr.stateDirOf("job-hollow"))
+      assert(resume("""{"job_id":"job-hollow"}""").statusCode() == 422) // nothing committed
+
+      // a mid-crawl state dir: one committed fetch epoch then stop (ST2) —
+      // the deterministic cross-process crash/stop analog (no cancel race)
+      val id = "job-revive"
+      val dir = mgr.stateDirOf(id)
+      Files.createDirectories(dir)
+      val req = JobServer.parseRequest(
+        """{"url":"https://site-0.test/docs","max_depth":5}""").toOption.get
+      Files.write(dir.resolve("request.json"), JobServer.requestJson(req).getBytes(UTF_8))
+      val cfg = CrawlConfig(seedUrls = Seq(req.url), maxDepth = req.maxDepth,
+        epochSeconds = 30, respectRobotsTxt = req.respectRobotsTxt)
+      def engine(d: String) = new graft.epoch.CrawlEngine(spark, cfg,
+        new FixtureFetcher(web), images,
+        new graft.sources.ParquetSnapshotTableIO(spark, d), policies)
+      engine(dir.toString).run(stopAfterFetchEpoch = Some(1))
+      assert(mgr.lastCommittedPhase(id).exists(_._1 == "fetch"))
+
+      // revive over HTTP; a concurrent second revive must refuse (409
+      // active — or 409 complete if the small crawl already finished),
+      // never hijack the running engine's state dir
+      val ok = resume(s"""{"job_id":"$id"}""")
+      assert(ok.statusCode() == 200, ok.body())
+      assert(ok.body().contains(s""""id":"$id""""), ok.body())
+      assert(resume(s"""{"job_id":"$id"}""").statusCode() == 409)
+      mgr.awaitAll()
+      assert(get(s"$base/api/jobs/$id/status").body()
+        .contains("\"status\":\"completed\""))
+      // terminal completion commit: nothing pending → the reference's 409
+      assert(mgr.lastCommittedPhase(id).exists(_._1 == "complete"))
+      val done = resume(s"""{"job_id":"$id"}""")
+      assert(done.statusCode() == 409, done.body())
+      assert(done.body().contains("complete"), done.body())
+
+      // the stored-request reconstruction is faithful: revived-run tables
+      // equal an uninterrupted crawl of the same request (ST2 oracle)
+      val d2 = Files.createTempDirectory("graft-uninterrupted")
+      val e2 = engine(d2.toString); e2.run()
+      import spark.implicits._
+      def log(e: graft.epoch.CrawlEngine) =
+        e.orderLog.select("host", "priority", "urlNorm", "disposition")
+          .as[(String, Long, String, String)].collect().sortBy(t => (t._1, t._2)).toSeq
+      assert(log(mgr.engineOf(id).get) == log(e2))
+      mgr.shutdown()
+    } finally server.stop()
+  }
+
   test("failed job: the captured error reaches status JSON and the job_done event") {
     val root = Files.createTempDirectory("graft-http-fail").toString
     val mgr = new JobManager(spark, root, maxConcurrentJobs = 2)
