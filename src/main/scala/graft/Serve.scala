@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.jobs.{JobManager, JobServer}
+import graft.model.CrawlConfig
+import graft.operators.Ssrf
+import graft.sources.{BootstrapFetch, HttpFetcher, RenderClient}
+
+/** spark-submit serving entry — the reference's `main.py` (the uvicorn app
+  * with its lifespan cleanup task): ONE long-lived Spark driver hosting the
+  * job API ([[graft.jobs.JobServer]]) over a [[graft.jobs.JobManager]],
+  * plus the periodic TTL sweep (`manager.py` cleanup). Each POSTed job gets
+  * the production wiring of [[Crawl.run]] — per-seed robots/sitemap
+  * bootstrap over the real transport, the 5-level fetch chain, its own
+  * state dir under `--state-root`.
+  *
+  * {{{
+  * spark-submit --class graft.Serve graft.jar \
+  *   --state-root /data/graft-jobs --images s3://…/images.parquet \
+  *   [--port 8000] [--max-jobs 3] [--ttl-minutes 60] [--cdp-ws WS_URL]
+  * }}}
+  *
+  * The server binds loopback (like the reference's default uvicorn bind) —
+  * put a real ingress in front on a cluster.
+  */
+object Serve {
+
+  /** The per-request job wiring (`routes.py:90` create_job →
+    * `runner.py:113` run_job), factored from [[main]] so specs can drive
+    * the REAL wiring over loopback HTTP: robots + sitemap bootstrap per
+    * seed, the production transport, manager-owned engine lifecycle.
+    * resume-from-state reuses it verbatim — the stored request rebuilds
+    * the same wiring the create built. */
+  def submitter(spark: SparkSession, mgr: JobManager, images: DataFrame,
+      renderer: RenderClient = RenderClient.Static,
+      ssrfCheck: String => Boolean = u => !Ssrf.isSsrf(u),
+      /** request-time transport validation (per request + redirect hop):
+        * the production default layers the DNS-resolving SSRF check on the
+        * row gate (Crawl.run's contract); loopback fixture specs inject a
+        * permissive one — the resolving check correctly refuses 127/8. */
+      transportValidate: Option[String => Boolean] = None)
+      : (String, JobServer.JobRequest) => Unit = (id, req) => {
+    val validate = transportValidate.getOrElse(
+      (u: String) => ssrfCheck(u) && !Ssrf.isSsrfResolving(u))
+    import spark.implicits._
+    val cfg = CrawlConfig(seedUrls = Seq(req.url), maxDepth = req.maxDepth,
+      delayMs = req.delayMs, respectRobotsTxt = req.respectRobotsTxt)
+    val seeds = Map(
+      graft.util.PyUrl.host(graft.util.PyUrl.canonicalize(req.url)) -> req.url)
+    // bootstrap is never-throw (transport failure → "absent" → allow-all
+    // robots / BFS-only discovery), so a dead seed host yields a FAILED or
+    // empty JOB, not a failed create — reference runner semantics
+    val policies = BootstrapFetch.robotsPolicies(seeds, validate = ssrfCheck)
+    val bodies = BootstrapFetch.sitemapBodies(seeds, policies, validate = ssrfCheck)
+    mgr.submit(id, cfg, images,
+      new HttpFetcher(validate = validate, renderer = renderer),
+      policies,
+      ssrfCheck = ssrfCheck,
+      sitemaps =
+        if (bodies.nonEmpty) Some(bodies.toDF("sitemap_url", "body", "gzipped"))
+        else None)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val known = Set("state-root", "images", "port", "max-jobs",
+      "ttl-minutes", "sweep-seconds", "cdp-ws")
+    def usage(msg: String): Nothing = {
+      System.err.println(s"error: $msg\nusage: graft.Serve " +
+        "--state-root DIR --images PARQUET [--port N] [--max-jobs N] " +
+        "[--ttl-minutes N] [--sweep-seconds N] [--cdp-ws WS_URL]")
+      sys.exit(2)
+    }
+    val opts = scala.collection.mutable.Map.empty[String, String]
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (!a.startsWith("--")) usage(s"unexpected argument $a")
+      val key = a.stripPrefix("--")
+      if (!known.contains(key)) usage(s"unknown option $a")
+      if (i + 1 >= args.length) usage(s"missing value for $a")
+      opts(key) = args(i + 1); i += 2
+    }
+    val stateRoot = opts.getOrElse("state-root", usage("--state-root required"))
+    val imagesPath = opts.getOrElse("images", usage("--images required"))
+    val (port, maxJobs, ttlMinutes, sweepSeconds) =
+      try (opts.get("port").map(_.toInt).getOrElse(8000),
+        opts.get("max-jobs").map(_.toInt).getOrElse(3),
+        opts.get("ttl-minutes").map(_.toInt).getOrElse(60),
+        opts.get("sweep-seconds").map(_.toInt).getOrElse(60))
+      catch { case e: NumberFormatException =>
+        usage(s"non-numeric option value: ${e.getMessage}") }
+    val spark = SparkSession.builder().appName("graft-serve").getOrCreate()
+    val images = spark.read.parquet(imagesPath)
+    val mgr = new JobManager(spark, stateRoot, maxConcurrentJobs = maxJobs)
+    val renderer = opts.get("cdp-ws")
+      .map(ws => new graft.sources.PlaywrightRenderClient(cdpWsUrl = ws): RenderClient)
+      .getOrElse(RenderClient.Static)
+    val server = new JobServer(mgr, submitter(spark, mgr, images, renderer),
+      port = port)
+    server.start()
+    println(s"graft serve: job API on 127.0.0.1:${server.boundPort}, " +
+      s"state root $stateRoot, cap $maxJobs jobs, TTL $ttlMinutes min")
+    sys.addShutdownHook { server.stop(); mgr.shutdown() }
+    // the reference's periodic cleanup task (`manager.py` TTL sweep): swept
+    // ids are logged — silent deletion would read as data loss
+    while (true) {
+      Thread.sleep(sweepSeconds * 1000L)
+      val swept = mgr.sweep(ttlMinutes * 60000L)
+      if (swept.nonEmpty) println(s"graft serve: swept ${swept.mkString(", ")}")
+    }
+  }
+}

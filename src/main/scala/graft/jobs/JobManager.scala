@@ -61,13 +61,17 @@ final class JobManager(
       fetcher: graft.sources.Fetcher,
       policies: Map[String, graft.operators.Robots.Policy],
       ssrfCheck: String => Boolean =
-        u => !graft.operators.Ssrf.isSsrf(u)): Unit = {
+        u => !graft.operators.Ssrf.isSsrf(u),
+      /** sitemap bodies for the discovery cascade (the per-job bootstrap a
+        * serving front-end like [[graft.Serve]] fetches before submit). */
+      sitemaps: Option[DataFrame] = None,
+      warmCache: Option[DataFrame] = None): Unit = {
     require(!jobs.containsKey(jobId), s"job $jobId already submitted")
     Files.createDirectories(stateDir(jobId))
     val io = new graft.sources.ParquetSnapshotTableIO(
       spark, stateDir(jobId).toString)
     val engine = new CrawlEngine(spark, cfg, fetcher, images, io, policies,
-      ssrfCheck = ssrfCheck)
+      sitemaps = sitemaps, warmCache = warmCache, ssrfCheck = ssrfCheck)
     val job = new Job(engine, Queued, 0L)
     // putIfAbsent is the authoritative uniqueness check — the containsKey
     // require above is a fast-fail; two concurrent submits of one id must

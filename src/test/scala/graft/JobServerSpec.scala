@@ -222,6 +222,64 @@ class JobServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("Serve wiring: POSTed job crawls a real loopback site through the production transport") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    // a minimal real site: robots.txt + a seed page linking one child
+    val site = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def page(body: String): com.sun.net.httpserver.HttpHandler = (ex: HttpExchange) => {
+      val b = body.getBytes(UTF_8)
+      ex.getResponseHeaders.add("Content-Type", "text/html")
+      ex.sendResponseHeaders(200, b.length.toLong)
+      ex.getResponseBody.write(b); ex.close()
+    }
+    val prose = "<p>" + ("serve wiring documentation prose with many words. " * 20) + "</p>"
+    val sitePort = site.getAddress.getPort
+    site.createContext("/robots.txt", (ex: HttpExchange) => {
+      val b = "User-agent: *\nDisallow: /docs/private/\n".getBytes(UTF_8)
+      ex.sendResponseHeaders(200, b.length.toLong)
+      ex.getResponseBody.write(b); ex.close()
+    })
+    site.createContext("/docs", page(
+      s"""<html><body><h1>seed</h1>$prose<a href="/docs/child">c</a>
+         |<a href="/docs/private/x">p</a></body></html>""".stripMargin))
+    site.createContext("/docs/child", page(s"<html><body><h1>child</h1>$prose</body></html>"))
+    site.start()
+
+    val root = Files.createTempDirectory("graft-serve").toString
+    val mgr = new JobManager(spark, root, maxConcurrentJobs = 2)
+    val allowLoopback: String => Boolean =
+      u => graft.operators.Ssrf.hostname(u) == "127.0.0.1" ||
+        !graft.operators.Ssrf.isSsrf(u)
+    // the REAL production wiring (graft.Serve); loopback-permissive gates —
+    // the production default's DNS-resolving check correctly refuses 127/8
+    val server = new JobServer(mgr,
+      graft.Serve.submitter(spark, mgr, images, ssrfCheck = allowLoopback,
+        transportValidate = Some(allowLoopback)))
+    server.start()
+    val base = s"http://127.0.0.1:${server.boundPort}"
+    try {
+      val created = post(s"$base/api/jobs",
+        s"""{"url":"http://127.0.0.1:$sitePort/docs","max_depth":3}""")
+      assert(created.statusCode() == 200, created.body())
+      val id = "\"id\":\"([^\"]+)\"".r.findFirstMatchIn(created.body()).get.group(1)
+      mgr.awaitAll()
+      val st = get(s"$base/api/jobs/$id/status").body()
+      assert(st.contains("\"status\":\"completed\""), st)
+      // the crawl went through the real HttpFetcher: both pages dispatched,
+      // the robots-disallowed child never fetched ok
+      import spark.implicits._
+      val log = mgr.engineOf(id).get.orderLog
+        .select("urlNorm", "disposition").as[(String, String)].collect().toMap
+      assert(log.exists { case (u, d) => u.endsWith("/docs") && d == "ok" }, log)
+      assert(log.exists { case (u, d) => u.endsWith("/docs/child") && d == "ok" }, log)
+      assert(!log.exists { case (u, d) => u.contains("/private/") && d == "ok" }, log)
+      // completed → the terminal marker 409s a revival, same as create-path jobs
+      val again = post(s"$base/api/jobs/resume-from-state", s"""{"job_id":"$id"}""")
+      assert(again.statusCode() == 409, again.body())
+      mgr.shutdown()
+    } finally { server.stop(); site.stop(0) }
+  }
+
   test("failed job: the captured error reaches status JSON and the job_done event") {
     val root = Files.createTempDirectory("graft-http-fail").toString
     val mgr = new JobManager(spark, root, maxConcurrentJobs = 2)
