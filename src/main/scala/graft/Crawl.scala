@@ -151,23 +151,16 @@ object Crawl {
         "subtrees of one host run one job per seed via graft.jobs.JobManager; " +
         "got " + cfg.seedUrls)
     val seeds: Map[String, String] = seedPairs.toMap
-    val policies = BootstrapFetch.robotsPolicies(seeds, validate = ssrfCheck)
-    val bodies = BootstrapFetch.sitemapBodies(seeds, policies, validate = ssrfCheck)
+    val (policies, sitemaps, defaultFetcher) =
+      bootstrapWiring(spark, seeds, ssrfCheck, renderer)
     val tableIo = io.getOrElse(new ParquetSnapshotTableIO(spark, stateDir))
     val engine = new CrawlEngine(
       spark, cfg,
-      // default transport: caller's gate AND the DNS-resolving check — a
-      // name resolving into 10/8 or 169.254/16 is rejected at request
-      // time even when the cheap row gate admitted it
-      fetcher.getOrElse(new HttpFetcher(
-        validate = u => ssrfCheck(u) && !Ssrf.isSsrfResolving(u),
-        renderer = renderer)),
+      fetcher.getOrElse(defaultFetcher),
       images,
       tableIo,
       policies,
-      sitemaps =
-        if (bodies.nonEmpty) Some(bodies.toDF("sitemap_url", "body", "gzipped"))
-        else None,
+      sitemaps = sitemaps,
       scorer = scorer,
       warmCache = warmCache,
       ssrfCheck = ssrfCheck)
@@ -183,5 +176,32 @@ object Crawl {
         tableIo.commit("postprocess", 0, tables = Map("chunks" -> chunks))
       }
     engine
+  }
+
+  /** Production bootstrap + transport wiring for one job — ONE copy of the
+    * security-relevant SSRF layering, shared by [[run]] and
+    * [[Serve.submitter]]: per-seed robots policies, sitemap bodies as the
+    * engine's cascade input (never-throw: a dead host means allow-all
+    * robots and BFS-only discovery, not a failed job creation), and the
+    * default transport whose request-time validate layers the
+    * DNS-resolving SSRF check on the caller's row gate — a name resolving
+    * into 10/8 or 169.254/16 is rejected at request time even when the
+    * cheap row gate admitted it. `transportValidate` overrides that
+    * layering for loopback fixture specs ONLY. */
+  private[graft] def bootstrapWiring(spark: SparkSession,
+      seeds: Map[String, String],
+      ssrfCheck: String => Boolean,
+      renderer: graft.sources.RenderClient,
+      transportValidate: Option[String => Boolean] = None)
+      : (Map[String, graft.operators.Robots.Policy], Option[DataFrame], HttpFetcher) = {
+    import spark.implicits._
+    val validate = transportValidate.getOrElse(
+      (u: String) => ssrfCheck(u) && !Ssrf.isSsrfResolving(u))
+    val policies = BootstrapFetch.robotsPolicies(seeds, validate = ssrfCheck)
+    val bodies = BootstrapFetch.sitemapBodies(seeds, policies, validate = ssrfCheck)
+    (policies,
+      if (bodies.nonEmpty) Some(bodies.toDF("sitemap_url", "body", "gzipped"))
+      else None,
+      new HttpFetcher(validate = validate, renderer = renderer))
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.jobs.{JobManager, JobServer}
 import graft.model.CrawlConfig
 import graft.operators.Ssrf
-import graft.sources.{BootstrapFetch, HttpFetcher, RenderClient}
+import graft.sources.RenderClient
 
 /** spark-submit serving entry — the reference's `main.py` (the uvicorn app
   * with its lifespan cleanup task): ONE long-lived Spark driver hosting the
@@ -41,25 +41,15 @@ object Serve {
         * permissive one — the resolving check correctly refuses 127/8. */
       transportValidate: Option[String => Boolean] = None)
       : (String, JobServer.JobRequest) => Unit = (id, req) => {
-    val validate = transportValidate.getOrElse(
-      (u: String) => ssrfCheck(u) && !Ssrf.isSsrfResolving(u))
-    import spark.implicits._
     val cfg = CrawlConfig(seedUrls = Seq(req.url), maxDepth = req.maxDepth,
       delayMs = req.delayMs, respectRobotsTxt = req.respectRobotsTxt)
     val seeds = Map(
       graft.util.PyUrl.host(graft.util.PyUrl.canonicalize(req.url)) -> req.url)
-    // bootstrap is never-throw (transport failure → "absent" → allow-all
-    // robots / BFS-only discovery), so a dead seed host yields a FAILED or
-    // empty JOB, not a failed create — reference runner semantics
-    val policies = BootstrapFetch.robotsPolicies(seeds, validate = ssrfCheck)
-    val bodies = BootstrapFetch.sitemapBodies(seeds, policies, validate = ssrfCheck)
-    mgr.submit(id, cfg, images,
-      new HttpFetcher(validate = validate, renderer = renderer),
-      policies,
-      ssrfCheck = ssrfCheck,
-      sitemaps =
-        if (bodies.nonEmpty) Some(bodies.toDF("sitemap_url", "body", "gzipped"))
-        else None)
+    // the SAME wiring [[Crawl.run]] uses — one copy of the SSRF layering
+    val (policies, sitemaps, fetcher) =
+      Crawl.bootstrapWiring(spark, seeds, ssrfCheck, renderer, transportValidate)
+    mgr.submit(id, cfg, images, fetcher, policies,
+      ssrfCheck = ssrfCheck, sitemaps = sitemaps)
   }
 
   def main(args: Array[String]): Unit = {
@@ -90,6 +80,14 @@ object Serve {
         opts.get("sweep-seconds").map(_.toInt).getOrElse(60))
       catch { case e: NumberFormatException =>
         usage(s"non-numeric option value: ${e.getMessage}") }
+    // bad values fail at parse time like bad flags — a negative sweep would
+    // throw out of the loop and self-terminate the service mid-crawl, 0
+    // would busy-spin, and a negative TTL would sweep every terminal job's
+    // state dir on the first pass
+    if (port < 0 || port > 65535) usage(s"--port $port out of range")
+    if (maxJobs < 1) usage(s"--max-jobs $maxJobs must be >= 1")
+    if (ttlMinutes < 1) usage(s"--ttl-minutes $ttlMinutes must be >= 1")
+    if (sweepSeconds < 1) usage(s"--sweep-seconds $sweepSeconds must be >= 1")
     val spark = SparkSession.builder().appName("graft-serve").getOrCreate()
     val images = spark.read.parquet(imagesPath)
     val mgr = new JobManager(spark, stateRoot, maxConcurrentJobs = maxJobs)

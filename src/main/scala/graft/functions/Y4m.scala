@@ -46,14 +46,19 @@ object Y4m {
     def frameCount: Int = frameOffsets.length
   }
 
-  /** (luma plane bytes, one chroma plane bytes) for a frame. */
-  private def planeSizes(w: Int, h: Int, chroma: String): (Int, Int) = {
-    val y = w * h
+  /** (luma plane bytes, one chroma plane bytes) for a frame — LONG math:
+    * a hostile header like `W65536 H32768` overflows Int w·h negative,
+    * which would pass the per-frame fit check and drive the walk to a
+    * negative index (an ArrayIndexOutOfBounds throw, violating the
+    * never-throw contract). In Long the oversized frame simply fails the
+    * fit check and classifies as zero decodable frames. */
+  private def planeSizes(w: Int, h: Int, chroma: String): (Long, Long) = {
+    val y = w.toLong * h
     chroma match {
-      case "420"  => (y, (w / 2) * (h / 2))
-      case "422"  => (y, (w / 2) * h)
+      case "420"  => (y, (w / 2).toLong * (h / 2))
+      case "422"  => (y, (w / 2).toLong * h)
       case "444"  => (y, y)
-      case "mono" => (y, 0)
+      case "mono" => (y, 0L)
     }
   }
 
@@ -128,8 +133,10 @@ object Y4m {
   def frame(bytes: Array[Byte], p: Parsed, idx: Int): BufferedImage = {
     val (ySize, cSize) = planeSizes(p.w, p.h, p.chroma)
     val off = p.frameOffsets(idx)
-    val cbOff = off + ySize
-    val crOff = cbOff + cSize
+    // safe narrowing: parse only records offsets whose whole frame fits in
+    // the array, so ySize/cSize ≤ bytes.length ≤ Int.MaxValue here
+    val cbOff = off + ySize.toInt
+    val crOff = cbOff + cSize.toInt
     val img = new BufferedImage(p.w, p.h, BufferedImage.TYPE_INT_RGB)
     val px = new Array[Int](p.w * p.h)
     var y = 0

@@ -144,11 +144,24 @@ final class JobManager(
     * queue-on-semaphore behavior for embedders that WANT queuing; resume()
     * likewise re-queues past the cap by design (reference resume_job
     * re-enqueues rather than 429ing). */
-  def tryAdmit(submitThunk: => Unit): Boolean = admissionGate.synchronized {
-    if (activeJobCount >= maxConcurrentJobs) false
-    else { submitThunk; true }
+  def tryAdmit(submitThunk: => Unit): Boolean = {
+    // reserve under the lock, run the thunk OUTSIDE it: serving submitters
+    // do real work in the thunk (per-seed robots/sitemap bootstrap over the
+    // network, request persistence) — holding the gate through a 5s-timeout
+    // fetch to a dead host would serialize and wedge every concurrent
+    // create/resume on this manager
+    admissionGate.synchronized {
+      if (activeJobCount + reservations >= maxConcurrentJobs) return false
+      reservations += 1
+    }
+    // between submit (job now in the map) and the release below the job is
+    // momentarily double-counted — conservative: a racer at the cap gets a
+    // spurious 429, never an over-admit
+    try { submitThunk; true }
+    finally admissionGate.synchronized { reservations -= 1 }
   }
   private val admissionGate = new Object
+  private var reservations = 0 // guarded by admissionGate
 
   /** The configured cap, for the serving layer's admission message. */
   def maxConcurrent: Int = maxConcurrentJobs
@@ -168,20 +181,36 @@ final class JobManager(
     new graft.sources.ParquetSnapshotTableIO(
       spark, stateDir(jobId).toString).lastCommitted
 
-  /** Drop a TERMINAL job's in-memory entry so its id can be resubmitted
-    * over the same state dir (PR 3.1 resume-from-state, `routes.py:355` —
-    * the reference revives a finished/cancelled job's pending work as a
-    * new run; here job id ≡ state dir, so revival reuses the id). Returns
-    * false while the job is active — callers must 409, not hijack a
-    * running engine's state dir. */
-  def forgetTerminal(jobId: String): Boolean = {
-    val job = jobs.get(jobId)
-    job != null && job.synchronized {
-      job.status match {
-        case Done | Cancelled | Failed(_) => jobs.remove(jobId, job); true
-        case _ => false
+  /** Revive a TERMINAL (or unknown — fresh process) job id over its state
+    * dir (PR 3.1 resume-from-state, `routes.py:355` — the reference
+    * revives a finished/cancelled job's pending work as a new run; here
+    * job id ≡ state dir, so revival reuses the id): atomically drops the
+    * old entry and runs `resubmit` (which must [[submit]] the same id).
+    * If resubmit throws, the old entry is RESTORED before rethrowing — a
+    * failed revival must not leave the job invisible to status/SSE and,
+    * since [[sweep]] only walks the in-memory map, permanently unsweepable
+    * (a state-dir leak). Returns false (resubmit not run) while the job is
+    * still active — callers must 409, not hijack a running engine. */
+  def revive(jobId: String)(resubmit: => Unit): Boolean = {
+    val old = jobs.get(jobId)
+    if (old != null) {
+      val removable = old.synchronized {
+        old.status match {
+          case Done | Cancelled | Failed(_) => true
+          case _ => false
+        }
       }
+      if (!removable) return false
+      // a racer replacing the entry between get and remove re-evaluates
+      if (!jobs.remove(jobId, old)) return revive(jobId)(resubmit)
     }
+    try resubmit
+    catch {
+      case e: Throwable =>
+        if (old != null) jobs.putIfAbsent(jobId, old)
+        throw e
+    }
+    true
   }
 
   /** The job's engine, for table access (`orderLog`, `fetched`, …) — the

@@ -131,16 +131,28 @@ final class JobServer(
     rateLimited
   }
 
-  private def createJob(ex: HttpExchange): Unit = {
-    // bounded read: an unbounded readAllBytes would let one client OOM the
-    // driver with a huge POST (the reference fronts FastAPI with an edge
-    // worker; this server is its own first line)
+  /** Bounded body read — an unbounded readAllBytes would let one client
+    * OOM the driver with a huge POST (the reference fronts FastAPI with an
+    * edge worker; this server is its own first line). None = 413 sent. */
+  private def readBody(ex: HttpExchange): Option[String] = {
     val limited = ex.getRequestBody.readNBytes(MaxBodyBytes + 1)
     if (limited.length > MaxBodyBytes) {
       respond(ex, 413, s"""{"error":"body exceeds $MaxBodyBytes bytes"}""")
-      return
-    }
-    val body = new String(limited, UTF_8)
+      None
+    } else Some(new String(limited, UTF_8))
+  }
+
+  /** Cap-gated submit shared by create and resume-from-state: the manager's
+    * admission gate is the AUTHORITATIVE check — check-then-act over two
+    * HTTP threads (or two server instances on one manager) would let both
+    * pass at cap-1 and silently queue the overflow job instead of 429ing. */
+  private def admitAndRespond(ex: HttpExchange, id: String)(thunk: => Unit): Unit =
+    if (mgr.tryAdmit(thunk)) respond(ex, 200, statusJson(id))
+    else respond(ex, 429, s"""{"error":${quote(
+      s"Too many active jobs (${mgr.maxConcurrent}/${mgr.maxConcurrent}). Try again later.")}}""")
+
+  private def createJob(ex: HttpExchange): Unit = {
+    val body = readBody(ex).getOrElse(return)
     // admission order mirrors the reference: rate limit (decorator), then
     // the active-jobs cap (routes.py:94-99), then validation
     if (rateLimitCreate(ex)) return
@@ -161,16 +173,8 @@ final class JobServer(
         val id = s"job-${java.util.UUID.randomUUID()}"
         // config-level require failures (e.g. a URL that parses but the
         // engine refuses) are the client's fault — 422, not a 500
-        try {
-          // …but the AUTHORITATIVE check is the manager's admission gate:
-          // check-then-act over two HTTP threads (or two server instances
-          // on one manager) would let both pass at cap-1 and silently
-          // queue the overflow job instead of 429ing it
-          if (mgr.tryAdmit { persistRequest(id, req); submitter(id, req) })
-            respond(ex, 200, statusJson(id))
-          else respond(ex, 429, s"""{"error":${quote(
-            s"Too many active jobs (${mgr.maxConcurrent}/${mgr.maxConcurrent}). Try again later.")}}""")
-        } catch { case e: IllegalArgumentException =>
+        try admitAndRespond(ex, id) { persistRequest(id, req); submitter(id, req) }
+        catch { case e: IllegalArgumentException =>
           respond(ex, 422, s"""{"error":${quote(e.getMessage)}}""") }
     }
   }
@@ -194,13 +198,9 @@ final class JobServer(
     * the job is still active in-process; 429 at the cap; else the engine
     * continues from its last committed epoch under the original request. */
   private def resumeFromState(ex: HttpExchange): Unit = {
-    val limited = ex.getRequestBody.readNBytes(MaxBodyBytes + 1)
-    if (limited.length > MaxBodyBytes) {
-      respond(ex, 413, s"""{"error":"body exceeds $MaxBodyBytes bytes"}""")
-      return
-    }
+    val body = readBody(ex).getOrElse(return)
     if (rateLimitCreate(ex)) return
-    parseResumeRequest(new String(limited, UTF_8)) match {
+    parseResumeRequest(body) match {
       case Left(err) => respond(ex, 422, s"""{"error":${quote(err)}}""")
       case Right(id) =>
         val dir = mgr.stateDirOf(id)
@@ -217,11 +217,11 @@ final class JobServer(
             respond(ex, 409,
               """{"error":"No pending work in state — job was complete."}""")
           case Some(_) =>
-            if (mgr.status(id).isDefined && !mgr.forgetTerminal(id)) {
-              respond(ex, 409, s"""{"error":${quote(
-                s"Job $id is active; use pause/resume or cancel")}}""")
-              return
-            }
+            // EVERY refusal is decided before the old entry is touched:
+            // revival only drops it inside the admitted thunk (and the
+            // manager restores it if resubmit throws), so a 413/422/429
+            // can never make a terminal job vanish from status/SSE and —
+            // since sweep() walks the in-memory map — leak its state dir
             val reqFile = dir.resolve("request.json")
             if (!java.nio.file.Files.isRegularFile(reqFile)) {
               respond(ex, 422,
@@ -233,13 +233,17 @@ final class JobServer(
               case Left(err) => respond(ex, 422, s"""{"error":${quote(
                 s"Invalid request in state: $err")}}""")
               case Right(req) =>
-                try {
-                  if (mgr.tryAdmit(submitter(id, req))) respond(ex, 200, statusJson(id))
-                  else respond(ex, 429, s"""{"error":${quote(
-                    s"Too many active jobs (${mgr.maxConcurrent}/${mgr.maxConcurrent}). Try again later.")}}""")
-                } catch { case e: IllegalArgumentException =>
-                  // lost a revival race: another thread resubmitted first
-                  respond(ex, 409, s"""{"error":${quote(e.getMessage)}}""") }
+                try admitAndRespond(ex, id) {
+                  if (!mgr.revive(id)(submitter(id, req)))
+                    throw new IllegalStateException(
+                      s"Job $id is active; use pause/resume or cancel")
+                } catch {
+                  case e: IllegalStateException =>
+                    respond(ex, 409, s"""{"error":${quote(e.getMessage)}}""")
+                  case e: IllegalArgumentException =>
+                    // lost a revival race: another thread resubmitted first
+                    respond(ex, 409, s"""{"error":${quote(e.getMessage)}}""")
+                }
             }
         }
     }

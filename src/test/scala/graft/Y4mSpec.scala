@@ -124,6 +124,12 @@ class Y4mSpec extends SparkSpec {
     val full = FixtureGen.y4mBytes(2) // 3 frames
     assert(Y4m.parse(full.dropRight(5)).get.frameCount == 2)
     assert(Y4m.sampleFrames(ascii("garbage"), 4).isEmpty)
+    // hostile dims: W·H overflows Int — must classify (0 frames), not
+    // drive the chunk walk to a negative index and throw
+    val hostile = ascii("YUV4MPEG2 W65536 H32768 C420jpeg\nFRAME\n") ++
+      Array.fill(64)(0.toByte)
+    assert(Y4m.parse(hostile).get.frameCount == 0)
+    assert(Y4m.decodeFirstFrame(hostile) == null)
   }
 
   test("encode → decode round-trip clears the 40 dB lossy gate") {
