@@ -20,6 +20,43 @@ class JobManagerSpec extends SparkSpec {
   private lazy val images = FixtureGen.imagesDF(spark, params).cache()
   private lazy val policies = FixtureGen.robotsMap(params)
 
+  test("revive: refuses active jobs, restores the entry when resubmit throws") {
+    val root = Files.createTempDirectory("graft-revive").toString
+    val mgr = new JobManager(spark, root, maxConcurrentJobs = 2)
+    mgr.submit("j1", cfg, images, new FixtureFetcher(web), policies)
+    mgr.awaitAll()
+    assert(mgr.status("j1").contains(JobManager.Done))
+    // resubmit throws → the old entry is RESTORED: the job must stay
+    // visible to status/SSE and sweepable (sweep walks the in-memory map —
+    // a vanished terminal job would leak its state dir forever)
+    intercept[RuntimeException] {
+      mgr.revive("j1") { throw new RuntimeException("boom") }
+    }
+    assert(mgr.status("j1").contains(JobManager.Done))
+    assert(mgr.sweep(ttlMs = 0L).contains("j1")) // still sweepable
+    // unknown id (fresh-process resume): revive runs the resubmit
+    var ran = false
+    assert(mgr.revive("fresh") { ran = true })
+    assert(ran)
+    // active job: refused, resubmit not run. A latch holds the crawl
+    // in-flight so the check is deterministic (a finished tiny crawl
+    // would be legitimately revivable)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val inner = new FixtureFetcher(web)
+    val slow = new graft.sources.Fetcher {
+      override def fetchPages(urls: org.apache.spark.sql.DataFrame) = {
+        gate.await(); inner.fetchPages(urls)
+      }
+    }
+    mgr.submit("j2", cfg, images, slow, policies)
+    var hijacked = false
+    assert(!mgr.revive("j2") { hijacked = true })
+    assert(!hijacked)
+    gate.countDown()
+    mgr.awaitAll()
+    mgr.shutdown()
+  }
+
   test("three concurrent crawls: cap respected, isolated state, identical results, sweep") {
     val root = Files.createTempDirectory("graft-jobs").toString
     val mgr = new JobManager(spark, root, maxConcurrentJobs = 2)
