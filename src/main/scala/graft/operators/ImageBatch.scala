@@ -23,6 +23,39 @@ object ImageBatch {
     StructField("thumb", BinaryType),
     StructField("thumb_phash", LongType)))
 
+  val frameSchema: StructType = StructType(Seq(
+    StructField("video_id", StringType),
+    StructField("frame_idx", IntegerType),
+    StructField("w", IntegerType),
+    StructField("h", IntegerType),
+    StructField("frame", BinaryType),
+    StructField("frame_phash", LongType)))
+
+  /** Distributed video frame-sampling: up to `n` evenly-spaced frames per
+    * payload (floor-spaced `j·m/k`, [[graft.functions.Y4m.sampleFrames]]),
+    * one output row per decoded frame (png-encoded + phash). Y4M payloads
+    * decode for REAL (codec-free container); undecodable/corrupt/null
+    * payloads yield zero rows — at 100 TB a bad video is routine input,
+    * and per the decode contract it classifies, never crashes the stage.
+    * Input df must carry (video_id, bytes). */
+  def videoFrames(videos: DataFrame, n: Int, batchSize: Int = 16): DataFrame = {
+    val enc = RowEncoder.encoderFor(frameSchema)
+    videos.select("video_id", "bytes").mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { row =>
+          val id = row.getString(0)
+          val bytes = row.getAs[Array[Byte]](1)
+          graft.functions.Y4m.sampleFrames(bytes, n).zipWithIndex.map {
+            case (img, k) =>
+              val png = graft.functions.ImageOps.encode(img, "png")
+              Row(id, k, img.getWidth, img.getHeight, png,
+                graft.functions.ImageOps.phash64(png))
+          }
+        }
+      }
+    }(enc)
+  }
+
   /** Decode → box-resize to (tw×th) → re-encode png → phash, batched per
     * partition. Input df must carry (image_id, bytes, fmt). */
   def thumbnails(images: DataFrame, tw: Int, th: Int, batchSize: Int = 64): DataFrame = {

@@ -1,0 +1,91 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{ImageOps, Wav, Y4m}
+
+/** Property sweeps for the codec-free media decoders (X1): encode→decode
+  * round-trips over arbitrary content/dimensions, sampling invariants, and
+  * the never-throw classification contract under random mutation — the
+  * fuzz-shaped failure modes a 100 TB crawl feeds a decoder daily. */
+class MediaPropertySpec extends AnyFunSuite {
+
+  private def check(name: String, p: Prop, tests: Int = 200): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(tests)
+        .withInitialSeed(Seed(20260817L)), p)
+    assert(res.passed, s"$name: ${res.status}")
+  }
+
+  private val dims: Gen[(Int, Int)] =
+    for { w <- Gen.choose(1, 48); h <- Gen.choose(1, 48) } yield (w, h)
+
+  test("y4m: encode→decode round-trip clears 40 dB on arbitrary images") {
+    check("y4m-roundtrip", Prop.forAll(dims, Gen.choose(0L, 1L << 40)) {
+      case ((w, h), seed) =>
+        val img = ImageOps.toImage(ImageOps.syntheticPixels(seed, w, h), w, h)
+        val rt = Y4m.decodeFirstFrame(Y4m.encodeFrame(img))
+        rt != null && rt.getWidth == w && rt.getHeight == h &&
+          ImageOps.psnrImages(img, rt) >= 40.0
+    }, tests = 120)
+  }
+
+  test("y4m: sampleFrames indices are floor-spaced, distinct, in order") {
+    // m mono frames with luma == 16+k identify the frame sampled
+    val gen = for { m <- Gen.choose(1, 40); n <- Gen.choose(1, 50) } yield (m, n)
+    check("y4m-sampling", Prop.forAll(gen) { case (m, n) =>
+      val hdr = s"YUV4MPEG2 W2 H2 Cmono\n".getBytes("US-ASCII")
+      val frames = (0 until m).flatMap(k =>
+        "FRAME\n".getBytes("US-ASCII") ++ Array.fill(4)((16 + k).toByte))
+      val sampled = Y4m.sampleFrames(hdr ++ frames, n).map { img =>
+        // invert BT.601: gray = (298·(y−16)+128)>>8 is monotone in y — just
+        // recover k by matching the expected gray of each candidate luma
+        val g = img.getRGB(0, 0) & 0xff
+        (0 until m).find(k => ((298 * k + 128) >> 8) == g).get
+      }
+      val k = math.min(n, m)
+      sampled == (0 until k).map(j => (j.toLong * m / k).toInt)
+    })
+  }
+
+  test("y4m/wav: random mutation never throws — corrupt payloads classify") {
+    val base: Gen[Array[Byte]] = Gen.oneOf(
+      Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.y4mBytes),
+      Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.wavBytes))
+    val mutation: Gen[(Array[Byte]) => Array[Byte]] = Gen.oneOf(
+      Gen.choose(0, 1000).map(c => (b: Array[Byte]) => b.dropRight(c)),
+      Gen.choose(0, 60).map(c => (b: Array[Byte]) => b.drop(c)),
+      for { i <- Gen.choose(0, 4096); v <- Gen.choose(0, 255) } yield
+        (b: Array[Byte]) =>
+          if (b.isEmpty) b
+          else { val c = b.clone(); c(i % c.length) = v.toByte; c })
+    check("mutation-never-throws", Prop.forAll(base, Gen.listOfN(3, mutation)) {
+      (bytes, ms) =>
+        val mutated = ms.foldLeft(bytes)((b, m) => m(b))
+        // any outcome is fine — throwing is the only failure
+        Y4m.sampleFrames(mutated, 4)
+        Y4m.decodeFirstFrame(mutated)
+        Wav.features(mutated)
+        true
+    }, tests = 400)
+  }
+
+  test("wav: encode→features round-trip is exact on arbitrary PCM") {
+    val gen = for {
+      n <- Gen.choose(1, 500)
+      rate <- Gen.oneOf(8000, 16000, 44100)
+      samples <- Gen.listOfN(n, Gen.choose(-32768, 32767))
+    } yield (rate, samples.toArray)
+    check("wav-roundtrip", Prop.forAll(gen) { case (rate, samples) =>
+      val f = Wav.features(Wav.encodePcm16Mono(samples, rate)).get
+      val expectPeak = samples.map(v => math.abs(v)).max
+      val expectRms = math.sqrt(samples.map(v => v.toDouble * v).sum / samples.length)
+      f.nFrames == samples.length && f.sampleRate == rate &&
+        f.peak == expectPeak && math.abs(f.rms - expectRms) < 1e-9 &&
+        Wav.samples(Wav.encodePcm16Mono(samples, rate)).get.sameElements(samples)
+    })
+  }
+}

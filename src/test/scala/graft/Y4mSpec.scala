@@ -139,6 +139,22 @@ class Y4mSpec extends SparkSpec {
     assert(psnr >= 40.0, s"psnr=$psnr")
   }
 
+  test("videoFrames operator: sampled frames per payload; corrupt rows yield zero rows") {
+    import spark.implicits._
+    val rows = Seq(
+      ("v2", FixtureGen.y4mBytes(2)), // 3 frames → sample 2: indices 0,1 of the sample
+      ("v0", FixtureGen.y4mBytes(0)), // 1 frame
+      ("bad", "nope".getBytes(StandardCharsets.US_ASCII)),
+      ("nul", null: Array[Byte])).toDF("video_id", "bytes")
+    val out = graft.operators.ImageBatch.videoFrames(rows, n = 2).collect()
+    val byId = out.groupBy(_.getString(0))
+    assert(byId("v2").map(_.getInt(1)).sorted.toSeq == Seq(0, 1))
+    assert(byId("v0").length == 1)
+    assert(!byId.contains("bad") && !byId.contains("nul")) // classified, no rows, no crash
+    assert(out.forall(r => r.getInt(2) == 8 && r.getInt(3) == 4 &&
+      r.getAs[Array[Byte]]("frame") != null))
+  }
+
   test("registry dispatch: y4m is real through ImageBatch; corrupt classifies") {
     assert(!DecoderRegistry.losslessFormats.contains("y4m"))
     assert(DecoderRegistry.get("y4m").decode(FixtureGen.y4mBytes(5)) != null)
