@@ -192,7 +192,14 @@ object Crawl {
       seeds: Map[String, String],
       ssrfCheck: String => Boolean,
       renderer: graft.sources.RenderClient,
-      transportValidate: Option[String => Boolean] = None)
+      transportValidate: Option[String => Boolean] = None,
+      /** fetch-chain knobs (JobRequest S5/S6/S7 + PR 3.4 converter);
+        * defaults = the reference's defaults = [[run]]'s behavior. */
+      useNativeMarkdown: Boolean = true,
+      markdownProxyUrl: Option[String] = None,
+      useHttpFastPath: Boolean = true,
+      converter: graft.sources.MarkdownConverter =
+        graft.sources.MarkdownConverters.Markdownify)
       : (Map[String, graft.operators.Robots.Policy], Option[DataFrame], HttpFetcher) = {
     import spark.implicits._
     val validate = transportValidate.getOrElse(
@@ -202,6 +209,10 @@ object Crawl {
     (policies,
       if (bodies.nonEmpty) Some(bodies.toDF("sitemap_url", "body", "gzipped"))
       else None,
-      new HttpFetcher(validate = validate, renderer = renderer))
+      new HttpFetcher(
+        useNativeMarkdown = useNativeMarkdown,
+        markdownProxyUrl = markdownProxyUrl,
+        useHttpFastPath = useHttpFastPath,
+        validate = validate, converter = converter, renderer = renderer))
   }
 }

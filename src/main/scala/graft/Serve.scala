@@ -42,12 +42,21 @@ object Serve {
       transportValidate: Option[String => Boolean] = None)
       : (String, JobServer.JobRequest) => Unit = (id, req) => {
     val cfg = CrawlConfig(seedUrls = Seq(req.url), maxDepth = req.maxDepth,
-      delayMs = req.delayMs, respectRobotsTxt = req.respectRobotsTxt)
+      delayMs = req.delayMs, language = req.language,
+      respectRobotsTxt = req.respectRobotsTxt)
     val seeds = Map(
       graft.util.PyUrl.host(graft.util.PyUrl.canonicalize(req.url)) -> req.url)
-    // the SAME wiring [[Crawl.run]] uses — one copy of the SSRF layering
+    // the SAME wiring [[Crawl.run]] uses — one copy of the SSRF layering —
+    // with the request's fetch-chain knobs (S5/S6/S7, PR 3.4 converter:
+    // unknown names throw from the registry here → the route's 422, the
+    // reference's validate_converter behavior)
     val (policies, sitemaps, fetcher) =
-      Crawl.bootstrapWiring(spark, seeds, ssrfCheck, renderer, transportValidate)
+      Crawl.bootstrapWiring(spark, seeds, ssrfCheck, renderer, transportValidate,
+        useNativeMarkdown = req.useNativeMarkdown,
+        markdownProxyUrl = req.markdownProxyUrl,
+        useHttpFastPath = req.useHttpFastPath,
+        converter = graft.sources.MarkdownConverters.get(
+          req.converter.getOrElse("markdownify")))
     mgr.submit(id, cfg, images, fetcher, policies,
       ssrfCheck = ssrfCheck, sitemaps = sitemaps)
   }

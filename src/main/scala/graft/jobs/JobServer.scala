@@ -13,10 +13,14 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * loopback by default — put a real ingress in front on a cluster).
   *
   * Routes (reference analogs):
-  *  - `POST /api/jobs`            body `{"url": …, "max_depth": …}` →
-  *    submits via the embedder's `submitter` (transports/images are
-  *    deployment wiring, like the reference's scraper/model registry) and
-  *    returns `{"id","status"}` (`routes.py:90` create_job).
+  *  - `POST /api/jobs`            body `{"url": …, "max_depth": …,
+  *    "delay_ms": …, "respect_robots_txt": …, "use_native_markdown": …,
+  *    "markdown_proxy_url": …, "use_http_fast_path": …, "converter": …,
+  *    "language": …}` — the engine-consumed `JobRequest` fields with the
+  *    reference's validation bounds — submits via the embedder's
+  *    `submitter` (transports/images are deployment wiring, like the
+  *    reference's scraper/model registry) and returns `{"id","status"}`
+  *    (`routes.py:90` create_job).
   *  - `GET  /api/jobs/{id}/status` → `{"id","status","pages_completed",
   *    "phase","epoch"}` (`routes.py:137`; pages from the engine's
   *    manifest counters — no Spark job per poll).
@@ -355,45 +359,85 @@ object JobServer {
   val MaxBodyBytes: Int = 64 * 1024
 
   /** `api/models.py JobRequest` analog — the fields the Spark engine
-    * consumes (model-selection fields are scorer wiring, bound by the
-    * embedder's `submitter`). Validation bounds mirror the reference. */
+    * consumes: crawl bounds plus the fetch-chain knobs (S5/S6/S7 levels,
+    * PR 3.4 converter plugin, F3 language). Model-selection fields are
+    * scorer wiring bound by the embedder's `submitter`; `output_format`/
+    * `use_pipeline_mode`/custom selector lists stay facade-level scope.
+    * Validation bounds mirror the reference (`models.py:19-110`, incl.
+    * the HTTPS-only proxy URL rule). */
   final case class JobRequest(
       url: String,
       maxDepth: Int = 5,
       delayMs: Int = 500,
-      respectRobotsTxt: Boolean = true)
+      respectRobotsTxt: Boolean = true,
+      useNativeMarkdown: Boolean = true,
+      markdownProxyUrl: Option[String] = None,
+      useHttpFastPath: Boolean = true,
+      converter: Option[String] = None,
+      language: String = "en")
 
   private val mapper = new ObjectMapper()
 
   private[jobs] def quote(s: String): String =
     mapper.writeValueAsString(if (s == null) "" else s)
 
-  /** Parse + validate (reference field bounds: `models.py:19-31`). */
+  private val ConverterName = "^[\\w-]{1,50}$".r
+
+  /** Parse + validate (reference field bounds: `models.py:19-110`). */
   private[graft] def parseRequest(body: String): Either[String, JobRequest] =
     try {
       val n = mapper.readTree(body)
       if (n == null || !n.hasNonNull("url")) Left("url is required")
       else {
+        def bool(f: String, dflt: Boolean) =
+          if (n.hasNonNull(f)) n.get(f).asBoolean() else dflt
         val req = JobRequest(
           url = n.get("url").asText(),
           maxDepth = if (n.hasNonNull("max_depth")) n.get("max_depth").asInt() else 5,
           delayMs = if (n.hasNonNull("delay_ms")) n.get("delay_ms").asInt() else 500,
-          respectRobotsTxt =
-            if (n.hasNonNull("respect_robots_txt")) n.get("respect_robots_txt").asBoolean()
-            else true)
+          respectRobotsTxt = bool("respect_robots_txt", dflt = true),
+          useNativeMarkdown = bool("use_native_markdown", dflt = true),
+          markdownProxyUrl =
+            if (n.hasNonNull("markdown_proxy_url")) Some(n.get("markdown_proxy_url").asText())
+            else None,
+          useHttpFastPath = bool("use_http_fast_path", dflt = true),
+          converter =
+            if (n.hasNonNull("converter")) Some(n.get("converter").asText()) else None,
+          language = if (n.hasNonNull("language")) n.get("language").asText() else "en")
         if (!req.url.startsWith("http://") && !req.url.startsWith("https://"))
           Left("url must be http(s)")
         else if (req.maxDepth < 1 || req.maxDepth > 20) Left("max_depth in [1,20]")
         else if (req.delayMs < 100 || req.delayMs > 60000) Left("delay_ms in [100,60000]")
+        // reference validate_proxy_url: the proxy sees every page body —
+        // HTTPS only (models.py:101-110)
+        else if (req.markdownProxyUrl.exists(!_.startsWith("https://")))
+          Left("markdown_proxy_url must use HTTPS")
+        // name shape (models.py converter pattern) AND existence (the
+        // reference's validate_converter model_validator) — rejecting here
+        // keeps a bad create from persisting an orphan request.json
+        else if (req.converter.exists(c => ConverterName.findFirstIn(c).isEmpty))
+          Left("converter must match [\\w-]{1,50}")
+        else if (req.converter.exists(c =>
+            !graft.sources.MarkdownConverters.available.contains(c)))
+          Left(s"Unknown converter: ${req.converter.get}. " +
+            s"Available: ${graft.sources.MarkdownConverters.available.mkString(",")}")
+        else if (req.language.isEmpty || req.language.length > 10)
+          Left("language length in [1,10]")
         else Right(req)
       }
     } catch { case e: Exception => Left(s"bad JSON: ${e.getMessage}") }
 
   /** Canonical JSON for a validated request (the `request.json` payload —
-    * same field names [[parseRequest]] reads back on resume-from-state). */
+    * same field names [[parseRequest]] reads back on resume-from-state;
+    * EVERY field serializes so revival reconstructs the full fetch chain). */
   private[graft] def requestJson(req: JobRequest): String =
     s"""{"url":${quote(req.url)},"max_depth":${req.maxDepth},""" +
-      s""""delay_ms":${req.delayMs},"respect_robots_txt":${req.respectRobotsTxt}}"""
+      s""""delay_ms":${req.delayMs},"respect_robots_txt":${req.respectRobotsTxt},""" +
+      s""""use_native_markdown":${req.useNativeMarkdown},""" +
+      req.markdownProxyUrl.map(u => s""""markdown_proxy_url":${quote(u)},""").getOrElse("") +
+      s""""use_http_fast_path":${req.useHttpFastPath},""" +
+      req.converter.map(c => s""""converter":${quote(c)},""").getOrElse("") +
+      s""""language":${quote(req.language)}}"""
 
   /** resume-from-state body: `{"job_id": …}`. */
   private[graft] def parseResumeRequest(body: String): Either[String, String] =

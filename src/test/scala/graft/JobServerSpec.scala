@@ -92,6 +92,22 @@ class JobServerSpec extends SparkSpec {
       assert(post(s"$base/api/jobs",
         """{"url":"https://site-0.test/docs","delay_ms":1}""").statusCode() == 422)
       assert(post(s"$base/api/jobs", "not json at all").statusCode() == 422)
+      // fetch-chain knob validation (models.py:19-110 analogs)
+      assert(post(s"$base/api/jobs",
+        """{"url":"https://site-0.test/docs","markdown_proxy_url":"http://p.test/md"}""")
+        .statusCode() == 422) // proxy sees every page body: HTTPS only
+      assert(post(s"$base/api/jobs",
+        """{"url":"https://site-0.test/docs","converter":"nope"}""").statusCode() == 422)
+      assert(post(s"$base/api/jobs",
+        """{"url":"https://site-0.test/docs","language":"way-too-long"}""").statusCode() == 422)
+      // the stored request round-trips EVERY field, so resume-from-state
+      // reconstructs the full fetch chain, not just the crawl bounds
+      val full = JobServer.parseRequest(
+        """{"url":"https://x.test/","max_depth":7,"delay_ms":200,
+           "respect_robots_txt":false,"use_native_markdown":false,
+           "markdown_proxy_url":"https://p.test/md","use_http_fast_path":false,
+           "converter":"readerlm","language":"de"}""").toOption.get
+      assert(JobServer.parseRequest(JobServer.requestJson(full)) == Right(full))
       // bounded body read: an oversized create is refused, not buffered
       assert(post(s"$base/api/jobs",
         "{\"url\":\"" + ("x" * (JobServer.MaxBodyBytes + 10)) + "\"}")
