@@ -182,11 +182,21 @@ object Y4m {
     * `j*m/k`, the standard decimation rule): sampling 3 of 9 frames decodes
     * frames 0, 3, 6 — and only those. Empty for undecodable payloads. */
   def sampleFrames(bytes: Array[Byte], n: Int): Seq[BufferedImage] =
+    sampleFramesIndexed(bytes, n).map(_._2)
+
+  /** [[sampleFrames]] with each frame's SOURCE index in the stream —
+    * consumers that position frames (timestamp = idx/fps, per-frame
+    * metadata joins, re-seeks) need the real decimation position, not the
+    * sample ordinal: sampling 2 of 10 frames yields indices 0 and 5. */
+  def sampleFramesIndexed(bytes: Array[Byte], n: Int): Seq[(Int, BufferedImage)] =
     parse(bytes) match {
       case Some(p) if p.frameCount > 0 && n > 0 =>
         val m = p.frameCount
         val k = math.min(n, m)
-        (0 until k).map(j => frame(bytes, p, (j.toLong * m / k).toInt))
+        (0 until k).map { j =>
+          val idx = (j.toLong * m / k).toInt
+          (idx, frame(bytes, p, idx))
+        }
       case _ => Seq.empty
     }
 

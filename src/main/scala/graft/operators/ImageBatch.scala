@@ -32,25 +32,27 @@ object ImageBatch {
     StructField("frame_phash", LongType)))
 
   /** Distributed video frame-sampling: up to `n` evenly-spaced frames per
-    * payload (floor-spaced `j·m/k`, [[graft.functions.Y4m.sampleFrames]]),
-    * one output row per decoded frame (png-encoded + phash). Y4M payloads
-    * decode for REAL (codec-free container); undecodable/corrupt/null
-    * payloads yield zero rows — at 100 TB a bad video is routine input,
-    * and per the decode contract it classifies, never crashes the stage.
-    * Input df must carry (video_id, bytes). */
-  def videoFrames(videos: DataFrame, n: Int, batchSize: Int = 16): DataFrame = {
+    * payload, one output row per decoded frame (png-encoded + phash).
+    * `frame_idx` is the frame's SOURCE position in the stream
+    * ([[graft.functions.Y4m.sampleFramesIndexed]] — sampling 2 of 10
+    * yields indices 0 and 5), the position timestamps/joins/re-seeks need.
+    * The phash comes from the in-hand decoded image — hashing the encoded
+    * png would re-decode what we just encoded, per frame, in the hot path.
+    * Y4M payloads decode for REAL (codec-free container); undecodable/
+    * corrupt/null payloads yield zero rows — at 100 TB a bad video is
+    * routine input, and per the decode contract it classifies, never
+    * crashes the stage. Input df must carry (video_id, bytes). */
+  def videoFrames(videos: DataFrame, n: Int): DataFrame = {
     val enc = RowEncoder.encoderFor(frameSchema)
     videos.select("video_id", "bytes").mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
-        batch.iterator.flatMap { row =>
-          val id = row.getString(0)
-          val bytes = row.getAs[Array[Byte]](1)
-          graft.functions.Y4m.sampleFrames(bytes, n).zipWithIndex.map {
-            case (img, k) =>
-              val png = graft.functions.ImageOps.encode(img, "png")
-              Row(id, k, img.getWidth, img.getHeight, png,
-                graft.functions.ImageOps.phash64(png))
-          }
+      it.flatMap { row =>
+        val id = row.getString(0)
+        val bytes = row.getAs[Array[Byte]](1)
+        graft.functions.Y4m.sampleFramesIndexed(bytes, n).map {
+          case (idx, img) =>
+            Row(id, idx, img.getWidth, img.getHeight,
+              graft.functions.ImageOps.encode(img, "png"),
+              graft.functions.ImageOps.phashImage(img))
         }
       }
     }(enc)

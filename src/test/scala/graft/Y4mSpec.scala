@@ -139,20 +139,30 @@ class Y4mSpec extends SparkSpec {
     assert(psnr >= 40.0, s"psnr=$psnr")
   }
 
-  test("videoFrames operator: sampled frames per payload; corrupt rows yield zero rows") {
+  test("videoFrames operator: SOURCE frame indices; corrupt rows yield zero rows") {
     import spark.implicits._
+    // 5 mono frames, luma 16+10k — sampling 2 must emit SOURCE indices
+    // 0 and 2 (floor j·m/k), not sample ordinals 0 and 1, and each row's
+    // pixels must come from exactly that source frame
+    val five = ascii("YUV4MPEG2 W2 H2 Cmono\n") ++
+      (0 until 5).flatMap(k => ascii("FRAME\n") ++ Array.fill(4)((16 + 10 * k).toByte))
     val rows = Seq(
-      ("v2", FixtureGen.y4mBytes(2)), // 3 frames → sample 2: indices 0,1 of the sample
+      ("v5", five),
       ("v0", FixtureGen.y4mBytes(0)), // 1 frame
       ("bad", "nope".getBytes(StandardCharsets.US_ASCII)),
       ("nul", null: Array[Byte])).toDF("video_id", "bytes")
     val out = graft.operators.ImageBatch.videoFrames(rows, n = 2).collect()
     val byId = out.groupBy(_.getString(0))
-    assert(byId("v2").map(_.getInt(1)).sorted.toSeq == Seq(0, 1))
+    assert(byId("v5").map(_.getInt(1)).sorted.toSeq == Seq(0, 2))
+    byId("v5").foreach { r =>
+      val gray = graft.functions.ImageOps.decode(
+        r.getAs[Array[Byte]]("frame")).getRGB(0, 0) & 0xff
+      assert(gray == ((298 * (10 * r.getInt(1)) + 128) >> 8), s"frame ${r.getInt(1)}")
+    }
     assert(byId("v0").length == 1)
     assert(!byId.contains("bad") && !byId.contains("nul")) // classified, no rows, no crash
-    assert(out.forall(r => r.getInt(2) == 8 && r.getInt(3) == 4 &&
-      r.getAs[Array[Byte]]("frame") != null))
+    assert(out.forall(r => r.getAs[Array[Byte]]("frame") != null &&
+      !r.isNullAt(5))) // phash from the in-hand image, per row
   }
 
   test("registry dispatch: y4m is real through ImageBatch; corrupt classifies") {
