@@ -169,12 +169,7 @@ object Crawl {
     // exactly the ok markdown, one row per urlNorm) — snapshot table, so a
     // re-run replaces it; skipped when the crawl was paused mid-flight
     if (postprocess && stopAfterFetchEpoch.isEmpty)
-      engine.table("page_cache").foreach { pc =>
-        import org.apache.spark.sql.functions.col
-        val chunks = graft.operators.Postprocess.chunksTable(
-          pc, col("urlNorm"), col("content"), chunkCleaner)
-        tableIo.commit("postprocess", 0, tables = Map("chunks" -> chunks))
-      }
+      graft.operators.Postprocess.commitChunks(engine, tableIo, chunkCleaner)
     engine
   }
 

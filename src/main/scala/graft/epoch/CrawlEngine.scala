@@ -811,6 +811,15 @@ final class CrawlEngine(
   }
 
   private val jobGroup = s"graft-crawl-${java.util.UUID.randomUUID()}"
+
+  /** Run follow-up driver work (e.g. the post-scrape commit) under THIS
+    * crawl's job group so [[cancel]] interrupts it like any epoch action —
+    * outside the group, a cancel would mark the job Cancelled while the
+    * follow-up's Spark jobs ran on to completion uninterrupted. */
+  private[graft] def withJobGroup[T](desc: String)(f: => T): T = {
+    spark.sparkContext.setJobGroup(jobGroup, desc, interruptOnCancel = true)
+    try f finally spark.sparkContext.clearJobGroup()
+  }
   @volatile private var cancelRequested = false
   @volatile private var stopRequested = false
   @volatile private var stoppedEarlyFlag = false

@@ -36,11 +36,17 @@ final class JobManager(
 
   private final class Job(
       val engine: CrawlEngine,
+      /** the engine's table backend — the worker's post-scrape commit and
+        * nothing else reaches it directly. */
+      val io: graft.sources.TableIO,
       @volatile var status: Status,
       @volatile var finishedAtMs: Long,
       /** set by pause(); the worker maps a pause-stopped run to Paused
         * (not Done) when it returns. */
-      @volatile var pausePending: Boolean = false)
+      @volatile var pausePending: Boolean = false,
+      /** post-scrape pipeline on natural completion (reference runs it per
+        * job, `runner.py:543-620`). */
+      val postprocess: Boolean = true)
 
   private val jobs = new ConcurrentHashMap[String, Job]()
   private val slots = new Semaphore(maxConcurrentJobs, true)
@@ -65,14 +71,17 @@ final class JobManager(
       /** sitemap bodies for the discovery cascade (the per-job bootstrap a
         * serving front-end like [[graft.Serve]] fetches before submit). */
       sitemaps: Option[DataFrame] = None,
-      warmCache: Option[DataFrame] = None): Unit = {
+      warmCache: Option[DataFrame] = None,
+      /** post-scrape chunk→classify→cleanup on natural completion — on by
+        * default like the reference's per-job pipeline. */
+      postprocess: Boolean = true): Unit = {
     require(!jobs.containsKey(jobId), s"job $jobId already submitted")
     Files.createDirectories(stateDir(jobId))
     val io = new graft.sources.ParquetSnapshotTableIO(
       spark, stateDir(jobId).toString)
     val engine = new CrawlEngine(spark, cfg, fetcher, images, io, policies,
       sitemaps = sitemaps, warmCache = warmCache, ssrfCheck = ssrfCheck)
-    val job = new Job(engine, Queued, 0L)
+    val job = new Job(engine, io, Queued, 0L, postprocess = postprocess)
     // putIfAbsent is the authoritative uniqueness check — the containsKey
     // require above is a fast-fail; two concurrent submits of one id must
     // not both pass (the loser's put would orphan the winner's worker and
@@ -99,6 +108,16 @@ final class JobManager(
             job.status = Running
           }
           job.engine.run(clearPriorCancel = false, clearPriorStop = false)
+          // post-scrape pipeline (the reference runs chunk→classify→
+          // cleanup per JOB, runner.py:543-620 — served jobs must get it,
+          // not only Crawl-facade runs): after NATURAL completion only; a
+          // paused/cancelled run resumes first and postprocesses when it
+          // finishes. A cancel landing mid-commit interrupts the job group
+          // and the throw maps below (Cancelled wins over Failed).
+          if (job.postprocess && !job.engine.stoppedEarly &&
+              job.status != Cancelled)
+            job.engine.withJobGroup("post-scrape chunks")(
+              graft.operators.Postprocess.commitChunks(job.engine, job.io))
           job.synchronized {
             job.status =
               if (job.status == Cancelled) Cancelled

@@ -45,4 +45,19 @@ object Postprocess {
           .otherwise(cleanUdf(col("chunk"), col("level")))) // cleaner on skip
       .select(col("id").as("url"), col("chunk_idx"), col("level"), col("chunk"))
   }
+
+  /** Commit the post-scrape `chunks` table for a COMPLETED crawl — ONE
+    * copy shared by the `Crawl` facade and the `JobManager` worker (the
+    * reference runs this pipeline per job, `runner.py:543-620`, so served
+    * jobs must get it too, not only facade runs). Snapshot commit:
+    * idempotent on re-run. Manifest counters re-commit (carry forward) —
+    * a bare commit would wipe them from the manifest, losing the crawl's
+    * committed progress counters to any cross-process reader. */
+  def commitChunks(engine: graft.epoch.CrawlEngine, io: graft.sources.TableIO,
+      cleaner: ChunkCleaner = IdentityCleaner): Unit =
+    engine.table("page_cache").foreach { pc =>
+      val chunks = chunksTable(pc, col("urlNorm"), col("content"), cleaner)
+      io.commit("postprocess", 0, tables = Map("chunks" -> chunks),
+        counters = io.lastCounters)
+    }
 }

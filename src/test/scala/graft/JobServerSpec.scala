@@ -219,8 +219,9 @@ class JobServerSpec extends SparkSpec {
       mgr.awaitAll()
       assert(get(s"$base/api/jobs/$id/status").body()
         .contains("\"status\":\"completed\""))
-      // terminal completion commit: nothing pending → the reference's 409
-      assert(mgr.lastCommittedPhase(id).exists(_._1 == "complete"))
+      // terminal commits landed: the engine's completion marker, then the
+      // worker's post-scrape table — nothing pending → the reference's 409
+      assert(mgr.lastCommittedPhase(id).exists(_._1 == "postprocess"))
       val done = resume(s"""{"job_id":"$id"}""")
       assert(done.statusCode() == 409, done.body())
       assert(done.body().contains("complete"), done.body())
@@ -292,6 +293,15 @@ class JobServerSpec extends SparkSpec {
       // completed → the terminal marker 409s a revival, same as create-path jobs
       val again = post(s"$base/api/jobs/resume-from-state", s"""{"job_id":"$id"}""")
       assert(again.statusCode() == 409, again.body())
+      // post-scrape pipeline ran for the SERVED job (reference runner.py:
+      // 543-620 does it per job, not only for facade runs): the chunks
+      // table is committed and the manifest counters survived the commit
+      val io = new graft.sources.ParquetSnapshotTableIO(
+        spark, mgr.stateDirOf(id).toString)
+      assert(io.lastCommitted.exists(_._1 == "postprocess"))
+      assert(io.read("chunks").exists(_.count() > 0))
+      assert(io.lastCounters.getOrElse("pages_ok", 0L) > 0,
+        s"counters wiped by postprocess commit: ${io.lastCounters}")
       mgr.shutdown()
     } finally { server.stop(); site.stop(0) }
   }
