@@ -245,6 +245,10 @@ class JobManagerSpec extends SparkSpec {
     // pages_completed accumulates ACROSS the pause (reference in-memory
     // JobStatus semantics)
     assert(mgr.engineOf("p").get.pagesCompleted == want.count(_._2 == "ok").toLong)
+    // the post-scrape pipeline ran when the RESUMED run completed (it must
+    // not fire on the pause exit): chunks committed, counters intact
+    assert(mgr.lastCommittedPhase("p").exists(_._1 == "postprocess"))
+    assert(mgr.engineOf("p").get.table("chunks").exists(_.count() > 0))
     mgr.shutdown()
   }
 
