@@ -169,7 +169,7 @@ object Crawl {
     // exactly the ok markdown, one row per urlNorm) — snapshot table, so a
     // re-run replaces it; skipped when the crawl was paused mid-flight
     if (postprocess && stopAfterFetchEpoch.isEmpty)
-      graft.operators.Postprocess.commitChunks(engine, tableIo, chunkCleaner)
+      graft.operators.Postprocess.commitChunks(spark, engine, tableIo, chunkCleaner)
     engine
   }
 

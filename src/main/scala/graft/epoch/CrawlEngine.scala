@@ -818,7 +818,16 @@ final class CrawlEngine(
     * follow-up's Spark jobs ran on to completion uninterrupted. */
   private[graft] def withJobGroup[T](desc: String)(f: => T): T = {
     spark.sparkContext.setJobGroup(jobGroup, desc, interruptOnCancel = true)
-    try f finally spark.sparkContext.clearJobGroup()
+    try {
+      // re-check AFTER registering: cancelJobGroup is not sticky, so a
+      // cancel landing between the caller's status check and this
+      // registration would otherwise let f run to completion uninterrupted
+      // ([[cancel]] sets the flag BEFORE cancelJobGroup, so one of the two
+      // — this check or the group interrupt — always catches it)
+      if (cancelRequested)
+        throw new IllegalStateException("cancelled before follow-up work")
+      f
+    } finally spark.sparkContext.clearJobGroup()
   }
   @volatile private var cancelRequested = false
   @volatile private var stopRequested = false

@@ -113,11 +113,14 @@ final class JobManager(
           // not only Crawl-facade runs): after NATURAL completion only; a
           // paused/cancelled run resumes first and postprocesses when it
           // finishes. A cancel landing mid-commit interrupts the job group
-          // and the throw maps below (Cancelled wins over Failed).
+          // (withJobGroup re-checks after registering, closing the
+          // check-then-act window) and the throw maps below (Cancelled
+          // wins over Failed). Skips when the tail already says
+          // postprocess — a resumed finished dir must not re-chunk.
           if (job.postprocess && !job.engine.stoppedEarly &&
               job.status != Cancelled)
             job.engine.withJobGroup("post-scrape chunks")(
-              graft.operators.Postprocess.commitChunks(job.engine, job.io))
+              graft.operators.Postprocess.commitChunks(spark, job.engine, job.io))
           job.synchronized {
             job.status =
               if (job.status == Cancelled) Cancelled

@@ -216,8 +216,12 @@ final class JobServer(
           case None =>
             respond(ex, 422,
               s"""{"error":${quote(s"No committed state for job $id")}}""")
-          case Some(("complete", _)) | Some(("postprocess", _)) =>
-            // a terminal phase: pending was empty when it committed
+          case Some(("postprocess", _)) =>
+            // the FINAL phase: crawl done AND post-scrape table committed
+            // — nothing left to produce. A tail of `complete` (crawl done,
+            // postprocess never landed: cancel/crash between the two
+            // commits) stays revivable below — the revived run is a noop
+            // resume whose worker stamps the missing chunks table.
             respond(ex, 409,
               """{"error":"No pending work in state — job was complete."}""")
           case Some(_) =>

@@ -49,14 +49,32 @@ object Postprocess {
   /** Commit the post-scrape `chunks` table for a COMPLETED crawl — ONE
     * copy shared by the `Crawl` facade and the `JobManager` worker (the
     * reference runs this pipeline per job, `runner.py:543-620`, so served
-    * jobs must get it too, not only facade runs). Snapshot commit:
-    * idempotent on re-run. Manifest counters re-commit (carry forward) —
-    * a bare commit would wipe them from the manifest, losing the crawl's
-    * committed progress counters to any cross-process reader. */
-  def commitChunks(engine: graft.epoch.CrawlEngine, io: graft.sources.TableIO,
+    * jobs must get it too, not only facade runs). Skips when the manifest
+    * tail is ALREADY `postprocess` (same guard pattern as the engine's
+    * completion marker), so resume over a finished state dir never re-runs
+    * the whole chunk→classify→cleanup pass. A crawl with zero ok pages
+    * stamps the phase with an EMPTY chunks table — the terminal phase must
+    * land regardless, or the job would stay "postprocess pending" and be
+    * revivable forever as a noop. Manifest counters re-commit (carry
+    * forward) — a bare commit would wipe them from the manifest, losing
+    * the crawl's committed progress counters to any cross-process reader. */
+  def commitChunks(spark: org.apache.spark.sql.SparkSession,
+      engine: graft.epoch.CrawlEngine, io: graft.sources.TableIO,
       cleaner: ChunkCleaner = IdentityCleaner): Unit =
-    engine.table("page_cache").foreach { pc =>
-      val chunks = chunksTable(pc, col("urlNorm"), col("content"), cleaner)
+    if (!io.lastCommitted.map(_._1).contains("postprocess")) {
+      val chunks = engine.table("page_cache")
+        .map(pc => chunksTable(pc, col("urlNorm"), col("content"), cleaner))
+        .getOrElse(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("url",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("chunk_idx",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("level",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("chunk",
+              org.apache.spark.sql.types.StringType)))))
       io.commit("postprocess", 0, tables = Map("chunks" -> chunks),
         counters = io.lastCounters)
     }

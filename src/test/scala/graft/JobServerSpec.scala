@@ -226,6 +226,22 @@ class JobServerSpec extends SparkSpec {
       assert(done.statusCode() == 409, done.body())
       assert(done.body().contains("complete"), done.body())
 
+      // a dir whose crawl finished but whose postprocess never landed
+      // (cancel/crash between the two terminal commits — tail `complete`)
+      // is REVIVABLE: the revived run is a noop resume whose worker stamps
+      // the missing chunks table, then the dir 409s like any finished job
+      val ppId = "job-pp"
+      val ppDir = mgr.stateDirOf(ppId)
+      Files.createDirectories(ppDir)
+      Files.write(ppDir.resolve("request.json"), JobServer.requestJson(req).getBytes(UTF_8))
+      engine(ppDir.toString).run() // direct run: commits `complete`, no postprocess
+      assert(mgr.lastCommittedPhase(ppId).exists(_._1 == "complete"))
+      assert(resume(s"""{"job_id":"$ppId"}""").statusCode() == 200)
+      mgr.awaitAll()
+      assert(mgr.lastCommittedPhase(ppId).exists(_._1 == "postprocess"))
+      assert(mgr.engineOf(ppId).get.table("chunks").exists(_.count() > 0))
+      assert(resume(s"""{"job_id":"$ppId"}""").statusCode() == 409)
+
       // the stored-request reconstruction is faithful: revived-run tables
       // equal an uninterrupted crawl of the same request (ST2 oracle)
       val d2 = Files.createTempDirectory("graft-uninterrupted")
@@ -300,7 +316,11 @@ class JobServerSpec extends SparkSpec {
         spark, mgr.stateDirOf(id).toString)
       assert(io.lastCommitted.exists(_._1 == "postprocess"))
       assert(io.read("chunks").exists(_.count() > 0))
-      assert(io.lastCounters.getOrElse("pages_ok", 0L) > 0,
+      // key PRESENCE, not a value: manifest counters are the last epoch's
+      // per-epoch values (an all-blocked final epoch would have pages_ok=0
+      // legitimately) — the wipe regression this guards against loses the
+      // KEYS, and `dequeued` commits with every fetch epoch
+      assert(io.lastCounters.contains("dequeued"),
         s"counters wiped by postprocess commit: ${io.lastCounters}")
       mgr.shutdown()
     } finally { server.stop(); site.stop(0) }
