@@ -589,9 +589,9 @@ object SparkEntry {
            FROM events),
          m AS (
            SELECT user_id, event_id, us,
-             sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+             CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
                OVER (PARTITION BY user_id ORDER BY us, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
            FROM t)
          SELECT user_id, session_id, count(*) AS n_events, min(us) AS start_us
          FROM m GROUP BY 1, 2 ORDER BY 1, 2""",

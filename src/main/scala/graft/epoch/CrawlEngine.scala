@@ -377,7 +377,7 @@ final class CrawlEngine(
   private var contentBloom: org.apache.spark.util.sketch.BloomFilter = null
   private var contentBloomBc: org.apache.spark.broadcast.Broadcast[
     org.apache.spark.util.sketch.BloomFilter] = null
-  private def contentKey = concat_ws(" ", $"host", $"contentHash")
+  private def contentKey = concat_ws("\u0000", $"host", $"contentHash")
 
   /** S9 TTL enforcement (reference `cache.py:23-44,75-88` — the 24h rule
     * as a deterministic epoch-age predicate, applied BY DEFAULT): rows

@@ -220,12 +220,13 @@ object Relevance {
     // below emit ambiguous columns and fail mid-crawl
     val scored = scorer.score(candidates).select("urlNorm", "score")
       .join(candidates.select("urlNorm"), Seq("urlNorm"), "left_semi") // J3
-    candidates
-      .join(scored, Seq("urlNorm"), "left_outer")
-      .na.fill(Map("score" -> Double.MaxValue))
-      .withColumn("priority", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("host").orderBy(col("score"), col("urlNorm"))).cast("long"))
+    // two-phase rank (Frontier.rankPerHost): a giant host never serializes
+    // into one window task at 10^10-frontier scale
+    Frontier.rankPerHost(
+      candidates
+        .join(scored, Seq("urlNorm"), "left_outer")
+        .na.fill(Map("score" -> Double.MaxValue)),
+      Seq(col("score"), col("urlNorm")), "priority")
       .select("urlNorm", "host", "priority")
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -22,10 +22,49 @@ object Frontier {
 
   /** Assign per-host priorities = lexicographic rank of urlNorm, matching
     * the reference's `sorted(filtered)` dispatch order (`filter.py:101`,
-    * `runner.py:781` — W1). */
+    * `runner.py:781` — W1). Two-phase (see [[rankPerHost]]): a 10^9-URL
+    * single host never serializes into one window task. */
   def prioritize(pending: DataFrame): DataFrame =
-    pending.withColumn("priority",
-      row_number().over(Window.partitionBy("host").orderBy("urlNorm")).cast("long"))
+    rankPerHost(pending, Seq(col("urlNorm")), "priority")
+
+  /** Exact per-host dense rank with NO single-task-per-host window — the
+    * 10^10-frontier shape. Semantics are identical to
+    * `row_number().over(Window.partitionBy(host).orderBy(orderCols))` for a
+    * tie-free per-host order key (both call sites end in `urlNorm`, unique
+    * in pending):
+    *
+    *  1. range-partition by (host, orderCols…) — a giant host spans many
+    *     contiguous partitions, each bounded by the shuffle partition size;
+    *  2. rank locally within (host, partition) — every such group lives in
+    *     one bounded partition;
+    *  3. add per-host count-prefix-sum offsets over earlier partitions (a
+    *     window over ≤ numShufflePartitions rows per host, broadcast-joined
+    *     back).
+    *
+    * The range exchange feeds both the offsets branch and the main branch —
+    * one subtree, reused by Spark's exchange reuse (asserted in
+    * TableSeenSpec), so both sides see the same partition ids.
+    */
+  def rankPerHost(df: DataFrame, orderCols: Seq[Column],
+      out: String = "priority"): DataFrame = {
+    // explicit numPartitions → REPARTITION_BY_NUM shuffle origin, which AQE
+    // never coalesces: both branches below must observe the SAME partition
+    // ids, so runtime re-coalescing of one reader would desync __pid
+    val numParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val parted = df
+      .repartitionByRange(numParts, (col("host") +: orderCols): _*)
+      .withColumn("__pid", spark_partition_id())
+    val offsets = parted.groupBy(col("host"), col("__pid")).count()
+      .withColumn("__off", coalesce(
+        sum("count").over(Window.partitionBy("host").orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("host"), col("__pid"), col("__off"))
+    val wLocal = Window.partitionBy(col("host"), col("__pid")).orderBy(orderCols: _*)
+    parted
+      .join(broadcast(offsets), Seq("host", "__pid"))
+      .withColumn(out, (col("__off") + row_number().over(wLocal)).cast("long"))
+      .select((df.columns.map(col) :+ col(out)): _*) // join reordered; keep caller's order
+  }
 
   /** Dequeue ≤ budget(host) rows per host in priority order.
     * `budgets`: small df (host, budget); hosts absent get `defaultBudget`.

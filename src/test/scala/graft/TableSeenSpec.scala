@@ -71,6 +71,55 @@ class TableSeenSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("two-phase rankPerHost ≡ single-host-window rank on a skewed frontier; no per-host window over raw pending") {
+    import org.apache.spark.sql.expressions.Window
+    // one giant host (spans many range partitions) + a few tiny ones
+    val rows = ((0 until 5000).map(i => (f"https://big.test/p$i%06d", "big.test")) ++
+      (0 until 40).map(i => (s"https://tiny-${i % 4}.test/p$i", s"tiny-${i % 4}.test")))
+      .toDF("urlNorm", "host")
+    val naive = rows.withColumn("priority",
+        row_number().over(Window.partitionBy("host").orderBy("urlNorm")).cast("long"))
+      .select("host", "urlNorm", "priority")
+      .as[(String, String, Long)].collect().toSet
+    // the two branches of rankPerHost share one range exchange; __pid must
+    // agree between them under BOTH planners (AQE reuses the stage, non-AQE
+    // applies ReuseExchange) — a desync drops rows or corrupts offsets
+    for (aqe <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      try {
+        val got = graft.operators.Frontier.prioritize(rows)
+          .select("host", "urlNorm", "priority")
+          .as[(String, String, Long)].collect().toSet
+        assert(got == naive, s"aqe=$aqe: two-phase rank differs from single-window rank")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+    // Relevance.prioritize (F8) rides the same helper: scored skew fixture
+    val scorer = new graft.operators.RelevanceScorer {
+      def score(c: org.apache.spark.sql.DataFrame) =
+        c.select($"urlNorm", (length($"urlNorm") % 7).cast("double").as("score"))
+    }
+    val rel = graft.operators.Relevance.prioritize(rows, scorer)
+      .as[(String, String, Long)].collect().toSet
+    val relNaive = rows
+      .withColumn("score", (length($"urlNorm") % 7).cast("double"))
+      .withColumn("priority", row_number().over(
+        Window.partitionBy("host").orderBy($"score", $"urlNorm")).cast("long"))
+      .select("urlNorm", "host", "priority")
+      .as[(String, String, Long)].collect().toSet
+    assert(rel == relNaive)
+    // plan shape: every Window partitioned on host ALONE must sit above an
+    // Aggregate (the per-(host,pid) count-prefix sums — ≤ numShufflePartitions
+    // rows per host), never over the raw pending set
+    val plan = graft.operators.Frontier.prioritize(rows).queryExecution.optimizedPlan
+    val wins = plan.collect { case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(wins.nonEmpty)
+    wins.filter(_.partitionSpec.size < 2).foreach { w =>
+      assert(w.child.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }.nonEmpty,
+        s"single-column window over raw rows:\n$plan")
+    }
+  }
+
   test("property: two-phase salted dequeue ≡ naive per-host top-k") {
     import org.apache.spark.sql.expressions.Window
     val rnd = new scala.util.Random(99)

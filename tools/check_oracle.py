@@ -1,9 +1,52 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate: run each oracle SQL in
 DuckDB over the sf parquet tables and compare against the Verify dump
-(column names sorted, rows sorted, values hashed)."""
+(column names sorted, rows sorted, values hashed).
+
+Also sweeps arrow-level dtype parity (VERDICT r4 ask #2): a DuckDB output
+whose engine-native type differs in CLASS from the Spark parquet type (e.g.
+HUGEINT -> decimal128 vs int64) can hash green locally but red at the driver
+when a newer DuckDB maps it to a different Python type (q09's four-round
+lottery). Any class divergence is a FAIL here even when values hash equal."""
 import sys, json, glob, hashlib
 import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq_mod
+
+
+def type_class(t):
+    """Collapse arrow types to the classes whose Python values repr
+    identically across engines; anything outside the known-benign set must
+    match exactly."""
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_timestamp(t):
+        return "ts"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bin"
+    if pa.types.is_decimal(t):
+        return "decimal(%d,%d)" % (t.precision, t.scale)
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "list<%s>" % type_class(t.value_type)
+    return str(t)
+
+
+def dtype_divergence(spark_schema, oracle_schema, cols):
+    bad = []
+    for c in cols:
+        a = spark_schema.field(c).type
+        b = oracle_schema.field(c).type
+        if type_class(a) != type_class(b):
+            bad.append(f"{c}: spark={a} oracle={b}")
+    return bad
 
 def table_hash(rows, cols):
     h = hashlib.sha256()
@@ -44,16 +87,30 @@ def main(sf_dir, out_dir):
             continue
         if got_cols != exp_cols:
             results[name] = f"SCHEMA_MISMATCH spark={got_cols} oracle={exp_cols}"
+            continue
+        # arrow dtype parity: stricter than any driver hasher — engine-native
+        # type lotteries (HUGEINT/decimal128) fail HERE even when the local
+        # DuckDB happens to hash green
+        try:
+            spark_schema = pq_mod.read_schema(pq[0])
+            oracle_schema = con.sql(f"SELECT {esel} FROM ({sql}) LIMIT 0").arrow().schema
+            dt_bad = dtype_divergence(spark_schema, oracle_schema, exp_cols)
+        except Exception as e:
+            dt_bad = [f"dtype sweep error: {str(e)[:200]}"]
+        if dt_bad:
+            results[name] = "DTYPE_DIVERGENCE " + "; ".join(dt_bad)
         elif len(got_rows) != len(exp_rows):
             results[name] = f"ROWCOUNT_MISMATCH spark={len(got_rows)} oracle={len(exp_rows)}"
         elif table_hash(got_rows, got_cols) != table_hash(exp_rows, exp_cols):
-            diff = None
+            diffs = []
             for a, b in zip(sorted(got_rows, key=lambda r: tuple(str(x) for x in r)),
                             sorted(exp_rows, key=lambda r: tuple(str(x) for x in r))):
                 if a != b:
-                    diff = f"first diff: spark={a} oracle={b}"
-                    break
-            results[name] = f"HASH_MISMATCH rows={len(got_rows)} {diff}"
+                    diffs.append(f"spark={a} oracle={b}")
+                    if len(diffs) >= 10:
+                        break
+            results[name] = (f"HASH_MISMATCH rows={len(got_rows)} first "
+                             f"{len(diffs)} diffs: " + " || ".join(diffs))
         else:
             results[name] = f"OK rows={len(got_rows)}"
     # queries without oracle → rows-only
