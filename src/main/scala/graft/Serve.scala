@@ -110,11 +110,18 @@ object Serve {
       s"state root $stateRoot, cap $maxJobs jobs, TTL $ttlMinutes min")
     sys.addShutdownHook { server.stop(); mgr.shutdown() }
     // the reference's periodic cleanup task (`manager.py` TTL sweep): swept
-    // ids are logged — silent deletion would read as data loss
+    // ids are logged — silent deletion would read as data loss. A sweep
+    // failure (transient FS error mid-delete) must not kill the serving
+    // process: log and keep the loop alive.
     while (true) {
       Thread.sleep(sweepSeconds * 1000L)
-      val swept = mgr.sweep(ttlMinutes * 60000L)
-      if (swept.nonEmpty) println(s"graft serve: swept ${swept.mkString(", ")}")
+      try {
+        val swept = mgr.sweep(ttlMinutes * 60000L)
+        if (swept.nonEmpty) println(s"graft serve: swept ${swept.mkString(", ")}")
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"graft serve: sweep failed, will retry: $e")
+      }
     }
   }
 }

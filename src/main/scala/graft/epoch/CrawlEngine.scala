@@ -810,6 +810,16 @@ final class CrawlEngine(
     phaseEpochCache = Some((phase, epoch))
   }
 
+  /** Refresh the poll caches after a commit made AROUND the engine on its
+    * own backend (the post-scrape `chunks` commit goes straight through
+    * `io.commit`) — without this, [[phaseEpoch]]/[[counters]] would report
+    * the pre-commit phase (`complete`) forever and status/SSE would never
+    * see `postprocess`. */
+  private[graft] def noteExternalCommit(): Unit = {
+    countersCache = io.lastCounters
+    phaseEpochCache = io.lastCommitted
+  }
+
   private val jobGroup = s"graft-crawl-${java.util.UUID.randomUUID()}"
 
   /** Run follow-up driver work (e.g. the post-scrape commit) under THIS
@@ -979,11 +989,11 @@ final class CrawlEngine(
   def fetched: DataFrame = io.read("fetched").get
   def table(name: String): Option[DataFrame] = io.read(name)
 
-  /** Last engine-committed counters / (phase, epoch): counters come from
-    * the in-process cache (zero backend reads per poll — on Iceberg a
-    * backend read is a Spark SQL query); commits made around the engine
-    * (e.g. the Crawl facade's postprocess) show in `phaseEpoch` but not
-    * here until the next engine commit. */
+  /** Last committed counters / (phase, epoch): both come from the
+    * in-process cache (zero backend reads per poll — on Iceberg a backend
+    * read is a Spark SQL query). Commits made around the engine (the
+    * post-scrape `chunks` commit) refresh the caches via
+    * [[noteExternalCommit]], so they show here too. */
   def counters: Map[String, Long] = {
     val c = countersCache
     if (c != null) c else io.lastCounters // pre-first-commit / resumed inspection

@@ -56,6 +56,15 @@ final class JobManager(
 
   private def stateDir(jobId: String): Path = Paths.get(stateRoot, jobId)
 
+  /** Per-id monitor serializing state-dir create (submit) against state-dir
+    * delete (sweep): without it, a revive that lost its map entry to a
+    * concurrent sweep claim could resubmit and recreate the dir WHILE the
+    * sweep's recursive delete walks it — deleting a live job's state
+    * mid-crawl (or throwing DirectoryNotEmptyException out of sweep). */
+  private val dirLocks = new ConcurrentHashMap[String, Object]()
+  private def dirLock(jobId: String): Object =
+    dirLocks.computeIfAbsent(jobId, _ => new Object)
+
   /** Submit a crawl; returns immediately. One state dir per job
     * (`stateRoot/jobId`) — the isolation unit, like the reference's
     * per-job `.crawls/<id>` (`src/jobs/state.py`). Cross-process
@@ -74,7 +83,10 @@ final class JobManager(
       warmCache: Option[DataFrame] = None,
       /** post-scrape chunk→classify→cleanup on natural completion — on by
         * default like the reference's per-job pipeline. */
-      postprocess: Boolean = true): Unit = {
+      postprocess: Boolean = true): Unit = dirLock(jobId).synchronized {
+    // the whole setup runs under the id's dir lock: a sweep that claimed a
+    // prior incarnation of this id either finishes its delete before our
+    // createDirectories, or sees the fresh map entry and leaves the dir
     require(!jobs.containsKey(jobId), s"job $jobId already submitted")
     Files.createDirectories(stateDir(jobId))
     val io = new graft.sources.ParquetSnapshotTableIO(
@@ -316,26 +328,42 @@ final class JobManager(
 
   /** TTL sweep (`manager.py:110-127`): delete the state dirs of jobs that
     * reached a terminal state more than `ttlMs` ago and forget them.
-    * Returns the swept job ids. */
+    * Returns the swept job ids.
+    *
+    * Race-safe against [[revive]]/[[submit]]: each candidate is CLAIMED
+    * under its job lock — re-checking terminal + TTL and removing exactly
+    * the collected instance via `remove(id, j)` — so a revival that
+    * swapped in a new Queued/Running entry between snapshot and delete is
+    * never evicted, and the state-dir delete runs under the id's dir lock
+    * with a map re-check, so it can never race a resubmit's recreate. */
   def sweep(ttlMs: Long): Seq[String] = {
     val now = System.currentTimeMillis()
-    val expired = jobs.asScala.toSeq.collect {
-      case (id, j) if (j.status match {
-        case Done | Cancelled | Failed(_) => true
-        case _ => false
-      }) && j.finishedAtMs > 0 && now - j.finishedAtMs >= ttlMs => id
-    }
-    expired.foreach { id =>
-      val dir = stateDir(id)
-      if (Files.exists(dir)) {
-        val s = Files.walk(dir)
-        try s.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.delete(p))
-        finally s.close()
+    jobs.asScala.toSeq.flatMap { case (id, j) =>
+      val claimed = j.synchronized {
+        (j.status match {
+          case Done | Cancelled | Failed(_) => true
+          case _ => false
+        }) && j.finishedAtMs > 0 && now - j.finishedAtMs >= ttlMs &&
+          jobs.remove(id, j)
       }
-      jobs.remove(id)
+      if (!claimed) None
+      else {
+        dirLock(id).synchronized {
+          // a revive that saw our removal may already have resubmitted:
+          // the dir now belongs to the NEW job — leave it alone
+          if (!jobs.containsKey(id)) {
+            val dir = stateDir(id)
+            if (Files.exists(dir)) {
+              val s = Files.walk(dir)
+              try s.sorted(java.util.Comparator.reverseOrder())
+                .forEach(p => { val _ = Files.deleteIfExists(p) })
+              finally s.close()
+            }
+          }
+        }
+        Some(id)
+      }
     }
-    expired
   }
 
   def shutdown(): Unit = {

@@ -176,8 +176,12 @@ final class JobServer(
         // silently RESUME the previous crawl's state dir on a create
         val id = s"job-${java.util.UUID.randomUUID()}"
         // config-level require failures (e.g. a URL that parses but the
-        // engine refuses) are the client's fault — 422, not a 500
-        try admitAndRespond(ex, id) { persistRequest(id, req); submitter(id, req) }
+        // engine refuses) are the client's fault — 422, not a 500.
+        // Persist the request only AFTER the submitter accepted it: a 422
+        // must not leave an orphan state dir + request.json that sweep can
+        // never remove (sweep only walks the in-memory job map, and a
+        // refused job was never mapped).
+        try admitAndRespond(ex, id) { submitter(id, req); persistRequest(id, req) }
         catch { case e: IllegalArgumentException =>
           respond(ex, 422, s"""{"error":${quote(e.getMessage)}}""") }
     }
@@ -248,9 +252,18 @@ final class JobServer(
                 } catch {
                   case e: IllegalStateException =>
                     respond(ex, 409, s"""{"error":${quote(e.getMessage)}}""")
-                  case e: IllegalArgumentException =>
+                  case e: IllegalArgumentException
+                      if e.getMessage != null &&
+                        e.getMessage.contains("already submitted") =>
                     // lost a revival race: another thread resubmitted first
+                    // (submit's duplicate-id require — the ONLY IAE that
+                    // means "someone else won")
                     respond(ex, 409, s"""{"error":${quote(e.getMessage)}}""")
+                  case e: IllegalArgumentException =>
+                    // a stored request.json that fails an engine/config
+                    // require is a genuinely invalid request — same 422 the
+                    // create path gives the identical failure
+                    respond(ex, 422, s"""{"error":${quote(e.getMessage)}}""")
                 }
             }
         }

@@ -77,5 +77,8 @@ object Postprocess {
               org.apache.spark.sql.types.StringType)))))
       io.commit("postprocess", 0, tables = Map("chunks" -> chunks),
         counters = io.lastCounters)
+      // the commit bypassed the engine's commitTracked — refresh its poll
+      // caches so status/SSE report the terminal `postprocess` phase
+      engine.noteExternalCommit()
     }
 }

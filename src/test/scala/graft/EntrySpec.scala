@@ -115,4 +115,21 @@ class EntrySpec extends SparkSpec {
     assert(bad.length == 2 && bad.forall(r => r.isNullAt(2) && r.isNullAt(4)))
     assert(mixed.count(r => !r.isNullAt(4)) == 24) // good rows unaffected
   }
+
+  test("source hygiene: no raw control bytes in src/ (text tools must never skip a file as binary)") {
+    // A literal NUL once hid CrawlEngine.scala from every grep-based
+    // leak/copy scan. Tab/CR/LF are fine; anything else below 0x20 is not.
+    val allowed = Set(0x09, 0x0a, 0x0d)
+    val offenders = scala.collection.mutable.ListBuffer[String]()
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get("src"))
+    try walk.filter(p => p.toString.endsWith(".scala") || p.toString.endsWith(".py"))
+      .forEach { p =>
+        val bytes = java.nio.file.Files.readAllBytes(p)
+        val bad = bytes.indexWhere(b => (b & 0xff) < 0x20 && !allowed((b & 0xff)))
+        if (bad >= 0)
+          offenders += s"$p: byte 0x${(bytes(bad) & 0xff).toHexString} at offset $bad"
+      }
+    finally walk.close()
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
 }

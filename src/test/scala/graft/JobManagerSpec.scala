@@ -57,6 +57,41 @@ class JobManagerSpec extends SparkSpec {
     mgr.shutdown()
   }
 
+  test("worker's postprocess commit reaches phaseEpoch; sweep never touches a revived live job") {
+    val root = Files.createTempDirectory("graft-sweeprevive").toString
+    val mgr = new JobManager(spark, root, maxConcurrentJobs = 1)
+    mgr.submit("jr", cfg, images, new FixtureFetcher(web), policies)
+    mgr.awaitAll()
+    assert(mgr.status("jr").contains(JobManager.Done))
+    // ADVICE r4: the worker commits chunks through io.commit directly —
+    // the engine's poll caches must refresh, or status/SSE report the
+    // pre-commit phase (`complete`) forever
+    assert(mgr.engineOf("jr").get.phaseEpoch.map(_._1).contains("postprocess"),
+      s"phaseEpoch=${mgr.engineOf("jr").get.phaseEpoch}")
+    // occupy the single slot so the revived incarnation stays Queued
+    // deterministically while the sweep runs
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val inner = new FixtureFetcher(web)
+    val slow = new graft.sources.Fetcher {
+      override def fetchPages(urls: org.apache.spark.sql.DataFrame) = {
+        gate.await(); inner.fetchPages(urls)
+      }
+    }
+    mgr.submit("blocker", cfg, images, slow, policies)
+    assert(mgr.revive("jr") { mgr.submit("jr", cfg, images,
+      new FixtureFetcher(web), policies) })
+    // a TTL-expired sweep against the revived (non-terminal) entry: the
+    // claim re-check must skip it — no eviction, no state-dir delete
+    assert(!mgr.sweep(ttlMs = 0L).contains("jr"))
+    assert(mgr.status("jr").exists(s =>
+      s == JobManager.Queued || s == JobManager.Running), mgr.status("jr").toString)
+    assert(Files.exists(Paths.get(root, "jr")))
+    gate.countDown()
+    mgr.awaitAll()
+    assert(mgr.status("jr").contains(JobManager.Done))
+    mgr.shutdown()
+  }
+
   test("three concurrent crawls: cap respected, isolated state, identical results, sweep") {
     val root = Files.createTempDirectory("graft-jobs").toString
     val mgr = new JobManager(spark, root, maxConcurrentJobs = 2)

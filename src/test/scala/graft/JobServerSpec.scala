@@ -138,6 +138,48 @@ class JobServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("submitter 422 leaves no orphan state dir; invalid stored request resumes as 422, not 409") {
+    val root = Files.createTempDirectory("graft-http-orphan")
+    val mgr = new JobManager(spark, root.toString, maxConcurrentJobs = 2)
+    val server = new JobServer(mgr, (id, req) => {
+      // stands in for any engine/config-level require on a request that
+      // PARSED fine (e.g. a seed the canonicalizer refuses)
+      require(!req.url.contains("refused"), s"engine refuses seed ${req.url}")
+      val cfg = CrawlConfig(seedUrls = Seq(req.url), maxDepth = req.maxDepth,
+        epochSeconds = 30, respectRobotsTxt = req.respectRobotsTxt)
+      mgr.submit(id, cfg, images, new FixtureFetcher(web), policies)
+    })
+    server.start()
+    val base = s"http://127.0.0.1:${server.boundPort}"
+    def dirCount: Long = {
+      val s = java.nio.file.Files.list(root)
+      try s.count() finally s.close()
+    }
+    try {
+      val before = dirCount
+      val r = post(s"$base/api/jobs", """{"url":"https://refused.test/docs"}""")
+      assert(r.statusCode() == 422, r.body())
+      // ADVICE r4: the request must not be persisted before submitter
+      // validation — sweep only walks the in-memory map, so a dir created
+      // for a refused (never-mapped) job would litter the state root forever
+      assert(dirCount == before, "422 create left an orphan state dir")
+
+      // resume-from-state over a stored request that now fails the same
+      // engine require: the create path's 422, not a "lost race" 409
+      val dir = mgr.stateDirOf("jx")
+      java.nio.file.Files.createDirectories(dir)
+      new graft.sources.ParquetSnapshotTableIO(spark, dir.toString)
+        .commit("fetch", 1, Map.empty)
+      val req = JobServer.parseRequest(
+        """{"url":"https://refused.test/docs"}""").toOption.get
+      java.nio.file.Files.write(dir.resolve("request.json"),
+        JobServer.requestJson(req).getBytes(UTF_8))
+      val rr = post(s"$base/api/jobs/resume-from-state", """{"job_id":"jx"}""")
+      assert(rr.statusCode() == 422, s"${rr.statusCode()} ${rr.body()}")
+      mgr.shutdown()
+    } finally server.stop()
+  }
+
   test("admission control: create rate limit and active-jobs cap both 429") {
     // rate limit (reference @limiter.limit("10/minute") on create)
     val (server1, mgr1, base1) = newServer(createLimit = 2)
