@@ -100,6 +100,21 @@ object Bench {
       }
     val (engineUrls, engineSec) = runEngine(spark)
     val engineRps = engineUrls / engineSec
+    // same engine with the 10^10 seen-admission regime FORCED ON
+    // (seenScaleJoinMinRows=1): committed beside the default so the regime
+    // gate can never hide a constant-factor regression in the scale shape —
+    // at toy scale the two-Bloom path does strictly more work (build +
+    // broadcast + bypass union), so some overhead here is expected and the
+    // number bounds it.
+    def runEngineScale(s: SparkSession): (Long, Double) =
+      graft.fixtures.FixtureGen.withFixtureEngine(
+          s, engineParams, engCfg.copy(seenScaleJoinMinRows = 1L),
+          "graft-bench-engine-scale") { engine =>
+        val (_, sec) = timed(engine.run())
+        (engine.orderLog.count(), sec)
+      }
+    val (engineUrlsScale, engineSecScale) = runEngineScale(spark)
+    val engineRpsScale = engineUrlsScale / engineSecScale
     spark.stop()
 
     // ---- part 2: N vs 4N scaling (local[2] → local[8] → local[32]) ----
@@ -147,7 +162,9 @@ object Bench {
         f""""rps_c16":$rps16%.1f,"rps_c32":$rps32%.1f,""" +
         f""""efficiency_2_to_8":$eff28%.3f,"efficiency_8_to_32":$eff832%.3f,""" +
         f""""primary_pair":"2->8","efficiency_n_to_4n":$effN4n%.3f,"engine_urls":$engineUrls,""" +
-        f""""engine_sec":$engineSec%.1f,"engine_rps_c$cpus":$engineRps%.1f}"""
+        f""""engine_sec":$engineSec%.1f,"engine_rps_c$cpus":$engineRps%.1f,""" +
+        f""""engine_urls_scaleregime":$engineUrlsScale,"engine_sec_scaleregime":$engineSecScale%.1f,""" +
+        f""""engine_rps_scaleregime_c$cpus":$engineRpsScale%.1f}"""
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_rounds":$queryRounds,"sf":"$sfDir","scaling":$scaling}""")
 
@@ -201,6 +218,14 @@ object Bench {
            |$engineRps%.1f URLs/sec (driver-side epoch commits dominate at
            |this toy scale; on a real cluster the kernel number is the
            |per-executor bound).
+           |
+           |Same engine with the 10^10 seen-admission regime FORCED ON
+           |(`seenScaleJoinMinRows=1`, two-Bloom candidate routing + seen-side
+           |prune): $engineUrlsScale URLs in $engineSecScale%.1f s =
+           |$engineRpsScale%.1f URLs/sec — committed beside the default every
+           |round so the regime gate cannot hide a constant-factor regression
+           |in the scale shape (at toy scale the scale path does strictly more
+           |work per epoch: Bloom builds + broadcasts + the bypass union).
            |
            |Per-query timings (part 1 of the bench JSON) are interleaved
            |best-of-$queryRounds%d full passes over the query list — the same

@@ -18,7 +18,10 @@ object Soak {
       hosts = hosts, pagesPerHost = pages, skew = 5) // default 3900 pages
     val cfg = graft.model.CrawlConfig(
       seedUrls = graft.fixtures.FixtureGen.seeds(params),
-      maxDepth = 8, epochSeconds = 120) // budget 240/host-epoch; host1 60
+      maxDepth = 8, epochSeconds = 120, // budget 240/host-epoch; host1 60
+      // SOAK_SEEN_MIN=1 forces the 10^10 two-Bloom admission regime on,
+      // for regime A/Bs on the same workload
+      seenScaleJoinMinRows = sys.env.getOrElse("SOAK_SEEN_MIN", "200000").toLong)
     val ioDir = java.nio.file.Files.createTempDirectory("graft-soak").toString
     // default target (96 MB) collapses toy deltas to 1 file; the scale
     // sweep passes a tiny target (e.g. 4096) to show files/commit TRACKING
