@@ -60,8 +60,12 @@ object Frontier {
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("host"), col("__pid"), col("__off"))
     val wLocal = Window.partitionBy(col("host"), col("__pid")).orderBy(orderCols: _*)
+    // NO broadcast hint on offsets: it is O(hosts) rows, so at 10^8+ small
+    // hosts a forced broadcast would OOM the driver. AQE broadcasts it when
+    // small; when huge, the shuffle join keys (host,__pid) match the local
+    // window's partitioning, so the join's exchange is the window's exchange
     parted
-      .join(broadcast(offsets), Seq("host", "__pid"))
+      .join(offsets, Seq("host", "__pid"))
       .withColumn(out, (col("__off") + row_number().over(wLocal)).cast("long"))
       .select((df.columns.map(col) :+ col(out)): _*) // join reordered; keep caller's order
   }
