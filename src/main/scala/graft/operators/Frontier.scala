@@ -71,12 +71,16 @@ object Frontier {
   }
 
   /** Dequeue ≤ budget(host) rows per host in priority order.
-    * `budgets`: small df (host, budget); hosts absent get `defaultBudget`.
+    * `budgets`: df of (host, budget) overrides; hosts absent get
+    * `defaultBudget`. No broadcast hint: with per-host crawl-delay
+    * overrides this side is O(hosts) — AQE broadcasts it while it is
+    * genuinely small and shuffle-joins it at 10^8-host scale (the join key
+    * `host` matches the exact-phase window's partitioning anyway).
     */
   def dequeue(pending: DataFrame, budgets: DataFrame, defaultBudget: Int,
       saltCount: Int = 16): DataFrame = {
     val withBudget = pending
-      .join(broadcast(budgets), Seq("host"), "left")
+      .join(budgets, Seq("host"), "left")
       .withColumn("budget", coalesce(col("budget"), lit(defaultBudget)))
       .withColumn("salt", Hashing.skewSalt(col("urlNorm"), saltCount))
     val w1 = Window.partitionBy("host", "salt").orderBy("priority")

@@ -117,8 +117,13 @@ object Robots {
   def admitJoin(df: DataFrame, rules: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val r = broadcast(rules.select(
-      $"host".as("r_host"), $"kind", $"pathPrefix", $"prefixLen"))
+    // no broadcast hint: this is the LARGE-rule-set path, and rules are
+    // O(hosts × rules-per-host) — forcing a broadcast would OOM the driver
+    // at 10^8 hosts. The join has an equi-key (host) with startswith as the
+    // residual condition, so a shuffle join distributes fine; AQE still
+    // broadcasts small rule sets on its own.
+    val r = rules.select(
+      $"host".as("r_host"), $"kind", $"pathPrefix", $"prefixLen")
     // aggregate on the NATURAL key (host, path) — a synthetic row id would
     // force a full shuffle of the frontier on a key that exists only for
     // the aggregation; duplicate (host, path) rows share one decision
