@@ -87,7 +87,8 @@ final class JobManager(
     // the whole setup runs under the id's dir lock: a sweep that claimed a
     // prior incarnation of this id either finishes its delete before our
     // createDirectories, or sees the fresh map entry and leaves the dir
-    require(!jobs.containsKey(jobId), s"job $jobId already submitted")
+    if (jobs.containsKey(jobId))
+      throw new DuplicateJobException(s"job $jobId already submitted")
     Files.createDirectories(stateDir(jobId))
     val io = new graft.sources.ParquetSnapshotTableIO(
       spark, stateDir(jobId).toString)
@@ -95,11 +96,11 @@ final class JobManager(
       sitemaps = sitemaps, warmCache = warmCache, ssrfCheck = ssrfCheck)
     val job = new Job(engine, io, Queued, 0L, postprocess = postprocess)
     // putIfAbsent is the authoritative uniqueness check — the containsKey
-    // require above is a fast-fail; two concurrent submits of one id must
+    // fast-fail above is advisory; two concurrent submits of one id must
     // not both pass (the loser's put would orphan the winner's worker and
     // run two engines over one state dir)
-    require(jobs.putIfAbsent(jobId, job) == null,
-      s"job $jobId already submitted")
+    if (jobs.putIfAbsent(jobId, job) != null)
+      throw new DuplicateJobException(s"job $jobId already submitted")
     schedule(job)
   }
 
@@ -348,20 +349,37 @@ final class JobManager(
       }
       if (!claimed) None
       else {
-        dirLock(id).synchronized {
-          // a revive that saw our removal may already have resubmitted:
-          // the dir now belongs to the NEW job — leave it alone
-          if (!jobs.containsKey(id)) {
-            val dir = stateDir(id)
-            if (Files.exists(dir)) {
-              val s = Files.walk(dir)
-              try s.sorted(java.util.Comparator.reverseOrder())
-                .forEach(p => { val _ = Files.deleteIfExists(p) })
-              finally s.close()
+        val lock = dirLock(id)
+        val deleted =
+          try {
+            lock.synchronized {
+              // a revive that saw our removal may already have resubmitted:
+              // the dir now belongs to the NEW job — leave it alone
+              if (!jobs.containsKey(id)) {
+                val dir = stateDir(id)
+                if (Files.exists(dir)) {
+                  val s = Files.walk(dir)
+                  try s.sorted(java.util.Comparator.reverseOrder())
+                    .forEach(p => { val _ = Files.deleteIfExists(p) })
+                  finally s.close()
+                }
+              }
+              true
             }
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              // transient FS failure mid-delete: RESTORE the claimed entry so
+              // the next sweep retries — sweep only walks the in-memory map,
+              // so dropping the entry here would orphan the dir forever
+              // (putIfAbsent: if a revive resubmitted meanwhile, the new job
+              // owns the id and the dir; the old instance is correctly gone)
+              jobs.putIfAbsent(id, j)
+              false
           }
-        }
-        Some(id)
+        // drop the lock entry (conditionally, on the same instance) so a
+        // UUID-per-create serving process does not grow dirLocks unboundedly
+        dirLocks.remove(id, lock)
+        if (deleted) Some(id) else None
       }
     }
   }
@@ -373,6 +391,14 @@ final class JobManager(
 }
 
 object JobManager {
+  /** Thrown by [[JobManager.submit]] when the id is already mapped — the
+    * ONLY failure that means "another submitter won the race". A typed
+    * exception (not a message substring) so serving layers can 409 it
+    * without misrouting validation failures whose user-controlled text
+    * happens to contain the same words. */
+  final class DuplicateJobException(msg: String)
+    extends IllegalArgumentException(msg)
+
   sealed trait Status
   case object Queued extends Status
   case object Running extends Status

@@ -177,11 +177,22 @@ final class JobServer(
         val id = s"job-${java.util.UUID.randomUUID()}"
         // config-level require failures (e.g. a URL that parses but the
         // engine refuses) are the client's fault — 422, not a 500.
-        // Persist the request only AFTER the submitter accepted it: a 422
-        // must not leave an orphan state dir + request.json that sweep can
-        // never remove (sweep only walks the in-memory job map, and a
-        // refused job was never mapped).
-        try admitAndRespond(ex, id) { submitter(id, req); persistRequest(id, req) }
+        // The request is persisted BEFORE submit (so the instant the job is
+        // mapped its state dir already holds request.json for cross-process
+        // resume — persisting after would race both a crash and a zero-TTL
+        // sweep), and a refused submit DELETES the dir: a 422 must not leave
+        // an orphan request.json that sweep can never remove (sweep only
+        // walks the in-memory job map, and a refused job was never mapped).
+        try admitAndRespond(ex, id) {
+          persistRequest(id, req)
+          try submitter(id, req)
+          catch { case e: Throwable =>
+            // only if the job never got mapped — a post-mapping failure
+            // owns its state dir (the job is visible and sweepable)
+            if (mgr.status(id).isEmpty) deleteStateDir(id)
+            throw e
+          }
+        }
         catch { case e: IllegalArgumentException =>
           respond(ex, 422, s"""{"error":${quote(e.getMessage)}}""") }
     }
@@ -197,6 +208,19 @@ final class JobServer(
     java.nio.file.Files.write(dir.resolve("request.json"),
       requestJson(req).getBytes(UTF_8))
   }
+
+  /** Best-effort recursive delete of a never-mapped job's state dir (the
+    * create-path 422 cleanup — sweep cannot reach unmapped ids). */
+  private def deleteStateDir(id: String): Unit =
+    try {
+      val dir = mgr.stateDirOf(id)
+      if (java.nio.file.Files.exists(dir)) {
+        val s = java.nio.file.Files.walk(dir)
+        try s.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { val _ = java.nio.file.Files.deleteIfExists(p) })
+        finally s.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** PR 3.1 — `POST /api/jobs/resume-from-state` (`routes.py:355`): revive
     * a job from its committed state dir. Body `{"job_id": …}` — job id ≡
@@ -252,12 +276,10 @@ final class JobServer(
                 } catch {
                   case e: IllegalStateException =>
                     respond(ex, 409, s"""{"error":${quote(e.getMessage)}}""")
-                  case e: IllegalArgumentException
-                      if e.getMessage != null &&
-                        e.getMessage.contains("already submitted") =>
+                  case e: JobManager.DuplicateJobException =>
                     // lost a revival race: another thread resubmitted first
-                    // (submit's duplicate-id require — the ONLY IAE that
-                    // means "someone else won")
+                    // (typed — message matching would misroute a validation
+                    // failure whose user-controlled text contains the words)
                     respond(ex, 409, s"""{"error":${quote(e.getMessage)}}""")
                   case e: IllegalArgumentException =>
                     // a stored request.json that fails an engine/config

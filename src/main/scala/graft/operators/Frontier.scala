@@ -41,31 +41,43 @@ object Frontier {
     *     window over ≤ numShufflePartitions rows per host, broadcast-joined
     *     back).
     *
-    * The range exchange feeds both the offsets branch and the main branch —
-    * one subtree, reused by Spark's exchange reuse (asserted in
-    * TableSeenSpec), so both sides see the same partition ids.
+    * The sampled range shuffle is evaluated EXACTLY ONCE (eager
+    * localCheckpoint) before the two consumers below read it. This is
+    * load-bearing, not an optimization: RangePartitioner samples with an
+    * rdd-id-derived seed, so if the offsets branch and the main branch each
+    * planned their own (column-pruned) copy of the exchange, the two could
+    * sample different boundaries, desync `__pid`, and the merge join would
+    * silently drop whole (host, partition) groups. Exchange reuse would
+    * usually save this, but it is a physical-plan optimization that column
+    * pruning can defeat — correctness must not depend on it. The truncated
+    * lineage means lost blocks fail the job fast instead of a silent
+    * nondeterministic recompute (same contract as the neardup-resolve
+    * loop's localCheckpoint).
     */
   def rankPerHost(df: DataFrame, orderCols: Seq[Column],
       out: String = "priority"): DataFrame = {
     // explicit numPartitions → REPARTITION_BY_NUM shuffle origin, which AQE
-    // never coalesces: both branches below must observe the SAME partition
-    // ids, so runtime re-coalescing of one reader would desync __pid
+    // never coalesces: __pid must be the un-coalesced partition index
     val numParts = df.sparkSession.sessionState.conf.numShufflePartitions
     val parted = df
       .repartitionByRange(numParts, (col("host") +: orderCols): _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint() // eager: freezes __pid for every consumer
     val offsets = parted.groupBy(col("host"), col("__pid")).count()
       .withColumn("__off", coalesce(
         sum("count").over(Window.partitionBy("host").orderBy("__pid")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("host"), col("__pid"), col("__off"))
+      .select(col("host").as("__ohost"), col("__pid").as("__opid"), col("__off"))
     val wLocal = Window.partitionBy(col("host"), col("__pid")).orderBy(orderCols: _*)
     // NO broadcast hint on offsets: it is O(hosts) rows, so at 10^8+ small
     // hosts a forced broadcast would OOM the driver. AQE broadcasts it when
     // small; when huge, the shuffle join keys (host,__pid) match the local
-    // window's partitioning, so the join's exchange is the window's exchange
+    // window's partitioning, so the join's exchange is the window's exchange.
+    // Null-safe host equality: a null-host row must keep its rank (the
+    // single-window form ranked nulls as their own partition; a plain
+    // equi-join would silently drop them from the frontier).
     parted
-      .join(offsets, Seq("host", "__pid"))
+      .join(offsets, col("host") <=> col("__ohost") && col("__pid") === col("__opid"))
       .withColumn(out, (col("__off") + row_number().over(wLocal)).cast("long"))
       .select((df.columns.map(col) :+ col(out)): _*) // join reordered; keep caller's order
   }

@@ -73,9 +73,12 @@ class TableSeenSpec extends SparkSpec {
 
   test("two-phase rankPerHost ≡ single-host-window rank on a skewed frontier; no per-host window over raw pending") {
     import org.apache.spark.sql.expressions.Window
-    // one giant host (spans many range partitions) + a few tiny ones
+    // one giant host (spans many range partitions) + a few tiny ones + rows
+    // whose host failed to parse (null) — those must keep their rank as
+    // their own partition, exactly like the single-window form
     val rows = ((0 until 5000).map(i => (f"https://big.test/p$i%06d", "big.test")) ++
-      (0 until 40).map(i => (s"https://tiny-${i % 4}.test/p$i", s"tiny-${i % 4}.test")))
+      (0 until 40).map(i => (s"https://tiny-${i % 4}.test/p$i", s"tiny-${i % 4}.test")) ++
+      (0 until 3).map(i => (s"opaque:unparseable-$i", null: String)))
       .toDF("urlNorm", "host")
     val naive = rows.withColumn("priority",
         row_number().over(Window.partitionBy("host").orderBy("urlNorm")).cast("long"))
