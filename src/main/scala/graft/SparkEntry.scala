@@ -460,6 +460,58 @@ object SparkEntry {
         .select(col("doc_id"), col("f._1").as("sr"), col("f._2").as("n_frames"),
           col("f._3").as("peak"), col("f._4").as("rms"), col("f._5").as("dur_ms"))
         .orderBy("doc_id")
+    }),
+    "q37_audio_g711" -> ((s, d) => {
+      // X1 — REAL compressed-audio decode (ITU-T G.711 μ-law/A-law, WAV
+      // format tags 7/6): synthesize a deterministic G.711 payload per doc
+      // (alternating sign-flipped code bytes → exact ±v square wave after
+      // expansion), decode through the real RIFF walk + integer expansion
+      // ([[graft.functions.Wav.ulaw2linear]]/`alaw2linear`, byte-for-byte
+      // equal to the JDK's javax.sound converters — WavSpec), and emit the
+      // features; the oracle re-runs the SAME ITU integer math in SQL.
+      val featUdf = udf((docId: Long) => {
+        val f = graft.functions.Wav.features(
+          graft.fixtures.FixtureGen.g711Bytes(docId)).get
+        (f.audioFormat.toLong, f.nFrames.toLong, f.peak.toLong,
+          math.round(f.rms), f.durationMs)
+      })
+      docs(s, d).select(col("doc_id"), featUdf(col("doc_id")).as("f"))
+        .select(col("doc_id"), col("f._1").as("codec"), col("f._2").as("n_frames"),
+          col("f._3").as("peak"), col("f._4").as("rms"), col("f._5").as("dur_ms"))
+        .orderBy("doc_id")
+    }),
+    "q38_video_mjpeg" -> ((s, d) => {
+      // X1 — REAL compressed-video decode (Motion-JPEG in RIFF/AVI):
+      // synthesize a deterministic MJPEG payload per doc, walk the real
+      // container ([[graft.functions.Avi]]) and decode EVERY frame through
+      // the JDK's actual JPEG codec (Huffman+DCT — a genuinely compressed
+      // bitstream, unlike Y4M). Frames are uniform gray by construction;
+      // `ok` demands every decoded pixel lie within ±4 of the fixture
+      // formula — a broken walk, swapped frame order, or mis-decode turns
+      // ok false / changes w/h and reddens the hash. The oracle emits the
+      // expected rows in closed form.
+      val framesUdf = udf((docId: Long) => {
+        val bytes = graft.fixtures.FixtureGen.aviMjpegBytes(docId)
+        val parsed = graft.functions.Avi.parse(bytes).get
+        (0 until parsed.frameCount).map { k =>
+          val img = graft.functions.Avi.frame(bytes, parsed, k)
+          if (img == null) (k.toLong, -1L, -1L, false) // classify, never NPE
+          else {
+            val expected = (10 + (29 * docId + 13 * k) % 236).toInt
+            val px = img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
+            val ok = px.forall { p =>
+              math.abs(((p >> 16) & 0xff) - expected) <= 4 &&
+                math.abs(((p >> 8) & 0xff) - expected) <= 4 &&
+                math.abs((p & 0xff) - expected) <= 4
+            }
+            (k.toLong, img.getWidth.toLong, img.getHeight.toLong, ok)
+          }
+        }
+      })
+      docs(s, d).select(col("doc_id"), explode(framesUdf(col("doc_id"))).as("f"))
+        .select(col("doc_id"), col("f._1").as("frame_idx"), col("f._2").as("w"),
+          col("f._3").as("h"), col("f._4").as("ok"))
+        .orderBy("doc_id", "frame_idx")
     })
   )
 
@@ -788,6 +840,42 @@ object SparkEntry {
                 1000 + (doc_id % 100) * 31 AS peak,
                 1000 + (doc_id % 100) * 31 AS rms,
                 (100 + doc_id % 50) * 1000 // 8000 AS dur_ms
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    // q37: the G.711 fixture alternates code byte b0 = (37d)%256 with its
+    // exact negation b0^0x80, so peak = RMS = |expand(b0)|; this SQL IS the
+    // ITU G.711 expansion (μ-law: complement, (mant·8+132)·2^seg − 132;
+    // A-law: toggle 0x55, seg-0 mant·16+8 else (mant·16+264)·2^(seg−1)) —
+    // sign bit 0x80 excluded from seg by the %8
+    "q37_audio_g711" ->
+      """WITH p AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 2 = 0 THEN 7 ELSE 6 END AS codec,
+                  80 + doc_id % 40 AS n_frames,
+                  (doc_id * 37) % 256 AS b0
+           FROM documents),
+         m AS (
+           SELECT doc_id, codec, n_frames,
+                  CASE WHEN codec = 7
+                    THEN ((((255 - b0) % 16) * 8 + 132) << (((255 - b0) // 16) % 8)) - 132
+                    ELSE CASE WHEN (xor(b0, 85) // 16) % 8 = 0
+                           THEN (xor(b0, 85) % 16) * 16 + 8
+                           ELSE ((xor(b0, 85) % 16) * 16 + 264) << ((xor(b0, 85) // 16) % 8 - 1)
+                         END
+                  END AS mag
+           FROM p)
+         SELECT doc_id, CAST(codec AS BIGINT) AS codec,
+                CAST(n_frames AS BIGINT) AS n_frames,
+                CAST(mag AS BIGINT) AS peak, CAST(mag AS BIGINT) AS rms,
+                CAST(n_frames * 1000 // 8000 AS BIGINT) AS dur_ms
+         FROM m ORDER BY doc_id""",
+    // q38: the MJPEG fixture writes (d%3)+1 uniform 16×16 frames; the
+    // Spark side proves the real JPEG decode (±4 gate vs the gray formula)
+    // and this SQL is the expected outcome — any decode/walk failure
+    // flips ok or w/h and reddens the hash
+    "q38_video_mjpeg" ->
+      """SELECT d.doc_id, t.u AS frame_idx, 16::BIGINT AS w, 16::BIGINT AS h,
+                true AS ok
+         FROM documents d, unnest(range(d.doc_id % 3 + 1)) AS t(u)
+         ORDER BY doc_id, frame_idx"""
   )
 }

@@ -286,6 +286,55 @@ object FixtureGen {
     out
   }
 
+  /** q37 fixture: a deterministic G.711 WAV per doc id — mono 8000 Hz,
+    * `80 + d%40` code frames alternating `b0 = (37d)%256` and its
+    * sign-flip `b0 ^ 0x80` (exact negation under BOTH laws: μ-law's
+    * complement and A-law's 0x55 toggle leave bit 7 in place), codec
+    * μ-law (tag 7) for even ids / A-law (tag 6) for odd. Every feature is
+    * closed-form for the DuckDB oracle: peak = RMS = |G.711 expand(b0)|,
+    * which the oracle recomputes with the same ITU integer math in SQL.
+    * A `fact` chunk sits between fmt and data (as real G.711 WAVs carry)
+    * so fixed-offset parsing would misparse. */
+  def g711Bytes(docId: Long): Array[Byte] = {
+    val n = 80 + (docId % 40).toInt
+    val b0 = ((docId * 37) % 256).toInt
+    val codes = Array.tabulate(n)(i => (if (i % 2 == 0) b0 else b0 ^ 0x80).toByte)
+    val tag = if (docId % 2 == 0) 7 else 6
+    val plain = graft.functions.Wav.encodeG711Mono(codes, 8000, tag)
+    // splice a fact chunk (8 + 4 bytes: dwSampleLength) between fmt and data
+    val fact = "fact".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+      Array[Byte](4, 0, 0, 0) ++
+      Array[Byte]((n & 0xff).toByte, ((n >> 8) & 0xff).toByte, 0, 0)
+    val out = new Array[Byte](plain.length + fact.length)
+    System.arraycopy(plain, 0, out, 0, 36) // RIFF..fmt end
+    System.arraycopy(fact, 0, out, 36, fact.length)
+    System.arraycopy(plain, 36, out, 36 + fact.length, plain.length - 36)
+    val riffLen = (out.length - 8).toLong
+    (0 until 4).foreach(j => out(4 + j) = ((riffLen >> (8 * j)) & 0xff).toByte)
+    out
+  }
+
+  /** q38 fixture: a deterministic MJPEG/AVI payload per doc id —
+    * (d%3)+1 uniform 16×16 frames, gray `10 + (29d+13k)%236`, each frame
+    * a real baseline JPEG from the JDK codec inside a spec-complete AVI
+    * container. Uniform frames survive JPEG quantization to within a few
+    * gray levels (only the DC coefficient is nonzero, and the q≈0.97
+    * DC quant step is ~1), so the query's decode gate (every pixel within
+    * ±4 of the formula) is deterministic; the oracle emits the expected
+    * (frame_idx, 16, 16, true) rows in closed form. */
+  def aviMjpegBytes(docId: Long): Array[Byte] = {
+    val nFrames = (docId % 3).toInt + 1
+    val frames = (0 until nFrames).map { k =>
+      val g = (10 + (29 * docId + 13 * k) % 236).toInt
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (g << 16) | (g << 8) | g
+      (0 until 16).foreach(y => (0 until 16).foreach(x => img.setRGB(x, y, rgb)))
+      img
+    }
+    graft.functions.Avi.encodeMjpeg(frames)
+  }
+
   final case class PageRow(
       url: String, host: String, status: Int, contentType: String,
       content: String, links: Seq[String], navLinks: Seq[String],

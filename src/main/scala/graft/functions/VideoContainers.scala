@@ -1,0 +1,35 @@
+package graft.functions
+
+import java.awt.image.BufferedImage
+
+/** Container sniffing for the video decode family: dispatch on the
+  * payload's magic bytes to the real decoder that owns it — [[Y4m]]
+  * (uncompressed YUV4MPEG2) or [[Avi]] (Motion-JPEG in RIFF/AVI). At
+  * 100 TB the `bytes` column carries whatever the crawl fetched; format
+  * comes from content, not a trusted column. Unknown/truncated magic →
+  * empty (classify, never throw), same contract as both decoders.
+  */
+object VideoContainers {
+
+  private val Y4mMagic = "YUV4MPEG2".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  private def hasPrefix(bytes: Array[Byte], magic: Array[Byte]): Boolean =
+    bytes.length >= magic.length && {
+      var i = 0
+      while (i < magic.length && bytes(i) == magic(i)) i += 1
+      i == magic.length
+    }
+
+  private def isAvi(bytes: Array[Byte]): Boolean =
+    bytes.length >= 12 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'A' && bytes(9) == 'V' && bytes(10) == 'I' && bytes(11) == ' '
+
+  /** Evenly-spaced sample of up to `n` distinct frames with SOURCE
+    * indices, whichever real container the payload is. */
+  def sampleFramesIndexed(bytes: Array[Byte], n: Int): Seq[(Int, BufferedImage)] =
+    if (bytes == null) Seq.empty
+    else if (hasPrefix(bytes, Y4mMagic)) Y4m.sampleFramesIndexed(bytes, n)
+    else if (isAvi(bytes)) Avi.sampleFramesIndexed(bytes, n)
+    else Seq.empty
+}

@@ -38,17 +38,18 @@ object ImageBatch {
     * yields indices 0 and 5), the position timestamps/joins/re-seeks need.
     * The phash comes from the in-hand decoded image — hashing the encoded
     * png would re-decode what we just encoded, per frame, in the hot path.
-    * Y4M payloads decode for REAL (codec-free container); undecodable/
-    * corrupt/null payloads yield zero rows — at 100 TB a bad video is
-    * routine input, and per the decode contract it classifies, never
-    * crashes the stage. Input df must carry (video_id, bytes). */
+    * Y4M (uncompressed) and MJPEG/AVI (compressed) payloads decode for
+    * REAL, sniffed by magic bytes ([[graft.functions.VideoContainers]]);
+    * undecodable/corrupt/null payloads yield zero rows — at 100 TB a bad
+    * video is routine input, and per the decode contract it classifies,
+    * never crashes the stage. Input df must carry (video_id, bytes). */
   def videoFrames(videos: DataFrame, n: Int): DataFrame = {
     val enc = RowEncoder.encoderFor(frameSchema)
     videos.select("video_id", "bytes").mapPartitions { it =>
       it.flatMap { row =>
         val id = row.getString(0)
         val bytes = row.getAs[Array[Byte]](1)
-        graft.functions.Y4m.sampleFramesIndexed(bytes, n).map {
+        graft.functions.VideoContainers.sampleFramesIndexed(bytes, n).map {
           case (idx, img) =>
             Row(id, idx, img.getWidth, img.getHeight,
               graft.functions.ImageOps.encode(img, "png"),

@@ -49,10 +49,26 @@ final class Y4mDecoder extends PayloadDecoder {
     graft.functions.Y4m.encodeFrame(img)
 }
 
-/** COMPRESSED video/audio payloads: the codec libraries don't ship in this
-  * container, so decode is STUBBED (clearly marked); the registry/dispatch
-  * plumbing, schema and batch shape are real and tested — and uncompressed
-  * Y4M video has the REAL [[Y4mDecoder]] above. */
+/** Motion-JPEG in RIFF/AVI: REAL compressed-video decode — every MJPEG
+  * frame is a standalone baseline JPEG, which the JDK's own codec decodes,
+  * so the full container-walk + Huffman/DCT path runs in pure JVM
+  * ([[graft.functions.Avi]]; frame sampling via
+  * [[graft.functions.Avi.sampleFramesIndexed]]). Driver-gated by q38. */
+final class AviMjpegDecoder extends PayloadDecoder {
+  override val fmt = "avi"
+  override val lossless = false // JPEG per frame: lossy, ≥40 dB gate
+  override def decode(bytes: Array[Byte]): BufferedImage =
+    graft.functions.Avi.decodeFirstFrame(bytes)
+  override def encode(img: BufferedImage): Array[Byte] =
+    graft.functions.Avi.encodeMjpeg(Seq(img))
+}
+
+/** INTER-FRAME video codecs (h264/vp9/…) and perceptual audio (mp3/aac):
+  * those genuinely need codec libraries this container doesn't ship, so
+  * decode is STUBBED (clearly marked); the registry/dispatch plumbing,
+  * schema and batch shape are real and tested — uncompressed Y4M video has
+  * the REAL [[Y4mDecoder]], MJPEG/AVI the REAL [[AviMjpegDecoder]], and
+  * WAV carries real PCM + G.711 decode ([[graft.functions.Wav]]). */
 final class VideoFrameDecoderStub extends PayloadDecoder {
   override val fmt = "video"
   override val lossless = false
@@ -71,6 +87,7 @@ object DecoderRegistry {
     "jpg" -> new JpgDecoder,
     "jpeg" -> new JpgDecoder,
     "y4m" -> new Y4mDecoder,
+    "avi" -> new AviMjpegDecoder,
     "video" -> new VideoFrameDecoderStub)
 
   /** "jpg"/"jpeg" are one format under two spellings — a registration for

@@ -123,6 +123,34 @@ object Smoke {
         s"q36_rows=${q36.count()} all match closed form")
     }
 
+    // round-5 compressed-codec drive: MJPEG/AVI through the distributed
+    // frame sampler (magic-sniffed container dispatch) and the G.711 query
+    // against the ITU closed form
+    locally {
+      val vids = spark.range(24).select(
+        concat(lit("a"), $"id").as("video_id"),
+        udf((d: Long) => graft.fixtures.FixtureGen.aviMjpegBytes(d)).apply($"id").as("bytes"))
+      val frames = graft.operators.ImageBatch.videoFrames(vids, 4)
+        .where($"w" === 16 && $"h" === 16 && $"frame".isNotNull)
+      val nFrames = frames.count()
+      val expect = (0L until 24L).map(d => d % 3 + 1).sum // (d%3)+1 frames each
+      assert(nFrames == expect, s"avi frames=$nFrames expected=$expect")
+      val q38 = graft.SparkEntry.queries("q38_video_mjpeg")(spark, "/root/testdata/sf0.001")
+      assert(q38.where(!$"ok" || $"w" =!= 16 || $"h" =!= 16).isEmpty,
+        "q38 mjpeg decode gate failed")
+      val q37 = graft.SparkEntry.queries("q37_audio_g711")(spark, "/root/testdata/sf0.001")
+      val expand = udf((d: Long) => {
+        val b0 = ((d * 37) % 256).toInt
+        math.abs(if (d % 2 == 0) graft.functions.Wav.ulaw2linear(b0)
+                 else graft.functions.Wav.alaw2linear(b0)).toLong
+      })
+      val badG711 = q37.where($"peak" =!= $"rms" || $"peak" =!= expand($"doc_id") ||
+        $"codec" =!= when($"doc_id" % 2 === 0, 7L).otherwise(6L))
+      assert(badG711.isEmpty, "q37 g711 features diverge from ITU closed form")
+      println(s"SMOKE avi+g711: frames=$nFrames q38_rows=${q38.count()} " +
+        s"q37_rows=${q37.count()} all match closed form")
+    }
+
     // full engine drive: crawl the synthetic web end-to-end
     val params = graft.fixtures.FixtureGen.Params(hosts = 2, pagesPerHost = 40)
     val cfg = graft.model.CrawlConfig(

@@ -1,0 +1,133 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.nio.charset.StandardCharsets
+
+import graft.functions.{Avi, ImageOps, VideoContainers}
+import graft.fixtures.FixtureGen
+
+/** X1 — REAL compressed-video decode: Motion-JPEG in the RIFF/AVI
+  * container (container walk through the JDK's actual JPEG codec).
+  * Round-trips, frame sampling, foreign-chunk walking, malformed-payload
+  * classification, and the registry seam. */
+class AviSpec extends SparkSpec {
+
+  private def uniform(g: Int, w: Int = 16, h: Int = 16): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val rgb = (g << 16) | (g << 8) | g
+    (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+    img
+  }
+
+  private def gray(img: BufferedImage): Int = img.getRGB(0, 0) & 0xff
+
+  test("encode → parse → decode round-trip: real JPEG bitstream per frame") {
+    val imgs = (0L until 3L).map(s => ImageOps.toImage(
+      ImageOps.syntheticPixels(s, 24, 18), 24, 18))
+    val bytes = Avi.encodeMjpeg(imgs)
+    // the movi payload is genuine JPEG: SOI marker FF D8 inside the chunk
+    val p = Avi.parse(bytes).get
+    assert(p.w == 24 && p.h == 18 && p.frameCount == 3)
+    p.frames.foreach { case (off, _) =>
+      assert((bytes(off) & 0xff) == 0xff && (bytes(off + 1) & 0xff) == 0xd8) // JPEG SOI
+    }
+    imgs.zipWithIndex.foreach { case (src, k) =>
+      val dec = Avi.frame(bytes, p, k)
+      assert(dec.getWidth == 24 && dec.getHeight == 18)
+      // full-spectrum synthetic noise is JPEG's worst case — it lands just
+      // under the 40 dB J7 gate (≈39 dB, same as a plain JPEG of the same
+      // content); assert the decode is faithful, not that noise is easy
+      assert(ImageOps.psnrImages(src, dec) >= 38.0, s"frame $k")
+    }
+  }
+
+  test("fixture closed form: frame count, geometry, ±4 uniform-gray gate") {
+    (0L until 9L).foreach { d =>
+      val bytes = FixtureGen.aviMjpegBytes(d)
+      val p = Avi.parse(bytes).get
+      assert(p.frameCount == (d % 3).toInt + 1, s"doc $d")
+      (0 until p.frameCount).foreach { k =>
+        val img = Avi.frame(bytes, p, k)
+        val expected = (10 + (29 * d + 13 * k) % 236).toInt
+        val px = img.getRGB(0, 0, 16, 16, null, 0, 16)
+        assert(px.forall { q =>
+          Seq(16, 8, 0).forall(sh => math.abs(((q >> sh) & 0xff) - expected) <= 4)
+        }, s"doc $d frame $k: decoded far from $expected")
+      }
+    }
+  }
+
+  test("sampleFramesIndexed: floor-spaced distinct source indices") {
+    // frames carry distinct grays 12 apart (> 2× the JPEG tolerance), so
+    // the decoded gray identifies which source frame was sampled
+    val m = 11
+    val bytes = Avi.encodeMjpeg((0 until m).map(k => uniform(10 + 12 * k)))
+    Seq(1, 2, 3, 7, 11, 50).foreach { n =>
+      val sampled = Avi.sampleFramesIndexed(bytes, n)
+      val k = math.min(n, m)
+      assert(sampled.map(_._1) == (0 until k).map(j => (j.toLong * m / k).toInt), s"n=$n")
+      sampled.foreach { case (idx, img) =>
+        assert(math.abs(gray(img) - (10 + 12 * idx)) <= 4, s"n=$n idx=$idx")
+      }
+    }
+    // magic sniffing routes AVI payloads to the same decode
+    assert(VideoContainers.sampleFramesIndexed(bytes, 3).map(_._1) ==
+      Avi.sampleFramesIndexed(bytes, 3).map(_._1))
+  }
+
+  test("container walk: JUNK before hdrl and idx1 after movi still parse") {
+    val plain = Avi.encodeMjpeg(Seq(uniform(100), uniform(200)))
+    // splice a top-level JUNK chunk right after the 12-byte RIFF header and
+    // an idx1 chunk at the end; fix up the RIFF size
+    val junk = "JUNK".getBytes(StandardCharsets.US_ASCII) ++
+      Array[Byte](6, 0, 0, 0) ++ Array[Byte](1, 2, 3, 4, 5, 6)
+    val idx1 = "idx1".getBytes(StandardCharsets.US_ASCII) ++
+      Array[Byte](4, 0, 0, 0) ++ Array[Byte](0, 0, 0, 0)
+    val out = new Array[Byte](plain.length + junk.length + idx1.length)
+    System.arraycopy(plain, 0, out, 0, 12)
+    System.arraycopy(junk, 0, out, 12, junk.length)
+    System.arraycopy(plain, 12, out, 12 + junk.length, plain.length - 12)
+    System.arraycopy(idx1, 0, out, plain.length + junk.length, idx1.length)
+    val riffLen = (out.length - 8).toLong
+    (0 until 4).foreach(j => out(4 + j) = ((riffLen >> (8 * j)) & 0xff).toByte)
+    val p = Avi.parse(out).get
+    assert(p.frameCount == 2 && p.w == 16 && p.h == 16)
+    assert(math.abs(gray(Avi.frame(out, p, 0)) - 100) <= 4 &&
+      math.abs(gray(Avi.frame(out, p, 1)) - 200) <= 4)
+  }
+
+  test("malformed payloads classify (None/empty/null), never throw") {
+    assert(Avi.parse(null).isEmpty)
+    assert(Avi.parse(Array.emptyByteArray).isEmpty)
+    assert(Avi.parse("RIFF 123 WAVE".getBytes(StandardCharsets.US_ASCII)).isEmpty)
+    assert(Avi.parse("not a video".getBytes(StandardCharsets.US_ASCII)).isEmpty)
+    assert(Avi.decodeFirstFrame(null) == null)
+    val good = FixtureGen.aviMjpegBytes(2L) // 3 frames
+    // truncation mid-movi: surviving full chunks still decode, no throw
+    val p = Avi.parse(good).get
+    val cutAt = p.frames(2)._1 - 8 // drop the third frame's chunk header on
+    val cut = java.util.Arrays.copyOfRange(good, 0, cutAt)
+    assert(Avi.parse(cut).forall(_.frameCount <= 2))
+    assert(Avi.sampleFramesIndexed(cut, 4).size <= 2) // classify, not crash
+    // hostile u32-max chunk size must not overflow the walk
+    val hostile = good.clone()
+    val moviOff = p.frames(0)._1 - 8 // first 00dc chunk header
+    hostile(moviOff + 4) = 0xff.toByte; hostile(moviOff + 5) = 0xff.toByte
+    hostile(moviOff + 6) = 0xff.toByte; hostile(moviOff + 7) = 0xfe.toByte
+    Avi.parse(hostile) // clamped; any outcome but a throw
+    // a corrupted JPEG payload classifies (null frame → dropped in sampling)
+    val badJpeg = good.clone()
+    badJpeg(p.frames(0)._1 + 2) = 0x00 // stomp the first marker after SOI
+    assert(Avi.sampleFramesIndexed(badJpeg, 4).forall(_._2 != null))
+  }
+
+  test("registry seam: avi is a registered lossy decoder; J7 gate applies") {
+    val d = graft.sources.DecoderRegistry.get("avi")
+    assert(!d.lossless)
+    val img = uniform(123, 20, 12)
+    val rt = d.decode(d.encode(img))
+    assert(rt != null && rt.getWidth == 20 && rt.getHeight == 12)
+    assert(ImageOps.psnrImages(img, rt) >= 40.0 && d.valid(ImageOps.psnrImages(img, rt)))
+    assert(!graft.sources.DecoderRegistry.losslessFormats.contains("avi"))
+  }
+}

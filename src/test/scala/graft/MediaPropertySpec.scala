@@ -4,7 +4,7 @@ import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{ImageOps, Wav, Y4m}
+import graft.functions.{Avi, ImageOps, Wav, Y4m}
 
 /** Property sweeps for the codec-free media decoders (X1): encode→decode
   * round-trips over arbitrary content/dimensions, sampling invariants, and
@@ -51,10 +51,12 @@ class MediaPropertySpec extends AnyFunSuite {
     })
   }
 
-  test("y4m/wav: random mutation never throws — corrupt payloads classify") {
+  test("y4m/wav/g711/avi: random mutation never throws — corrupt payloads classify") {
     val base: Gen[Array[Byte]] = Gen.oneOf(
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.y4mBytes),
-      Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.wavBytes))
+      Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.wavBytes),
+      Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.g711Bytes),
+      Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.aviMjpegBytes))
     val mutation: Gen[(Array[Byte]) => Array[Byte]] = Gen.oneOf(
       Gen.choose(0, 1000).map(c => (b: Array[Byte]) => b.dropRight(c)),
       Gen.choose(0, 60).map(c => (b: Array[Byte]) => b.drop(c)),
@@ -69,8 +71,28 @@ class MediaPropertySpec extends AnyFunSuite {
         Y4m.sampleFrames(mutated, 4)
         Y4m.decodeFirstFrame(mutated)
         Wav.features(mutated)
+        Avi.sampleFramesIndexed(mutated, 4)
+        Avi.decodeFirstFrame(mutated)
+        graft.functions.VideoContainers.sampleFramesIndexed(mutated, 4)
         true
     }, tests = 400)
+  }
+
+  test("g711: encode→features round-trip on arbitrary code bytes, both laws") {
+    val gen = for {
+      n <- Gen.choose(1, 400)
+      tag <- Gen.oneOf(6, 7)
+      codes <- Gen.listOfN(n, Gen.choose(0, 255))
+    } yield (tag, codes.toArray.map(_.toByte))
+    check("g711-roundtrip", Prop.forAll(gen) { case (tag, codes) =>
+      val expand: Int => Int = if (tag == 7) Wav.ulaw2linear else Wav.alaw2linear
+      val linear = codes.map(b => expand(b & 0xff))
+      val f = Wav.features(Wav.encodeG711Mono(codes, 8000, tag)).get
+      val expectRms = math.sqrt(linear.map(v => v.toDouble * v).sum / linear.length)
+      f.audioFormat == tag && f.nFrames == codes.length &&
+        f.peak == linear.map(math.abs).max && math.abs(f.rms - expectRms) < 1e-9 &&
+        Wav.samples(Wav.encodeG711Mono(codes, 8000, tag)).get.sameElements(linear)
+    })
   }
 
   test("wav: encode→features round-trip is exact on arbitrary PCM") {

@@ -48,6 +48,55 @@ class WavSpec extends SparkSpec {
     assert(f.peak == 100 && f.rms == math.sqrt(20000.0 / 4))
   }
 
+  test("G.711 expansion is byte-for-byte the JDK javax.sound converters, both laws") {
+    // independent oracle: the JDK ships its own ITU G.711 codecs — run all
+    // 256 code bytes through AudioSystem's ULAW/ALAW → PCM_SIGNED
+    // conversion and demand exact equality with our integer expansion
+    import javax.sound.sampled._
+    val raw = Array.tabulate[Byte](256)(_.toByte)
+    for ((enc, expand) <- Seq(
+        AudioFormat.Encoding.ULAW -> ((b: Int) => Wav.ulaw2linear(b)),
+        AudioFormat.Encoding.ALAW -> ((b: Int) => Wav.alaw2linear(b)))) {
+      val src = new AudioFormat(enc, 8000f, 8, 1, 1, 8000f, false)
+      val in = new AudioInputStream(new java.io.ByteArrayInputStream(raw), src, 256)
+      val dst = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f, false)
+      val out = AudioSystem.getAudioInputStream(dst, in).readAllBytes()
+      (0 until 256).foreach { b =>
+        val jdk = ((out(2 * b) & 0xff) | (out(2 * b + 1) << 8)).toShort.toInt
+        assert(jdk == expand(b), s"$enc byte $b")
+      }
+    }
+  }
+
+  test("G.711 sign-flip b^0x80 is exact negation under both laws") {
+    (0 until 128).foreach { b =>
+      assert(Wav.ulaw2linear(b) == -Wav.ulaw2linear(b ^ 0x80), s"ulaw $b")
+      assert(Wav.alaw2linear(b) == -Wav.alaw2linear(b ^ 0x80), s"alaw $b")
+    }
+  }
+
+  test("G.711 fixture: fact-chunk walk + closed-form features, both codecs") {
+    (0L until 8L).foreach { d =>
+      val f = Wav.features(FixtureGen.g711Bytes(d)).get
+      val b0 = ((d * 37) % 256).toInt
+      val tag = if (d % 2 == 0) 7 else 6
+      val mag = math.abs(if (tag == 7) Wav.ulaw2linear(b0) else Wav.alaw2linear(b0))
+      assert(f.audioFormat == tag && f.channels == 1 && f.sampleRate == 8000, s"doc $d")
+      assert(f.nFrames == 80 + (d % 40).toInt, s"doc $d")
+      assert(f.peak == mag && math.round(f.rms) == mag, s"doc $d")
+      // decoded sample stream is the exact ±v square wave
+      val head = Wav.samples(FixtureGen.g711Bytes(d)).get.take(4).toSeq
+      val v = if (tag == 7) Wav.ulaw2linear(b0) else Wav.alaw2linear(b0)
+      assert(head == Seq(v, -v, v, -v), s"doc $d")
+    }
+  }
+
+  test("G.711 with non-8-bit sample width classifies (None)") {
+    val g = FixtureGen.g711Bytes(0L)
+    val bad = g.clone(); bad(34) = 16 // fmt.bitsPerSample := 16 under tag 7
+    assert(Wav.features(bad).isEmpty)
+  }
+
   test("malformed payloads classify (None), never throw") {
     assert(Wav.features(null).isEmpty)
     assert(Wav.features(Array.emptyByteArray).isEmpty)
