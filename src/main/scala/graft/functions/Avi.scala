@@ -20,14 +20,22 @@ import java.awt.image.BufferedImage
   *     LIST <u32> "hdrl"
   *       "avih" <u32 56> dwMicroSecPerFrame … dwTotalFrames@16
   *                       dwStreams@24 dwWidth@32 dwHeight@36 …
-  *       LIST <u32> "strl"  ("strh" fccType=vids fccHandler=MJPG, "strf" …)
+  *       LIST <u32> "strl"  ("strh" fccType=vids|auds…, "strf" …)  — one
+  *                          per stream, in stream-number order
   *     LIST <u32> "movi"
-  *       ( "00dc" | "00db" <u32 size> <one JPEG> [pad] )*
+  *       ( "##dc" | "##db" <u32 size> <one JPEG> [pad]
+  *       | LIST <u32> "rec " (frame chunks…) )*     — ## = stream number
   *     [ "idx1" … ]
   * }}}
-  * The walk matters: real AVIs carry JUNK/INFO/idx1 chunks and nested
-  * lists — fixed offsets would misparse. All sizes advance in Long and
-  * clamp to the payload end ([[Wav]]'s hostile-size discipline).
+  * The walk matters: real AVIs carry JUNK/INFO/idx1 chunks, wrap frame
+  * groups in `LIST rec ` interleave records (the Video-for-Windows CD
+  * layout), and interleave audio (`01wb`) between video chunks — fixed
+  * offsets or a flat scan would misparse all three. Frame chunks are bound
+  * to the FIRST `vids` stream declared in hdrl (a second video stream or
+  * an audio stream must not pollute the frame sequence). All sizes
+  * advance in Long and clamp to the payload end ([[Wav]]'s hostile-size
+  * discipline); `rec ` recursion is depth-1 by spec, so hostile deep
+  * nesting cannot overflow the stack.
   *
   * Contract matches [[Y4m]]/[[ImageOps.decode]]: malformed, truncated or
   * null payloads yield None/empty — never a throw. A corrupt video row
@@ -36,7 +44,8 @@ import java.awt.image.BufferedImage
 object Avi {
 
   /** Container facts + per-frame chunk slices (offset,length) in stream
-    * order. `w`/`h` come from avih; frames are the movi 00dc/00db chunks. */
+    * order. `w`/`h` come from avih; frames are the selected video stream's
+    * movi `##dc`/`##db` chunks. */
   final case class Parsed(w: Int, h: Int, frames: IndexedSeq[(Int, Int)]) {
     def frameCount: Int = frames.length
   }
@@ -47,50 +56,78 @@ object Avi {
   private def fourcc(b: Array[Byte], i: Int, s: String): Boolean =
     b(i) == s.charAt(0).toByte && b(i + 1) == s.charAt(1).toByte &&
       b(i + 2) == s.charAt(2).toByte && b(i + 3) == s.charAt(3).toByte
-  /** Video frame chunk id: "##dc" (compressed) / "##db" (uncompressed-
-    * tagged; MJPEG writers use both) for any stream number. */
-  private def isFrameChunk(b: Array[Byte], i: Int): Boolean =
+
+  /** RIFF/"AVI " signature — the one source of truth for container
+    * sniffing ([[VideoContainers]] routes on this). */
+  def isAvi(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 12 &&
+      fourcc(bytes, 0, "RIFF") && fourcc(bytes, 8, "AVI ")
+
+  /** Video frame chunk id for the selected stream: "##dc" (compressed) /
+    * "##db" (uncompressed-tagged; MJPEG writers use both). `stream` < 0
+    * accepts any stream (no strl metadata survived to identify one). */
+  private def isFrameChunk(b: Array[Byte], i: Int, stream: Int): Boolean =
     b(i) >= '0' && b(i) <= '9' && b(i + 1) >= '0' && b(i + 1) <= '9' &&
-      b(i + 2) == 'd'.toByte && (b(i + 3) == 'c'.toByte || b(i + 3) == 'b'.toByte)
+      b(i + 2) == 'd'.toByte && (b(i + 3) == 'c'.toByte || b(i + 3) == 'b'.toByte) &&
+      (stream < 0 || (b(i) - '0') * 10 + (b(i + 1) - '0') == stream)
 
   def parse(bytes: Array[Byte]): Option[Parsed] = {
-    if (bytes == null || bytes.length < 12) return None
-    if (!fourcc(bytes, 0, "RIFF") || !fourcc(bytes, 8, "AVI ")) return None
+    if (!isAvi(bytes)) return None
     var w = -1; var h = -1
+    var streamCount = 0
+    var vidStream = -1 // hdrl strl order gives each stream its movi number
     val frames = IndexedSeq.newBuilder[(Int, Int)]
+
+    def walkHdrl(start: Int, end: Int): Unit = {
+      var sp = start
+      while (sp + 8 <= end) {
+        val ssize = u32(bytes, sp + 4)
+        val sbody = sp + 8
+        val savail = math.min(ssize, (end - sbody).toLong).toInt
+        if (fourcc(bytes, sp, "avih") && savail >= 40) {
+          w = u32(bytes, sbody + 32).toInt
+          h = u32(bytes, sbody + 36).toInt
+        } else if (fourcc(bytes, sp, "LIST") && savail >= 4 &&
+            fourcc(bytes, sbody, "strl")) {
+          // first strl sub-chunk is strh; its body leads with fccType
+          if (sbody + 16 <= end && fourcc(bytes, sbody + 4, "strh") &&
+              fourcc(bytes, sbody + 12, "vids") && vidStream < 0)
+            vidStream = streamCount
+          streamCount += 1
+        }
+        val snext = sbody.toLong + ssize + (ssize & 1L)
+        sp = if (snext > end) end else snext.toInt
+      }
+    }
+
+    // depth-bounded: `LIST rec ` interleave records hold frame chunks one
+    // level down (spec: rec lists don't nest) — a hostile deeply-nested
+    // payload must clamp, not recurse the stack away
+    def walkMovi(start: Int, end: Int, depth: Int): Unit = {
+      var sp = start
+      while (sp + 8 <= end) {
+        val ssize = u32(bytes, sp + 4)
+        val sbody = sp + 8
+        val savail = math.min(ssize, (end - sbody).toLong).toInt
+        if (fourcc(bytes, sp, "LIST") && savail >= 4 &&
+            fourcc(bytes, sbody, "rec ") && depth < 1) {
+          walkMovi(sbody + 4, sbody + savail, depth + 1)
+        } else if (isFrameChunk(bytes, sp, vidStream) && savail > 0) {
+          frames += ((sbody, savail))
+        }
+        val snext = sbody.toLong + ssize + (ssize & 1L)
+        sp = if (snext > end) end else snext.toInt
+      }
+    }
+
     var pos = 12
     while (pos + 8 <= bytes.length) {
       val size = u32(bytes, pos + 4)
       val body = pos + 8
       val avail = math.min(size, (bytes.length - body).toLong).toInt
       if (fourcc(bytes, pos, "LIST") && avail >= 4) {
-        if (fourcc(bytes, body, "hdrl")) {
-          // sub-walk for avih (may itself precede nested strl LISTs)
-          var sp = body + 4
-          val end = body + avail
-          while (sp + 8 <= end) {
-            val ssize = u32(bytes, sp + 4)
-            val sbody = sp + 8
-            val savail = math.min(ssize, (end - sbody).toLong).toInt
-            if (fourcc(bytes, sp, "avih") && savail >= 40) {
-              w = u32(bytes, sbody + 32).toInt
-              h = u32(bytes, sbody + 36).toInt
-            }
-            val snext = sbody.toLong + ssize + (ssize & 1L)
-            sp = if (snext > end) end else snext.toInt
-          }
-        } else if (fourcc(bytes, body, "movi")) {
-          var sp = body + 4
-          val end = body + avail
-          while (sp + 8 <= end) {
-            val ssize = u32(bytes, sp + 4)
-            val sbody = sp + 8
-            val savail = math.min(ssize, (end - sbody).toLong).toInt
-            if (isFrameChunk(bytes, sp) && savail > 0) frames += ((sbody, savail))
-            val snext = sbody.toLong + ssize + (ssize & 1L)
-            sp = if (snext > end) end else snext.toInt
-          }
-        }
+        if (fourcc(bytes, body, "hdrl")) walkHdrl(body + 4, body + avail)
+        else if (fourcc(bytes, body, "movi")) walkMovi(body + 4, body + avail, 0)
       }
       val next = body.toLong + size + (size & 1L)
       pos = if (next > bytes.length) bytes.length else next.toInt
@@ -134,41 +171,41 @@ object Avi {
     * dimensions (the AVI contract: one video stream, fixed geometry). */
   def encodeMjpeg(framesIn: Seq[BufferedImage], fps: Int = 25): Array[Byte] = {
     require(framesIn.nonEmpty, "MJPEG container needs at least one frame")
+    require(fps > 0, s"fps must be positive, got $fps")
     val w = framesIn.head.getWidth; val h = framesIn.head.getHeight
     require(framesIn.forall(f => f.getWidth == w && f.getHeight == h),
       "all MJPEG frames must share one geometry")
     val jpegs = framesIn.map(ImageOps.encode(_, "jpg"))
-    val bb = new java.io.ByteArrayOutputStream()
-    def ascii(s: String): Unit = (0 until s.length).foreach(i => bb.write(s.charAt(i)))
-    def u32le(v: Long): Unit = (0 until 4).foreach(j => bb.write(((v >> (8 * j)) & 0xff).toInt))
-    def u16le(v: Int): Unit = { bb.write(v & 0xff); bb.write((v >> 8) & 0xff) }
+    val bb = new Riff.Writer
     // strh(56) + strf(40) inside strl; avih(56); sizes per spec
     val strlSize = 4 + (8 + 56) + (8 + 40)
     val hdrlSize = 4 + (8 + 56) + (8 + strlSize)
     val moviSize = 4 + jpegs.map(j => 8 + j.length + (j.length & 1)).sum
     val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
-    ascii("RIFF"); u32le(riffSize.toLong); ascii("AVI ")
-    ascii("LIST"); u32le(hdrlSize.toLong); ascii("hdrl")
-    ascii("avih"); u32le(56L)
-    u32le(1000000L / fps); u32le(0L); u32le(0L); u32le(0x10L /*HASINDEX off, INTERLEAVED off; plain*/)
-    u32le(jpegs.length.toLong); u32le(0L); u32le(1L); u32le(0L)
-    u32le(w.toLong); u32le(h.toLong); (0 until 4).foreach(_ => u32le(0L))
-    ascii("LIST"); u32le(strlSize.toLong); ascii("strl")
-    ascii("strh"); u32le(56L)
-    ascii("vids"); ascii("MJPG")
-    u32le(0L); u16le(0); u16le(0) // flags, priority, language
-    u32le(0L); u32le(1L); u32le(fps.toLong) // initialFrames, scale, rate
-    u32le(0L); u32le(jpegs.length.toLong); u32le(0L) // start, length, bufSize
-    u32le(0L); u32le(0L) // quality, sampleSize
-    u16le(0); u16le(0); u16le(w); u16le(h) // rcFrame
-    ascii("strf"); u32le(40L) // BITMAPINFOHEADER
-    u32le(40L); u32le(w.toLong); u32le(h.toLong); u16le(1); u16le(24)
-    ascii("MJPG"); u32le(w.toLong * h * 3); u32le(0L); u32le(0L); u32le(0L); u32le(0L)
-    ascii("LIST"); u32le(moviSize.toLong); ascii("movi")
+    bb.ascii("RIFF"); bb.u32(riffSize.toLong); bb.ascii("AVI ")
+    bb.ascii("LIST"); bb.u32(hdrlSize.toLong); bb.ascii("hdrl")
+    bb.ascii("avih"); bb.u32(56L)
+    bb.u32(1000000L / fps); bb.u32(0L); bb.u32(0L)
+    bb.u32(0L) // dwFlags: no AVIF_HASINDEX — this writer emits no idx1 chunk
+    bb.u32(jpegs.length.toLong); bb.u32(0L); bb.u32(1L); bb.u32(0L)
+    bb.u32(w.toLong); bb.u32(h.toLong); (0 until 4).foreach(_ => bb.u32(0L))
+    bb.ascii("LIST"); bb.u32(strlSize.toLong); bb.ascii("strl")
+    bb.ascii("strh"); bb.u32(56L)
+    bb.ascii("vids"); bb.ascii("MJPG")
+    bb.u32(0L); bb.u16(0); bb.u16(0) // flags, priority, language
+    bb.u32(0L); bb.u32(1L); bb.u32(fps.toLong) // initialFrames, scale, rate
+    bb.u32(0L); bb.u32(jpegs.length.toLong); bb.u32(0L) // start, length, bufSize
+    bb.u32(0L); bb.u32(0L) // quality, sampleSize
+    bb.u16(0); bb.u16(0); bb.u16(w); bb.u16(h) // rcFrame
+    bb.ascii("strf"); bb.u32(40L) // BITMAPINFOHEADER
+    bb.u32(40L); bb.u32(w.toLong); bb.u32(h.toLong); bb.u16(1); bb.u16(24)
+    bb.ascii("MJPG"); bb.u32(w.toLong * h * 3)
+    bb.u32(0L); bb.u32(0L); bb.u32(0L); bb.u32(0L)
+    bb.ascii("LIST"); bb.u32(moviSize.toLong); bb.ascii("movi")
     jpegs.foreach { j =>
-      ascii("00dc"); u32le(j.length.toLong); bb.write(j, 0, j.length)
-      if ((j.length & 1) == 1) bb.write(0) // pad to even
+      bb.ascii("00dc"); bb.u32(j.length.toLong); bb.bytes(j)
+      if ((j.length & 1) == 1) bb.pad() // chunks pad to even
     }
-    bb.toByteArray
+    bb.result()
   }
 }

@@ -20,16 +20,11 @@ object VideoContainers {
       i == magic.length
     }
 
-  private def isAvi(bytes: Array[Byte]): Boolean =
-    bytes.length >= 12 &&
-      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
-      bytes(8) == 'A' && bytes(9) == 'V' && bytes(10) == 'I' && bytes(11) == ' '
-
   /** Evenly-spaced sample of up to `n` distinct frames with SOURCE
     * indices, whichever real container the payload is. */
   def sampleFramesIndexed(bytes: Array[Byte], n: Int): Seq[(Int, BufferedImage)] =
     if (bytes == null) Seq.empty
     else if (hasPrefix(bytes, Y4mMagic)) Y4m.sampleFramesIndexed(bytes, n)
-    else if (isAvi(bytes)) Avi.sampleFramesIndexed(bytes, n)
+    else if (Avi.isAvi(bytes)) Avi.sampleFramesIndexed(bytes, n)
     else Seq.empty
 }

@@ -164,37 +164,28 @@ object Wav {
     require(fmtTag == 6 || fmtTag == 7, s"G.711 fmt tag must be 6 or 7, got $fmtTag")
     val dataLen = codeBytes.length
     val pad = dataLen & 1 // RIFF chunks pad to even
-    val out = new Array[Byte](44 + dataLen + pad)
-    def putAscii(i: Int, s: String): Unit =
-      (0 until 4).foreach(j => out(i + j) = s.charAt(j).toByte)
-    def put32(i: Int, v: Long): Unit =
-      (0 until 4).foreach(j => out(i + j) = ((v >> (8 * j)) & 0xff).toByte)
-    def put16(i: Int, v: Int): Unit = { out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte }
-    putAscii(0, "RIFF"); put32(4, (out.length - 8).toLong); putAscii(8, "WAVE")
-    putAscii(12, "fmt "); put32(16, 16L)
-    put16(20, fmtTag); put16(22, 1); put32(24, sampleRate.toLong)
-    put32(28, sampleRate.toLong); put16(32, 1); put16(34, 8)
-    putAscii(36, "data"); put32(40, dataLen.toLong)
-    System.arraycopy(codeBytes, 0, out, 44, dataLen)
-    out
+    val w = new Riff.Writer
+    w.ascii("RIFF"); w.u32(36L + dataLen + pad); w.ascii("WAVE")
+    w.ascii("fmt "); w.u32(16L)
+    w.u16(fmtTag); w.u16(1); w.u32(sampleRate.toLong)
+    w.u32(sampleRate.toLong); w.u16(1); w.u16(8)
+    w.ascii("data"); w.u32(dataLen.toLong)
+    w.bytes(codeBytes)
+    if (pad == 1) w.pad()
+    w.result()
   }
 
   /** 16-bit PCM mono encode (the inverse surface, like [[Y4m.encodeFrame]]):
     * header + fmt + data chunks, little-endian. */
   def encodePcm16Mono(samples: Array[Int], sampleRate: Int): Array[Byte] = {
     val dataLen = samples.length * 2
-    val out = new Array[Byte](44 + dataLen)
-    def putAscii(i: Int, s: String): Unit =
-      (0 until 4).foreach(j => out(i + j) = s.charAt(j).toByte)
-    def put32(i: Int, v: Long): Unit =
-      (0 until 4).foreach(j => out(i + j) = ((v >> (8 * j)) & 0xff).toByte)
-    def put16(i: Int, v: Int): Unit = { out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte }
-    putAscii(0, "RIFF"); put32(4, 36L + dataLen); putAscii(8, "WAVE")
-    putAscii(12, "fmt "); put32(16, 16L)
-    put16(20, 1); put16(22, 1); put32(24, sampleRate.toLong)
-    put32(28, sampleRate.toLong * 2); put16(32, 2); put16(34, 16)
-    putAscii(36, "data"); put32(40, dataLen.toLong)
-    samples.indices.foreach(i => put16(44 + 2 * i, samples(i) & 0xffff))
-    out
+    val w = new Riff.Writer
+    w.ascii("RIFF"); w.u32(36L + dataLen); w.ascii("WAVE")
+    w.ascii("fmt "); w.u32(16L)
+    w.u16(1); w.u16(1); w.u32(sampleRate.toLong)
+    w.u32(sampleRate.toLong * 2); w.u16(2); w.u16(16)
+    w.ascii("data"); w.u32(dataLen.toLong)
+    samples.foreach(s => w.u16(s & 0xffff))
+    w.result()
   }
 }

@@ -115,10 +115,50 @@ class AviSpec extends SparkSpec {
     hostile(moviOff + 4) = 0xff.toByte; hostile(moviOff + 5) = 0xff.toByte
     hostile(moviOff + 6) = 0xff.toByte; hostile(moviOff + 7) = 0xfe.toByte
     Avi.parse(hostile) // clamped; any outcome but a throw
-    // a corrupted JPEG payload classifies (null frame → dropped in sampling)
+    // a corrupted JPEG payload classifies: frame 0's body is zeroed after
+    // SOI (undecodable for sure), so sampling all 3 frames must DROP it and
+    // keep exactly the two intact ones — not emit it, not throw
     val badJpeg = good.clone()
-    badJpeg(p.frames(0)._1 + 2) = 0x00 // stomp the first marker after SOI
-    assert(Avi.sampleFramesIndexed(badJpeg, 4).forall(_._2 != null))
+    val (f0off, f0len) = p.frames(0)
+    java.util.Arrays.fill(badJpeg, f0off + 2, f0off + f0len, 0.toByte)
+    assert(Avi.sampleFramesIndexed(badJpeg, 4).map(_._1) == Seq(1, 2))
+  }
+
+  test("stream binding + rec interleave: the vids stream's frames, only those") {
+    // hand-built two-stream AVI: stream 0 = auds, stream 1 = vids; movi
+    // carries an audio chunk, a frame wrapped in a LIST 'rec ' interleave
+    // record, a plain frame, and a '00dc' chunk on the AUDIO stream number
+    // that a naive ##dc scan would miscount as video
+    def u32le(v: Int): Array[Byte] = Array[Byte]((v & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      id.getBytes(StandardCharsets.US_ASCII) ++ u32le(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+    def list(typ: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", typ.getBytes(StandardCharsets.US_ASCII) ++ body)
+    val jpeg1 = ImageOps.encode(uniform(60), "jpg")
+    val jpeg2 = ImageOps.encode(uniform(180), "jpg")
+    val avih = new Array[Byte](56)
+    System.arraycopy(u32le(16), 0, avih, 32, 4) // dwWidth
+    System.arraycopy(u32le(16), 0, avih, 36, 4) // dwHeight
+    def strh(fcc: String) =
+      fcc.getBytes(StandardCharsets.US_ASCII) ++ new Array[Byte](52)
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh("auds"))) ++
+      list("strl", chunk("strh", strh("vids"))))
+    val movi = list("movi",
+      chunk("00wb", Array[Byte](1, 2, 3, 4)) ++ // audio data: skipped
+        list("rec ", chunk("01dc", jpeg1)) ++ // interleave record: recursed
+        chunk("01dc", jpeg2) ++
+        chunk("00dc", jpeg1)) // stream-0 'dc' chunk: NOT the vids stream
+    val payload = hdrl ++ movi
+    val bytes = "RIFF".getBytes(StandardCharsets.US_ASCII) ++
+      u32le(payload.length + 4) ++
+      "AVI ".getBytes(StandardCharsets.US_ASCII) ++ payload
+    val p = Avi.parse(bytes).get
+    assert(p.frameCount == 2 && p.w == 16 && p.h == 16)
+    assert(math.abs(gray(Avi.frame(bytes, p, 0)) - 60) <= 4)
+    assert(math.abs(gray(Avi.frame(bytes, p, 1)) - 180) <= 4)
   }
 
   test("registry seam: avi is a registered lossy decoder; J7 gate applies") {
