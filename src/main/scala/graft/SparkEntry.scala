@@ -512,6 +512,30 @@ object SparkEntry {
         .select(col("doc_id"), col("f._1").as("frame_idx"), col("f._2").as("w"),
           col("f._3").as("h"), col("f._4").as("ok"))
         .orderBy("doc_id", "frame_idx")
+    }),
+    "q39_audio_adpcm" -> ((s, d) => {
+      // X1 — REAL compressed-audio decode #2 (IMA/DVI ADPCM, WAV format
+      // tag 0x11 — a STATEFUL adaptive codec at 4 bits/sample, unlike the
+      // per-byte G.711 expansion): synthesize a deterministic two-block
+      // ADPCM payload per doc ([[graft.fixtures.FixtureGen.adpcmBytes]]),
+      // decode through the real RIFF walk + block-header reseed + step/
+      // index adaptation ([[graft.functions.Wav.adpcmStep]]), and emit
+      // exact-integer features (peak + sum of squares — no float RMS, so
+      // the gate is bit-exact); the oracle regenerates the closed-form
+      // signal per pattern and aggregates it in SQL. A decoder that gets
+      // any clamp, table entry, nibble order, or block reseed wrong
+      // reddens the hash.
+      val featUdf = udf((docId: Long) => {
+        val bytes = graft.fixtures.FixtureGen.adpcmBytes(docId)
+        val f = graft.functions.Wav.features(bytes).get
+        val ss = graft.functions.Wav.samples(bytes).get
+          .foldLeft(0L)((a, v) => a + v.toLong * v)
+        (f.nFrames.toLong, f.peak.toLong, ss, f.durationMs)
+      })
+      docs(s, d).select(col("doc_id"), featUdf(col("doc_id")).as("f"))
+        .select(col("doc_id"), col("f._1").as("n_frames"), col("f._2").as("peak"),
+          col("f._3").as("sumsq"), col("f._4").as("dur_ms"))
+        .orderBy("doc_id")
     })
   )
 
@@ -876,6 +900,40 @@ object SparkEntry {
       """SELECT d.doc_id, t.u AS frame_idx, 16::BIGINT AS w, 16::BIGINT AS h,
                 true AS ok
          FROM documents d, unnest(range(d.doc_id % 3 + 1)) AS t(u)
-         ORDER BY doc_id, frame_idx"""
+         ORDER BY doc_id, frame_idx""",
+    // q39: the IMA ADPCM fixture decodes to a closed-form signal per
+    // pattern (see FixtureGen.adpcmBytes): pat 0 block 0 ramps P+4k, its
+    // block 1 starts at step index 2 (deltas 7, 7, then 4s → −P + 6+4k
+    // from k≥2); pat 1 is P then alternating +32767 (positive clamp) /
+    // −28669 = 32767 − 61436 (the table-top diff undershoots the floor);
+    // pat 2 is the bare header predictors. This SQL regenerates every sample
+    // and aggregates exact integers (sums CAST to BIGINT — HUGEINT never
+    // escapes, per the q09 lesson)
+    "q39_audio_adpcm" ->
+      """WITH p AS (
+           SELECT doc_id, 60 + 2*(doc_id % 20) AS nib,
+                  (doc_id*131) % 20000 - 10000 AS pred,
+                  doc_id % 3 AS pat
+           FROM documents),
+         s AS (
+           SELECT p.doc_id, p.pat, p.nib, b.u AS blk, k.u AS k,
+                  CASE WHEN b.u = 0 THEN p.pred ELSE -p.pred END AS p0
+           FROM p, unnest(range(2)) AS b(u), unnest(range(p.nib + 1)) AS k(u)),
+         v AS (
+           SELECT doc_id, nib,
+                  CASE WHEN pat = 0 AND blk = 0 THEN p0 + 4*k
+                       WHEN pat = 0 THEN p0 + (CASE WHEN k = 0 THEN 0
+                                                    WHEN k = 1 THEN 7
+                                                    ELSE 6 + 4*k END)
+                       WHEN pat = 1 THEN (CASE WHEN k = 0 THEN p0
+                                               WHEN k % 2 = 1 THEN 32767
+                                               ELSE -28669 END)
+                       ELSE p0 END AS val
+           FROM s)
+         SELECT doc_id, CAST(2*(nib+1) AS BIGINT) AS n_frames,
+                CAST(max(abs(val)) AS BIGINT) AS peak,
+                CAST(sum(val*val) AS BIGINT) AS sumsq,
+                CAST(2*(nib+1) * 1000 // 8000 AS BIGINT) AS dur_ms
+         FROM v GROUP BY doc_id, nib ORDER BY doc_id"""
   )
 }

@@ -314,6 +314,39 @@ object FixtureGen {
     out
   }
 
+  /** q39 fixture: a deterministic IMA ADPCM WAV per doc id — mono 8000 Hz,
+    * TWO blocks of `nib = 60 + 2·(d%20)` nibbles, block headers
+    * `(P, idx₁)` / `(−P, idx₂)` with `P = (131d)%20000 − 10000`. Three
+    * closed-form patterns by `d%3` (each decoded sample is exact integer
+    * math, so the DuckDB oracle regenerates the signal and aggregates it
+    * in SQL):
+    *  - 0: nibbles all 3, idx₁=0 idx₂=2 — block 1 ramps +4/sample (step
+    *    pinned at table[0]=7 by the −1 index delta clamping at 0); block 2
+    *    starts at step index 2, so deltas run 7, 7, then 4s — proving the
+    *    per-block state RESEED and the index walk through three step sizes.
+    *  - 1: nibbles alternate 7, 0xF, idx=88 — step pinned at the table top
+    *    (32767, diff 61436): P, then +32767 (positive CLAMP fires) /
+    *    −28669 = 32767−61436 (no clamp — the diff from the ceiling
+    *    undershoots the floor) alternating; the +8 index delta clamps
+    *    at 88 throughout.
+    *  - 2: nibbles all 0, idx=0 — diff = 7>>3 = 0: the signal IS the two
+    *    header predictors (header passthrough, zero-magnitude path).
+    * No pattern ever hits an unmodeled clamp (|P| ≤ 10000, ramp max
+    * 10391 < 32767), so the SQL formulas are exact. */
+  def adpcmBytes(docId: Long): Array[Byte] = {
+    import graft.functions.Wav
+    val nib = 60 + 2 * (docId % 20).toInt
+    val p = ((docId * 131) % 20000 - 10000).toInt
+    val (idx1, idx2, pattern) = (docId % 3) match {
+      case 0 => (0, 2, Array.fill(nib)(3))
+      case 1 => (88, 88, Array.tabulate(nib)(i => if (i % 2 == 0) 7 else 0xf))
+      case _ => (0, 0, Array.fill(nib)(0))
+    }
+    Wav.encodeAdpcmMono(
+      Seq(Wav.AdpcmBlock(p, idx1, pattern), Wav.AdpcmBlock(-p, idx2, pattern)),
+      8000)
+  }
+
   /** q38 fixture: a deterministic MJPEG/AVI payload per doc id —
     * (d%3)+1 uniform 16×16 frames, gray `10 + (29d+13k)%236`, each frame
     * a real baseline JPEG from the JDK codec inside a spec-complete AVI

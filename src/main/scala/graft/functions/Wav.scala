@@ -2,21 +2,28 @@ package graft.functions
 
 /** Real audio decode for RIFF/WAVE: uncompressed PCM ("WAV") plus the
   * G.711 compressed codecs (μ-law format 7 / A-law format 6 — ITU-T
-  * G.711 1988, the telephony standard). Like [[Y4m]] for video, none of
-  * these needs a codec library — a RIFF chunk walk, little-endian PCM
-  * samples, and for G.711 a 256-entry exact integer expansion — so audio
-  * feature extraction (sample rate, frame count, duration, peak, RMS)
-  * runs as real pure-JVM decode inside distributed operators. Only
-  * perceptual codecs (mp3/aac/…) stay behind the clearly-marked stub.
+  * G.711 1988, the telephony standard) plus IMA/DVI ADPCM (format 0x11 —
+  * the IMA 1992 "Recommended Practices" 4-bit adaptive codec, 4:1
+  * compression). Like [[Y4m]] for video, none of these needs a codec
+  * library — a RIFF chunk walk, little-endian PCM samples, for G.711 a
+  * 256-entry exact integer expansion, and for ADPCM the 89-step/16-index
+  * adaptive predictor — so audio feature extraction (sample rate, frame
+  * count, duration, peak, RMS) runs as real pure-JVM decode inside
+  * distributed operators. Only perceptual codecs (mp3/aac/…) stay behind
+  * the clearly-marked stub.
   *
   * Layout (public spec, RIFF 1991 / WAVE):
   * {{{
   *   "RIFF" <u32 size> "WAVE"
   *   ( <4cc id> <u32 size> payload [pad byte if size odd] )*
-  *   "fmt ": u16 audioFormat(1=PCM, 6=A-law, 7=μ-law) u16 channels
-  *           u32 sampleRate u32 byteRate u16 blockAlign u16 bitsPerSample
+  *   "fmt ": u16 audioFormat(1=PCM, 6=A-law, 7=μ-law, 0x11=IMA ADPCM)
+  *           u16 channels u32 sampleRate u32 byteRate u16 blockAlign
+  *           u16 bitsPerSample [u16 cbSize u16 samplesPerBlock]
   *   "data": interleaved frames (8-bit unsigned | 16-bit signed LE PCM,
-  *           or 8-bit G.711 code bytes)
+  *           8-bit G.711 code bytes, or IMA ADPCM blocks of blockAlign
+  *           bytes: per-channel 4-byte header (i16 predictor, u8 stepIndex,
+  *           u8 reserved) then 4-byte-per-channel interleaved nibble
+  *           groups, LOW nibble first)
   * }}}
   * The chunk WALK matters: real files carry LIST/INFO/fact chunks before
   * or after data — fixed offsets would misparse them.
@@ -62,6 +69,39 @@ object Wav {
   private val UlawTable: Array[Int] = Array.tabulate(256)(ulaw2linear)
   private val AlawTable: Array[Int] = Array.tabulate(256)(alaw2linear)
 
+  /** IMA ADPCM step-index adaptation per nibble magnitude (IMA 1992 §6;
+    * identical 8-entry table mirrored over the sign bit). */
+  private val AdpcmIndexTable: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** IMA ADPCM quantizer step sizes, indices 0..88 (IMA 1992 §6). */
+  private val AdpcmStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544,
+    598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878,
+    2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818,
+    18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+  /** One IMA ADPCM decode step: expand `nibble` against (predictor, index)
+    * state, returning the new packed state `(newPredictor << 8) | newIndex`.
+    * Exact integer form of the IMA 1992 reference decoder: diff =
+    * step>>3 (+step if b2) (+step>>1 if b1) (+step>>2 if b0), sign b3;
+    * predictor clamps to i16, index clamps to 0..88. */
+  def adpcmStep(predictor: Int, index: Int, nibble: Int): (Int, Int) = {
+    val step = AdpcmStepTable(index)
+    var diff = step >> 3
+    if ((nibble & 4) != 0) diff += step
+    if ((nibble & 2) != 0) diff += step >> 1
+    if ((nibble & 1) != 0) diff += step >> 2
+    val p = if ((nibble & 8) != 0) predictor - diff else predictor + diff
+    val pc = if (p > 32767) 32767 else if (p < -32768) -32768 else p
+    val i2 = index + AdpcmIndexTable(nibble & 0xf)
+    val ic = if (i2 < 0) 0 else if (i2 > 88) 88 else i2
+    (pc, ic)
+  }
+
   private def u16(b: Array[Byte], i: Int): Int =
     (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
   private def u32(b: Array[Byte], i: Int): Long =
@@ -71,11 +111,18 @@ object Wav {
     b(i) == s.charAt(0).toByte && b(i + 1) == s.charAt(1).toByte &&
       b(i + 2) == s.charAt(2).toByte && b(i + 3) == s.charAt(3).toByte
 
-  def features(bytes: Array[Byte]): Option[Features] = {
+  /** Parsed fmt+data chunk facts; one walk feeds both [[features]] and
+    * [[samples]]. `samplesPerBlock` only means anything for ADPCM. */
+  private final case class Facts(
+      fmtTag: Int, channels: Int, sampleRate: Int, bits: Int,
+      blockAlign: Int, samplesPerBlock: Int, dataOff: Int, dataLen: Int)
+
+  private def parseFacts(bytes: Array[Byte]): Option[Facts] = {
     if (bytes == null || bytes.length < 12) return None
     if (!fourcc(bytes, 0, "RIFF") || !fourcc(bytes, 8, "WAVE")) return None
     var fmtTag = -1
     var channels = -1; var sampleRate = -1; var bits = -1
+    var blockAlign = -1; var spb = -1
     var dataOff = -1; var dataLen = -1
     var pos = 12
     while (pos + 8 <= bytes.length) {
@@ -85,12 +132,18 @@ object Wav {
       if (fourcc(bytes, pos, "fmt ")) {
         if (avail < 16) return None
         fmtTag = u16(bytes, body)
-        // 1=PCM, 6=A-law, 7=μ-law decode for real; perceptual codecs
-        // (mp3/aac inside WAV) → classify as undecodable, never throw
-        if (fmtTag != 1 && fmtTag != 6 && fmtTag != 7) return None
+        // 1=PCM, 6=A-law, 7=μ-law, 0x11=IMA ADPCM decode for real;
+        // perceptual codecs (mp3/aac inside WAV) → classify as
+        // undecodable, never throw
+        if (fmtTag != 1 && fmtTag != 6 && fmtTag != 7 && fmtTag != 0x11)
+          return None
         channels = u16(bytes, body + 2)
         sampleRate = u32(bytes, body + 4).toInt
+        blockAlign = u16(bytes, body + 12)
         bits = u16(bytes, body + 14)
+        // IMA ADPCM fmt extension: u16 cbSize, u16 samplesPerBlock
+        if (fmtTag == 0x11 && avail >= 20 && u16(bytes, body + 16) >= 2)
+          spb = u16(bytes, body + 18)
       } else if (fourcc(bytes, pos, "data") && dataOff < 0) { // first data wins
         dataOff = body
         dataLen = avail // truncated data: use what's actually present
@@ -101,25 +154,125 @@ object Wav {
       pos = if (next > bytes.length) bytes.length else next.toInt
     }
     if (channels <= 0 || sampleRate <= 0 || dataOff < 0) return None
-    if (fmtTag == 1 && bits != 8 && bits != 16) return None
-    if (fmtTag != 1 && bits != 8) return None // G.711 is 8-bit code bytes
-    val bytesPerSample = bits / 8
-    val frameBytes = bytesPerSample * channels
-    val nFrames = dataLen / frameBytes
-    val nSamples = nFrames * channels
-    var peak = 0
-    var sumSq = 0.0
-    var i = 0
-    while (i < nSamples) {
-      val v = decodeSample(bytes, dataOff, i, fmtTag, bits)
-      val a = math.abs(v)
-      if (a > peak) peak = a
-      sumSq += v.toDouble * v.toDouble
-      i += 1
+    fmtTag match {
+      case 1 => if (bits != 8 && bits != 16) return None
+      case 0x11 =>
+        if (bits != 4) return None
+        // a block must hold the per-channel headers plus data: ≥1 byte for
+        // mono (no group alignment), ≥1 complete 4-byte group per channel
+        // for multi-channel
+        if (channels == 1 && blockAlign < 5) return None
+        if (channels > 1 && blockAlign < 8 * channels) return None
+        // writers that omit the extension: decode everything past the
+        // headers (the IMA recommended-practice default)
+        val spbMax =
+          if (channels == 1) (blockAlign - 4) * 2 + 1
+          else (blockAlign - 4 * channels) / (4 * channels) * 8 + 1
+        if (spb <= 0 || spb > spbMax) spb = spbMax
+      case _ => if (bits != 8) return None // G.711 is 8-bit code bytes
     }
-    val rms = if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples)
-    Some(Features(channels, sampleRate, bits, nFrames, peak, rms, fmtTag))
+    Some(Facts(fmtTag, channels, sampleRate, bits, blockAlign, spb, dataOff, dataLen))
   }
+
+  /** Stream every decoded linear sample (interleaved channel order) through
+    * `g`; returns the FRAME count. PCM/G.711 decode positionally; IMA ADPCM
+    * walks blockAlign-sized blocks, reseeding per-channel (predictor, index)
+    * state from each block header — sample 0 of a block IS the header
+    * predictor (IMA 1992 layout). */
+  private def foreachSample(bytes: Array[Byte], f: Facts)(g: Int => Unit): Int =
+    if (f.fmtTag == 0x11) foreachAdpcmSample(bytes, f)(g)
+    else {
+      val frameBytes = (f.bits / 8) * f.channels
+      val nFrames = f.dataLen / frameBytes
+      val nSamples = nFrames * f.channels
+      var i = 0
+      while (i < nSamples) {
+        g(decodeSample(bytes, f.dataOff, i, f.fmtTag, f.bits))
+        i += 1
+      }
+      nFrames
+    }
+
+  private def foreachAdpcmSample(bytes: Array[Byte], f: Facts)(g: Int => Unit): Int = {
+    val ch = f.channels
+    val preds = new Array[Int](ch); val idxs = new Array[Int](ch)
+    var frames = 0
+    var blockOff = f.dataOff
+    val dataEnd = f.dataOff + f.dataLen
+    while (blockOff + 4 * ch <= dataEnd) {
+      val avail = math.min(f.blockAlign, dataEnd - blockOff)
+      var c = 0
+      while (c < ch) { // per-channel 4-byte header: i16 predictor, u8 index
+        val raw = u16(bytes, blockOff + 4 * c)
+        preds(c) = if (raw >= 0x8000) raw - 0x10000 else raw
+        val i0 = bytes(blockOff + 4 * c + 2) & 0xff
+        idxs(c) = if (i0 > 88) 88 else i0
+        g(preds(c)) // frame 0 of the block is the header predictor
+        c += 1
+      }
+      frames += 1
+      var frameInBlock = 1
+      if (ch == 1) {
+        // mono data bytes are consecutive nibble pairs with NO group
+        // alignment (a 512-byte block carries 508 data bytes — not a
+        // multiple of 4); a truncated final block decodes what's present
+        var bi = blockOff + 4
+        val bend = blockOff + avail
+        while (bi < bend && frameInBlock < f.samplesPerBlock) {
+          val b = bytes(bi) & 0xff
+          var s = 0
+          while (s < 2 && frameInBlock < f.samplesPerBlock) {
+            val nib = if (s == 0) b & 0xf else (b >> 4) & 0xf // low first
+            val (p2, i2) = adpcmStep(preds(0), idxs(0), nib)
+            preds(0) = p2; idxs(0) = i2
+            g(p2); frames += 1; frameInBlock += 1
+            s += 1
+          }
+          bi += 1
+        }
+      } else {
+        // multi-channel: 4-byte groups per channel, interleaved, 8
+        // samples/group/channel; only complete groups are well-formed
+        val groups = (avail - 4 * ch) / (4 * ch)
+        var gi = 0
+        while (gi < groups && frameInBlock < f.samplesPerBlock) {
+          val groupBase = blockOff + 4 * ch + gi * 4 * ch
+          var s = 0
+          while (s < 8 && frameInBlock < f.samplesPerBlock) {
+            var c2 = 0
+            while (c2 < ch) {
+              val b = bytes(groupBase + 4 * c2 + (s >> 1)) & 0xff
+              val nib = if ((s & 1) == 0) b & 0xf else (b >> 4) & 0xf // low first
+              val (p2, i2) = adpcmStep(preds(c2), idxs(c2), nib)
+              preds(c2) = p2; idxs(c2) = i2
+              g(p2)
+              c2 += 1
+            }
+            frames += 1; frameInBlock += 1
+            s += 1
+          }
+          gi += 1
+        }
+      }
+      blockOff += f.blockAlign
+    }
+    frames
+  }
+
+  def features(bytes: Array[Byte]): Option[Features] =
+    parseFacts(bytes).map { f =>
+      var peak = 0
+      var sumSq = 0.0
+      var n = 0L
+      val nFrames = foreachSample(bytes, f) { v =>
+        val a = math.abs(v)
+        if (a > peak) peak = a
+        sumSq += v.toDouble * v.toDouble
+        n += 1
+      }
+      val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
+      Features(f.channels, f.sampleRate, f.bits, nFrames, peak, rms, f.fmtTag)
+    }
 
   /** One linear PCM sample: raw PCM passthrough (8-bit centered / 16-bit
     * LE) or G.711 table expansion. */
@@ -137,24 +290,10 @@ object Wav {
 
   /** Raw centered samples (spec/debug surface; interleaved channel order). */
   def samples(bytes: Array[Byte]): Option[Array[Int]] =
-    features(bytes).map { f =>
-      // re-walk for the data chunk; bounded to the features' frame count
-      val out = new Array[Int](f.nFrames * f.channels)
-      var pos = 12; var dataOff = -1
-      while (dataOff < 0 && pos + 8 <= bytes.length) {
-        if (fourcc(bytes, pos, "data")) dataOff = pos + 8
-        else {
-          val size = u32(bytes, pos + 4)
-          val next = pos + 8L + size + (size & 1L)
-          pos = if (next > bytes.length) bytes.length else next.toInt
-        }
-      }
-      var i = 0
-      while (i < out.length) {
-        out(i) = decodeSample(bytes, dataOff, i, f.audioFormat, f.bitsPerSample)
-        i += 1
-      }
-      out
+    parseFacts(bytes).map { f =>
+      val out = Array.newBuilder[Int]
+      foreachSample(bytes, f)(out += _)
+      out.result()
     }
 
   /** 8-bit G.711 mono encode (the compressed-codec inverse surface): the
@@ -171,6 +310,47 @@ object Wav {
     w.u32(sampleRate.toLong); w.u16(1); w.u16(8)
     w.ascii("data"); w.u32(dataLen.toLong)
     w.bytes(codeBytes)
+    if (pad == 1) w.pad()
+    w.result()
+  }
+
+  /** One mono IMA ADPCM block to write: the decoder state seeded by the
+    * block header plus the raw 4-bit codes (low nibble first on disk). */
+  final case class AdpcmBlock(predictor: Int, index: Int, nibbles: Array[Int]) {
+    require(predictor >= -32768 && predictor <= 32767, s"predictor $predictor")
+    require(index >= 0 && index <= 88, s"step index $index")
+    require(nibbles.length % 2 == 0, "nibble count must be even (2 per byte)")
+    require(nibbles.forall(n => n >= 0 && n <= 15), "nibbles are 4-bit")
+  }
+
+  /** Mono IMA ADPCM encode (the compressed-codec inverse surface): fmt
+    * tag 0x11 with the cbSize/samplesPerBlock extension, fixed blockAlign
+    * across blocks (the on-disk contract — all blocks equal-size except a
+    * possibly-truncated last one, which this writer doesn't emit). */
+  def encodeAdpcmMono(blocks: Seq[AdpcmBlock], sampleRate: Int): Array[Byte] = {
+    require(blocks.nonEmpty, "ADPCM stream needs at least one block")
+    val nib = blocks.head.nibbles.length
+    require(blocks.forall(_.nibbles.length == nib), "blocks must share one size")
+    val blockAlign = 4 + nib / 2
+    val spb = nib + 1 // header sample + one per nibble
+    val dataLen = blocks.length * blockAlign
+    val pad = dataLen & 1 // RIFF chunks pad to even
+    val w = new Riff.Writer
+    w.ascii("RIFF"); w.u32(38L + dataLen + pad); w.ascii("WAVE")
+    w.ascii("fmt "); w.u32(20L) // 16 standard + cbSize + samplesPerBlock
+    w.u16(0x11); w.u16(1); w.u32(sampleRate.toLong)
+    // byteRate ≈ blocks per second × blockAlign (informational)
+    w.u32(sampleRate.toLong * blockAlign / spb); w.u16(blockAlign); w.u16(4)
+    w.u16(2); w.u16(spb) // cbSize, samplesPerBlock
+    w.ascii("data"); w.u32(dataLen.toLong)
+    blocks.foreach { b =>
+      w.u16(b.predictor & 0xffff); w.u16(b.index) // index u8 + reserved u8
+      var i = 0
+      while (i < nib) { // low nibble first
+        w.bytes(Array(((b.nibbles(i) & 0xf) | ((b.nibbles(i + 1) & 0xf) << 4)).toByte))
+        i += 2
+      }
+    }
     if (pad == 1) w.pad()
     w.result()
   }

@@ -149,6 +149,16 @@ object Smoke {
       assert(badG711.isEmpty, "q37 g711 features diverge from ITU closed form")
       println(s"SMOKE avi+g711: frames=$nFrames q38_rows=${q38.count()} " +
         s"q37_rows=${q37.count()} all match closed form")
+      // IMA ADPCM (q39): the stateful 4-bit codec through the distributed
+      // query; gate the exact-integer features against the fixture's closed
+      // form (pattern 0 ramp peak = |P| or ramp max, pattern 2 peak = |P|)
+      val q39 = graft.SparkEntry.queries("q39_audio_adpcm")(spark, "/root/testdata/sf0.001")
+      val badAdpcm = q39.where(
+        $"n_frames" =!= (lit(61) + ($"doc_id" % 20) * 2) * 2 ||
+          ($"doc_id" % 3 === 1 && $"peak" =!= 32767) ||
+          ($"doc_id" % 3 === 2 && $"peak" =!= abs(($"doc_id" * 131) % 20000 - 10000)))
+      assert(badAdpcm.isEmpty, "q39 adpcm features diverge from closed form")
+      println(s"SMOKE adpcm: q39_rows=${q39.count()} matches closed form")
     }
 
     // full engine drive: crawl the synthetic web end-to-end

@@ -51,11 +51,12 @@ class MediaPropertySpec extends AnyFunSuite {
     })
   }
 
-  test("y4m/wav/g711/avi: random mutation never throws — corrupt payloads classify") {
+  test("y4m/wav/g711/adpcm/avi: random mutation never throws — corrupt payloads classify") {
     val base: Gen[Array[Byte]] = Gen.oneOf(
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.y4mBytes),
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.wavBytes),
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.g711Bytes),
+      Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.adpcmBytes),
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.aviMjpegBytes))
     val mutation: Gen[(Array[Byte]) => Array[Byte]] = Gen.oneOf(
       Gen.choose(0, 1000).map(c => (b: Array[Byte]) => b.dropRight(c)),
@@ -93,6 +94,32 @@ class MediaPropertySpec extends AnyFunSuite {
         f.peak == linear.map(math.abs).max && math.abs(f.rms - expectRms) < 1e-9 &&
         Wav.samples(Wav.encodeG711Mono(codes, 8000, tag)).get.sameElements(linear)
     })
+  }
+
+  test("adpcm: encode→samples round-trip on arbitrary blocks (packing + block walk)") {
+    // the hand-stepped vector in WavSpec pins the step MATH; this pins the
+    // nibble packing, block sizing, and multi-block reseed against the
+    // step function threaded sample-by-sample in the test
+    val gen = for {
+      nBlocks <- Gen.choose(1, 4)
+      nib <- Gen.choose(1, 60).map(_ * 2)
+      blocks <- Gen.listOfN(nBlocks, for {
+        p <- Gen.choose(-32768, 32767)
+        i <- Gen.choose(0, 88)
+        ns <- Gen.listOfN(nib, Gen.choose(0, 15))
+      } yield Wav.AdpcmBlock(p, i, ns.toArray))
+    } yield blocks
+    check("adpcm-roundtrip", Prop.forAll(gen) { blocks =>
+      val expected = blocks.flatMap { b =>
+        var p = b.predictor; var i = b.index
+        b.predictor +: b.nibbles.toSeq.map { n =>
+          val (p2, i2) = Wav.adpcmStep(p, i, n); p = p2; i = i2; p2
+        }
+      }
+      val f = Wav.features(Wav.encodeAdpcmMono(blocks, 8000)).get
+      f.nFrames == expected.length &&
+        Wav.samples(Wav.encodeAdpcmMono(blocks, 8000)).get.toSeq == expected
+    }, tests = 120)
   }
 
   test("wav: encode→features round-trip is exact on arbitrary PCM") {

@@ -97,6 +97,84 @@ class WavSpec extends SparkSpec {
     assert(Wav.features(bad).isEmpty)
   }
 
+  test("IMA ADPCM: hand-stepped reference vector (adaptive step walk)") {
+    // independent hand computation through three step sizes:
+    //   idx 0 (step 7),  nib 7  → diff 0+7+3+1=11,  p 11,  idx 8
+    //   idx 8 (step 16), nib 7  → diff 2+16+8+4=30, p 41,  idx 16
+    //   idx 16 (step 34), nib 3 → diff 4+17+8=29,   p 70,  idx 15
+    //   idx 15 (step 31), nib 0xB → diff 3+15+7=25, SIGN → p 45, idx 14
+    val bytes = Wav.encodeAdpcmMono(
+      Seq(Wav.AdpcmBlock(0, 0, Array(7, 7, 3, 0xb))), 8000)
+    assert(Wav.samples(bytes).get.toSeq == Seq(0, 11, 41, 70, 45))
+    val f = Wav.features(bytes).get
+    assert(f.audioFormat == 0x11 && f.bitsPerSample == 4 && f.nFrames == 5)
+    assert(f.peak == 70)
+  }
+
+  test("IMA ADPCM: fixture patterns decode to the closed form (block reseed + clamps)") {
+    // the same closed-form signal the q39 DuckDB oracle regenerates
+    def model(d: Long): Seq[Int] = {
+      val nib = 60 + 2 * (d % 20).toInt
+      val p = ((d * 131) % 20000 - 10000).toInt
+      (0 until 2).flatMap { blk =>
+        val p0 = if (blk == 0) p else -p
+        (0 to nib).map { k =>
+          (d % 3) match {
+            case 0 =>
+              if (blk == 0) p0 + 4 * k
+              else p0 + (if (k == 0) 0 else if (k == 1) 7 else 6 + 4 * k)
+            case 1 => if (k == 0) p0 else if (k % 2 == 1) 32767 else -28669
+            case _ => p0
+          }
+        }
+      }
+    }
+    (0L until 9L).foreach { d =>
+      val bytes = FixtureGen.adpcmBytes(d)
+      assert(Wav.samples(bytes).get.toSeq == model(d), s"doc $d")
+      val f = Wav.features(bytes).get
+      assert(f.nFrames == 2 * (60 + 2 * (d % 20).toInt + 1), s"doc $d")
+    }
+  }
+
+  test("IMA ADPCM: stereo decodes 4-byte-interleaved groups; extensionless fmt defaults spb") {
+    // hand-built stereo block, 16-byte fmt (NO cbSize/samplesPerBlock —
+    // the decoder must default to everything-past-the-headers): ch0
+    // header (100, idx 0) + nibbles all 0 (step 7 → diff 0: constant);
+    // ch1 header (-200, idx 0) + nibbles all 3 (ramp +4)
+    def ascii(s: String) = s.getBytes(StandardCharsets.US_ASCII)
+    def u32le(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def u16le(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val fmt = ascii("fmt ") ++ u32le(16) ++ u16le(0x11) ++ u16le(2) ++ u32le(8000) ++
+      u32le(8000) ++ u16le(16) ++ u16le(4) // blockAlign 16 = 2×(4 hdr + 4 data)
+    val block = u16le(100) ++ u16le(0) ++ u16le(0xff38) ++ u16le(0) ++ // -200 = 0xff38
+      Array.fill[Byte](4)(0x00) ++ Array.fill[Byte](4)(0x33)
+    val data = ascii("data") ++ u32le(block.length) ++ block
+    val body = fmt ++ data
+    val bytes = ascii("RIFF") ++ u32le(4 + body.length) ++ ascii("WAVE") ++ body
+    val f = Wav.features(bytes).get
+    assert(f.channels == 2 && f.nFrames == 9) // header frame + 8 per group
+    val out = Wav.samples(bytes).get.toSeq
+    assert(out == (0 to 8).flatMap(k => Seq(100, -200 + 4 * k)))
+  }
+
+  test("IMA ADPCM: truncated payload decodes the complete prefix, never throws") {
+    val full = FixtureGen.adpcmBytes(3L) // pattern 0: ramp
+    val fullSamples = Wav.samples(full).get.toSeq
+    val nib = 60 + 2 * (3 % 20)
+    // cut mid-block-2: drops trailing nibbles but keeps its header
+    val cut = Wav.samples(full.dropRight(10)).get.toSeq
+    assert(cut.length < fullSamples.length && cut.length > nib + 1)
+    assert(fullSamples.startsWith(cut))
+    // cut inside block 2's header: block 2 contributes nothing
+    val cutHdr = Wav.samples(full.take(full.length - (nib / 2) - 2)).get.toSeq
+    assert(cutHdr == fullSamples.take(nib + 1))
+    // degenerate blockAlign (< header+1 byte) classifies
+    val bad = full.clone(); bad(32) = 4; bad(33) = 0 // fmt.blockAlign := 4
+    assert(Wav.features(bad).isEmpty)
+  }
+
   test("malformed payloads classify (None), never throw") {
     assert(Wav.features(null).isEmpty)
     assert(Wav.features(Array.emptyByteArray).isEmpty)
