@@ -536,6 +536,33 @@ object SparkEntry {
         .select(col("doc_id"), col("f._1").as("n_frames"), col("f._2").as("peak"),
           col("f._3").as("sumsq"), col("f._4").as("dur_ms"))
         .orderBy("doc_id")
+    }),
+    "q40_audio_flac" -> ((s, d) => {
+      // X1 — REAL compressed-audio decode #3 (FLAC — a true ENTROPY-CODED
+      // bitstream: Rice/Golomb residuals, linear prediction, per-frame
+      // CRC-8/CRC-16, MSB-first bit packing; unlike G.711's table
+      // expansion or ADPCM's nibble walk): synthesize a deterministic
+      // two-frame FLAC stream per doc ([[graft.fixtures.FixtureGen
+      // .flacBytes]] — constant / fixed-ramp / LPC / stereo mid-side
+      // patterns by doc_id%4), decode through the magic-sniffed
+      // [[graft.functions.AudioContainers]] dispatch, and emit
+      // exact-integer features; the oracle regenerates the closed-form
+      // signal per pattern and aggregates it in SQL. A decoder that gets
+      // any Rice parameter, zig-zag fold, predictor coefficient, CRC, or
+      // mid/side reconstruction wrong reddens the hash.
+      val featUdf = udf((docId: Long) => {
+        val bytes = graft.fixtures.FixtureGen.flacBytes(docId)
+        val f = graft.functions.AudioContainers.features(bytes).get
+        val ss = graft.functions.AudioContainers.samples(bytes).get
+          .foldLeft(0L)((a, v) => a + v.toLong * v)
+        (f.channels.toLong, f.sampleRate.toLong, f.nFrames.toLong,
+          f.peak.toLong, ss)
+      })
+      docs(s, d).select(col("doc_id"), featUdf(col("doc_id")).as("f"))
+        .select(col("doc_id"), col("f._1").as("ch"), col("f._2").as("sr"),
+          col("f._3").as("n_frames"), col("f._4").as("peak"),
+          col("f._5").as("sumsq"))
+        .orderBy("doc_id")
     })
   )
 
@@ -934,6 +961,39 @@ object SparkEntry {
                 CAST(max(abs(val)) AS BIGINT) AS peak,
                 CAST(sum(val*val) AS BIGINT) AS sumsq,
                 CAST(2*(nib+1) * 1000 // 8000 AS BIGINT) AS dur_ms
-         FROM v GROUP BY doc_id, nib ORDER BY doc_id"""
+         FROM v GROUP BY doc_id, nib ORDER BY doc_id""",
+    // q40: the FLAC fixture decodes to a closed-form signal per pattern
+    // (see FixtureGen.flacBytes): two frames of b samples with base
+    // s0 = P / -P; pat 0 constant s0, pat 1 ramp s0+3k, pat 2 alternating
+    // s0·(-1)^k, pat 3 stereo (s0+2k, s0-2k). This SQL regenerates every
+    // sample (one row per frame·index·channel) and aggregates exact
+    // integers (sums CAST to BIGINT — HUGEINT never escapes)
+    "q40_audio_flac" ->
+      """WITH p AS (
+           SELECT doc_id, 64 + 2*(doc_id % 16) AS b,
+                  (doc_id*97) % 16000 - 8000 AS pp,
+                  doc_id % 4 AS pat
+           FROM documents),
+         s AS (
+           SELECT p.doc_id, p.pat, p.b,
+                  CASE WHEN blk.u = 0 THEN p.pp ELSE -p.pp END AS s0,
+                  k.u AS k, c.u AS ch
+           FROM p, unnest(range(2)) AS blk(u), unnest(range(p.b)) AS k(u),
+                unnest(range(CASE WHEN p.pat = 3 THEN 2 ELSE 1 END)) AS c(u)),
+         v AS (
+           SELECT doc_id, b, pat,
+                  CASE WHEN pat = 0 THEN s0
+                       WHEN pat = 1 THEN s0 + 3*k
+                       WHEN pat = 2 THEN s0 * (CASE WHEN k % 2 = 0 THEN 1 ELSE -1 END)
+                       ELSE s0 + (CASE WHEN ch = 0 THEN 2*k ELSE -2*k END)
+                  END AS val
+           FROM s)
+         SELECT doc_id,
+                CAST(CASE WHEN pat = 3 THEN 2 ELSE 1 END AS BIGINT) AS ch,
+                8000::BIGINT AS sr,
+                CAST(2*b AS BIGINT) AS n_frames,
+                CAST(max(abs(val)) AS BIGINT) AS peak,
+                CAST(sum(val*val) AS BIGINT) AS sumsq
+         FROM v GROUP BY doc_id, b, pat ORDER BY doc_id"""
   )
 }

@@ -347,6 +347,41 @@ object FixtureGen {
       8000)
   }
 
+  /** q40 fixture: a deterministic FLAC stream per doc id — bps 16,
+    * 8000 Hz, TWO frames of `B = 64 + 2·(d%16)` samples; the base value
+    * `P = (97d)%16000 − 8000` negates in frame 1 (`s0 = P / −P`), so
+    * every payload exercises per-frame re-sync, coded frame numbers, and
+    * both CRCs twice. Four closed-form patterns by `d%4` (each decoded
+    * sample is exact integer math, so the DuckDB oracle regenerates the
+    * signal and aggregates it in SQL):
+    *  - 0: CONSTANT subframe — v = s0 (1 wire sample expands to B)
+    *  - 1: FIXED order-1 ramp — v = s0 + 3k (constant Rice residual 3,
+    *    TWO partitions: the multi-partition walk is on the wire)
+    *  - 2: LPC order 1, coef −32 shift 5 (x[n] = −x[n−1] exactly) —
+    *    v = s0·(−1)^k, all residuals zero after the warmup
+    *  - 3: stereo MID/SIDE — left = s0 + 2k, right = s0 − 2k (the
+    *    stored mid is the constant s0, the stored side the order-1 ramp
+    *    4k: decorrelation undo + the side channel's +1 bit width both
+    *    on the wire)
+    * No value exceeds 16 bits (|s0| ≤ 8000, ramp max 8279), so the SQL
+    * formulas are exact. */
+  def flacBytes(docId: Long): Array[Byte] = {
+    import graft.functions.Flac
+    val b = 64 + 2 * (docId % 16).toInt
+    val p = ((docId * 97) % 16000 - 8000).toInt
+    def frame(s0: Int): Flac.Frame = (docId % 4) match {
+      case 0 => Flac.Frame(0, Seq(Flac.SubConstant(s0.toLong, b)))
+      case 1 => Flac.Frame(0, Seq(Flac.SubFixed(1,
+        Array.tabulate(b)(k => s0 + 3L * k), partitionOrder = 1)))
+      case 2 => Flac.Frame(0, Seq(Flac.SubLpc(Array(-32), 5, 6,
+        Array.tabulate(b)(k => if (k % 2 == 0) s0.toLong else -s0.toLong))))
+      case _ => Flac.Frame(10, Seq(
+        Flac.SubConstant(s0.toLong, b),
+        Flac.SubFixed(1, Array.tabulate(b)(k => 4L * k))))
+    }
+    Flac.encodeFlac(Seq(frame(p), frame(-p)), 8000, 16)
+  }
+
   /** q38 fixture: a deterministic MJPEG/AVI payload per doc id —
     * (d%3)+1 uniform 16×16 frames, gray `10 + (29d+13k)%236`, each frame
     * a real baseline JPEG from the JDK codec inside a spec-complete AVI

@@ -159,6 +159,17 @@ object Smoke {
           ($"doc_id" % 3 === 2 && $"peak" =!= abs(($"doc_id" * 131) % 20000 - 10000)))
       assert(badAdpcm.isEmpty, "q39 adpcm features diverge from closed form")
       println(s"SMOKE adpcm: q39_rows=${q39.count()} matches closed form")
+      // FLAC (q40): the entropy-coded codec through the distributed query;
+      // gate against the fixture's closed form (pattern 0/2 peak = |P|,
+      // pattern 3 is the only stereo pattern)
+      val q40 = graft.SparkEntry.queries("q40_audio_flac")(spark, "/root/testdata/sf0.001")
+      val badFlac = q40.where(
+        $"n_frames" =!= (lit(64) + ($"doc_id" % 16) * 2) * 2 ||
+          $"ch" =!= when($"doc_id" % 4 === 3, 2L).otherwise(1L) ||
+          ($"doc_id" % 4 === 0 && $"peak" =!= abs(($"doc_id" * 97) % 16000 - 8000)) ||
+          ($"doc_id" % 4 === 2 && $"peak" =!= abs(($"doc_id" * 97) % 16000 - 8000)))
+      assert(badFlac.isEmpty, "q40 flac features diverge from closed form")
+      println(s"SMOKE flac: q40_rows=${q40.count()} matches closed form")
     }
 
     // full engine drive: crawl the synthetic web end-to-end

@@ -51,12 +51,13 @@ class MediaPropertySpec extends AnyFunSuite {
     })
   }
 
-  test("y4m/wav/g711/adpcm/avi: random mutation never throws — corrupt payloads classify") {
+  test("y4m/wav/g711/adpcm/flac/avi: random mutation never throws — corrupt payloads classify") {
     val base: Gen[Array[Byte]] = Gen.oneOf(
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.y4mBytes),
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.wavBytes),
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.g711Bytes),
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.adpcmBytes),
+      Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.flacBytes),
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.aviMjpegBytes))
     val mutation: Gen[(Array[Byte]) => Array[Byte]] = Gen.oneOf(
       Gen.choose(0, 1000).map(c => (b: Array[Byte]) => b.dropRight(c)),
@@ -72,6 +73,8 @@ class MediaPropertySpec extends AnyFunSuite {
         Y4m.sampleFrames(mutated, 4)
         Y4m.decodeFirstFrame(mutated)
         Wav.features(mutated)
+        graft.functions.Flac.features(mutated)
+        graft.functions.AudioContainers.features(mutated)
         Avi.sampleFramesIndexed(mutated, 4)
         Avi.decodeFirstFrame(mutated)
         graft.functions.VideoContainers.sampleFramesIndexed(mutated, 4)
@@ -120,6 +123,55 @@ class MediaPropertySpec extends AnyFunSuite {
       f.nFrames == expected.length &&
         Wav.samples(Wav.encodeAdpcmMono(blocks, 8000)).get.toSeq == expected
     }, tests = 120)
+  }
+
+  test("flac: encode→decode round-trip on arbitrary subframe plans and assignments") {
+    import graft.functions.Flac
+    // stored-channel generator: any subframe type over a shared block size
+    def subGen(b: Int): Gen[Flac.Subframe] = Gen.oneOf(
+      Gen.choose(-30000, 30000).map(v => Flac.SubConstant(v.toLong, b)),
+      Gen.listOfN(b, Gen.choose(-30000L, 30000L)).map(xs => Flac.SubVerbatim(xs.toArray)),
+      for {
+        o <- Gen.choose(0, 4)
+        xs <- Gen.listOfN(b, Gen.choose(-1000L, 1000L))
+        po <- Gen.oneOf(0, 1)
+      } yield Flac.SubFixed(o, xs.toArray, po),
+      for {
+        o <- Gen.choose(1, 3)
+        prec <- Gen.choose(4, 12)
+        cs <- Gen.listOfN(o, Gen.choose(-(1 << (prec - 1)), (1 << (prec - 1)) - 1))
+        sh <- Gen.choose(0, 10)
+        xs <- Gen.listOfN(b, Gen.choose(-1000L, 1000L))
+      } yield Flac.SubLpc(cs.toArray, sh, prec, xs.toArray))
+    val frameGen: Gen[Flac.Frame] = for {
+      b <- Gen.choose(8, 32).map(_ * 2)
+      assign <- Gen.oneOf(0, 1, 8, 9, 10)
+      n = if (assign <= 7) assign + 1 else 2
+      subs <- Gen.listOfN(n, subGen(b))
+    } yield Flac.Frame(assign, subs)
+    def stored(s: Flac.Subframe): Array[Long] = s match {
+      case Flac.SubConstant(v, b) => Array.fill(b)(v)
+      case Flac.SubVerbatim(xs) => xs
+      case Flac.SubFixed(_, xs, _) => xs
+      case Flac.SubLpc(_, _, _, xs, _) => xs
+    }
+    // the spec's decorrelation undo, reimplemented independently
+    def expected(f: Flac.Frame): Seq[Long] = {
+      val ch = f.subs.map(stored)
+      val out = f.assign match {
+        case 8 => Seq(ch(0), ch(0).zip(ch(1)).map { case (l, s) => l - s })
+        case 9 => Seq(ch(0).zip(ch(1)).map { case (s, r) => s + r }, ch(1))
+        case 10 => Seq(
+          ch(0).zip(ch(1)).map { case (m, s) => (((m << 1) | (s & 1)) + s) >> 1 },
+          ch(0).zip(ch(1)).map { case (m, s) => (((m << 1) | (s & 1)) - s) >> 1 })
+        case _ => ch.map(_.toSeq.toArray)
+      }
+      (0 until f.blockSize).flatMap(i => out.map(_(i)))
+    }
+    check("flac-roundtrip", Prop.forAll(frameGen) { f =>
+      val bytes = Flac.encodeFlac(Seq(f), 44100, 16)
+      Flac.samples(bytes).get.map(_.toLong).toSeq == expected(f)
+    }, tests = 150)
   }
 
   test("wav: encode→features round-trip is exact on arbitrary PCM") {
