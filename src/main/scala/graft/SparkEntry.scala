@@ -563,6 +563,33 @@ object SparkEntry {
           col("f._3").as("n_frames"), col("f._4").as("peak"),
           col("f._5").as("sumsq"))
         .orderBy("doc_id")
+    }),
+    "q41_video_gif" -> ((s, d) => {
+      // X1 — REAL compressed-video decode #2 (animated GIF — LZW + palette
+      // + patch/disposal compositing, the most common animation a crawl
+      // fetches): synthesize a deterministic multi-frame GIF per doc,
+      // sample EVERY frame through the magic-sniffed
+      // [[graft.functions.VideoContainers]] dispatch (the same distributed
+      // operator path as Y4M/AVI), and emit the decoded gray. GIF is
+      // lossless for in-palette colors, so gray must EQUAL the fixture
+      // formula exactly (a non-uniform or off-by-one decode emits -1 and
+      // reddens the hash); the oracle emits the rows in closed form.
+      val framesUdf = udf((docId: Long) => {
+        val bytes = graft.fixtures.FixtureGen.gifBytes(docId)
+        graft.functions.VideoContainers
+          .sampleFramesIndexed(bytes, Int.MaxValue).map { case (k, img) =>
+            val px = img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
+            val r0 = (px(0) >> 16) & 0xff
+            val uniform = px.forall { p =>
+              ((p >> 16) & 0xff) == r0 && ((p >> 8) & 0xff) == r0 && (p & 0xff) == r0 }
+            (k.toLong, img.getWidth.toLong, img.getHeight.toLong,
+              if (uniform) r0.toLong else -1L)
+          }
+      })
+      docs(s, d).select(col("doc_id"), explode(framesUdf(col("doc_id"))).as("f"))
+        .select(col("doc_id"), col("f._1").as("frame_idx"), col("f._2").as("w"),
+          col("f._3").as("h"), col("f._4").as("gray"))
+        .orderBy("doc_id", "frame_idx")
     })
   )
 
@@ -994,6 +1021,13 @@ object SparkEntry {
                 CAST(2*b AS BIGINT) AS n_frames,
                 CAST(max(abs(val)) AS BIGINT) AS peak,
                 CAST(sum(val*val) AS BIGINT) AS sumsq
-         FROM v GROUP BY doc_id, b, pat ORDER BY doc_id"""
+         FROM v GROUP BY doc_id, b, pat ORDER BY doc_id""",
+    // q41: GIF is lossless for in-palette colors, so the decoded gray IS
+    // the fixture formula — the oracle emits the expected rows exactly
+    "q41_video_gif" ->
+      """SELECT d.doc_id, t.u AS frame_idx, 16::BIGINT AS w, 16::BIGINT AS h,
+                12 + (37*d.doc_id + 11*t.u) % 232 AS gray
+         FROM documents d, unnest(range(d.doc_id % 3 + 1)) AS t(u)
+         ORDER BY doc_id, frame_idx"""
   )
 }

@@ -403,6 +403,23 @@ object FixtureGen {
     graft.functions.Avi.encodeMjpeg(frames)
   }
 
+  /** q41 fixture: a deterministic animated GIF per doc id — (d%3)+1
+    * full-screen 16×16 uniform-gray frames, gray `12 + (37d + 11k) % 232`.
+    * GIF is palette + LZW (lossless given an in-palette color), so the
+    * decoded pixel must equal the formula EXACTLY — no ±tolerance. */
+  def gifBytes(docId: Long): Array[Byte] = {
+    val nFrames = (docId % 3).toInt + 1
+    val frames = (0 until nFrames).map { k =>
+      val g = (12 + (37 * docId + 11 * k) % 232).toInt
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (g << 16) | (g << 8) | g
+      (0 until 16).foreach(y => (0 until 16).foreach(x => img.setRGB(x, y, rgb)))
+      img
+    }
+    graft.functions.Gif.encodeGif(frames)
+  }
+
   final case class PageRow(
       url: String, host: String, status: Int, contentType: String,
       content: String, links: Seq[String], navLinks: Seq[String],

@@ -4,7 +4,8 @@ import java.awt.image.BufferedImage
 
 /** Container sniffing for the video decode family: dispatch on the
   * payload's magic bytes to the real decoder that owns it — [[Y4m]]
-  * (uncompressed YUV4MPEG2) or [[Avi]] (Motion-JPEG in RIFF/AVI). At
+  * (uncompressed YUV4MPEG2), [[Avi]] (Motion-JPEG in RIFF/AVI), or
+  * [[Gif]] (LZW-compressed animation with patch/disposal compositing). At
   * 100 TB the `bytes` column carries whatever the crawl fetched; format
   * comes from content, not a trusted column. Unknown/truncated magic →
   * empty (classify, never throw), same contract as both decoders.
@@ -26,5 +27,6 @@ object VideoContainers {
     if (bytes == null) Seq.empty
     else if (hasPrefix(bytes, Y4mMagic)) Y4m.sampleFramesIndexed(bytes, n)
     else if (Avi.isAvi(bytes)) Avi.sampleFramesIndexed(bytes, n)
+    else if (Gif.isGif(bytes)) Gif.sampleFramesIndexed(bytes, n)
     else Seq.empty
 }

@@ -170,6 +170,20 @@ object Smoke {
           ($"doc_id" % 4 === 2 && $"peak" =!= abs(($"doc_id" * 97) % 16000 - 8000)))
       assert(badFlac.isEmpty, "q40 flac features diverge from closed form")
       println(s"SMOKE flac: q40_rows=${q40.count()} matches closed form")
+      // animated GIF (q41): LZW decode + compositing through the same
+      // distributed dispatch; lossless → gray equals the formula exactly
+      val gifs = spark.range(24).select(
+        concat(lit("g"), $"id").as("video_id"),
+        udf((d: Long) => graft.fixtures.FixtureGen.gifBytes(d)).apply($"id").as("bytes"))
+      val gifFrames = graft.operators.ImageBatch.videoFrames(gifs, 4)
+        .where($"w" === 16 && $"h" === 16 && $"frame".isNotNull).count()
+      val gifExpect = (0L until 24L).map(d => d % 3 + 1).sum
+      assert(gifFrames == gifExpect, s"gif frames=$gifFrames expected=$gifExpect")
+      val q41 = graft.SparkEntry.queries("q41_video_gif")(spark, "/root/testdata/sf0.001")
+      val badGif = q41.where(
+        $"gray" =!= lit(12) + ($"doc_id" * 37 + $"frame_idx" * 11) % 232)
+      assert(badGif.isEmpty, "q41 gif decode diverges from closed form")
+      println(s"SMOKE gif: frames=$gifFrames q41_rows=${q41.count()} match closed form")
     }
 
     // full engine drive: crawl the synthetic web end-to-end
