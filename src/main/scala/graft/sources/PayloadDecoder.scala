@@ -63,6 +63,21 @@ final class AviMjpegDecoder extends PayloadDecoder {
     graft.functions.Avi.encodeMjpeg(Seq(img))
 }
 
+/** Animated GIF: REAL decode — LZW + palette via the JDK codec with
+  * patch/disposal compositing in [[graft.functions.Gif]] (frame sampling
+  * via [[graft.functions.Gif.sampleFramesIndexed]]). Declares LOSSY:
+  * the encode side palette-quantizes to ≤256 colors, so an arbitrary
+  * image does not round-trip exactly (in-palette colors do — the q41
+  * fixtures ride that). Driver-gated by q41. */
+final class GifDecoder extends PayloadDecoder {
+  override val fmt = "gif"
+  override val lossless = false // palette quantization on encode
+  override def decode(bytes: Array[Byte]): BufferedImage =
+    graft.functions.Gif.decodeFirstFrame(bytes)
+  override def encode(img: BufferedImage): Array[Byte] =
+    graft.functions.Gif.encodeGif(Seq(img))
+}
+
 /** INTER-FRAME video codecs (h264/vp9/…) and perceptual audio (mp3/aac):
   * those genuinely need codec libraries this container doesn't ship, so
   * decode is STUBBED (clearly marked); the registry/dispatch plumbing,
@@ -88,6 +103,7 @@ object DecoderRegistry {
     "jpeg" -> new JpgDecoder,
     "y4m" -> new Y4mDecoder,
     "avi" -> new AviMjpegDecoder,
+    "gif" -> new GifDecoder,
     "video" -> new VideoFrameDecoderStub)
 
   /** "jpg"/"jpeg" are one format under two spellings — a registration for

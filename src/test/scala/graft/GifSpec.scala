@@ -87,6 +87,17 @@ class GifSpec extends AnyFunSuite {
     assert(Gif.frameCount(bytes) == 10)
   }
 
+  test("registry: gif decoder is registered and declares lossy (palette quantization)") {
+    val d = graft.sources.DecoderRegistry.get("gif")
+    val img = d.decode(FixtureGen.gifBytes(4L))
+    assert(img != null && img.getWidth == 16)
+    assert(grayAt(img, 3, 3) == (12 + (37 * 4) % 232))
+    assert(!graft.sources.DecoderRegistry.losslessFormats.contains("gif"))
+    // in-palette content DOES round-trip exactly through encode→decode
+    val rt = d.decode(d.encode(uniform(5, 5, 77)))
+    (0 until 5).foreach(y => (0 until 5).foreach(x => assert(grayAt(rt, x, y) == 77)))
+  }
+
   test("malformed / truncated / foreign payloads classify, never throw") {
     assert(Gif.sampleFramesIndexed(null, 4).isEmpty)
     assert(Gif.sampleFramesIndexed(Array.emptyByteArray, 4).isEmpty)

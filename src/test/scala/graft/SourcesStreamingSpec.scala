@@ -192,7 +192,8 @@ class SourcesStreamingSpec extends SparkSpec {
     assert(png.valid(999.0) && !png.valid(55.0))
     assert(jpg.valid(45.0) && !jpg.valid(39.0))
     assert(DecoderRegistry.supported.contains("video"))
-    intercept[IllegalArgumentException](DecoderRegistry.get("gif"))
+    assert(DecoderRegistry.supported.contains("gif")) // real since q41
+    intercept[IllegalArgumentException](DecoderRegistry.get("webp"))
   }
 
   test("streaming: watermarked hourly window agg matches batch (q08 shape)") {
