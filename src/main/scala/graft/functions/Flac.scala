@@ -164,6 +164,9 @@ object Flac {
 
   def decode(bytes: Array[Byte]): Option[Decoded] = {
     if (!isFlac(bytes)) return None
+    // BitReader positions are Int bit-counts: payloads past 256 MiB would
+    // overflow them — classify (no single audio row is that large here)
+    if (bytes.length > (1 << 27)) return None
     try {
       val r = new BitReader(bytes)
       r.skipBytes(4) // "fLaC"
@@ -230,7 +233,10 @@ object Flac {
           case 14 => r.u(16).toInt * 10
           case _  => throw Bad
         }
-        if (sampleRate <= 0) throw Bad
+        // the spec requires frame-header overrides to AGREE with
+        // STREAMINFO (features report the STREAMINFO values; a frame that
+        // contradicts them would silently mis-scale peak/rms/duration)
+        if (sampleRate <= 0 || sampleRate != info.sampleRate) throw Bad
         val bps = szCode match {
           case 0 => info.bps
           case 1 => 8
@@ -241,6 +247,7 @@ object Flac {
           case 6 => 24
           case 7 => 32
         }
+        if (bps != info.bps) throw Bad // same STREAMINFO-agreement rule
         if (assign > 10) throw Bad
         val channels = if (assign <= 7) assign + 1 else 2
         if (channels != info.channels) throw Bad
@@ -287,7 +294,10 @@ object Flac {
           var c2 = 0
           while (c2 < channels) {
             val v = chData(c2)(i)
-            if (v > Int.MaxValue || v < Int.MinValue) throw Bad
+            // reject Int.MinValue too: math.abs(-2^31) is negative, which
+            // would corrupt the peak fold downstream (a full-scale bps-32
+            // minimum classifies instead — a deliberate 1-value concession)
+            if (v > Int.MaxValue || v <= Int.MinValue) throw Bad
             out += v.toInt
             c2 += 1
           }
@@ -509,6 +519,9 @@ object Flac {
     val head = frames.head.blockSize
     require(frames.init.forall(_.blockSize == head), "only the last frame may differ")
     require(frames.last.blockSize <= head, "tail frame cannot exceed the block size")
+    // the 16-bit header code caps encodable block sizes; without this a
+    // 70000-sample frame would write a silently-truncated header
+    require(head >= 1 && head <= 65536, s"block size $head outside 1..65536")
     val channels = if (frames.head.assign <= 7) frames.head.assign + 1 else 2
     require(frames.forall(f => (if (f.assign <= 7) f.assign + 1 else 2) == channels),
       "channel count is fixed for the stream")

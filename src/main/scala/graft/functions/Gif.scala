@@ -49,10 +49,9 @@ object Gif {
     val readers = ImageIO.getImageReadersByFormatName("gif")
     if (!readers.hasNext) return Seq.empty
     val reader = readers.next()
+    val input = new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes))
     try {
-      reader.setInput(
-        new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes)),
-        false, false)
+      reader.setInput(input, false, false)
       val m = reader.getNumImages(true)
       if (m <= 0) return Seq.empty
       val k = math.min(n, m)
@@ -60,6 +59,8 @@ object Gif {
       val maxIdx = wanted.max
 
       // logical screen from stream metadata; fall back to frame-0 extent
+      // (cached — frame 0 is the loop's first patch, don't decode twice)
+      var frame0: BufferedImage = null
       val smeta = reader.getStreamMetadata
       val screen = Option(smeta)
         .map(_.getAsTree("javax_imageio_gif_stream_1.0").asInstanceOf[IIOMetadataNode])
@@ -71,17 +72,21 @@ object Gif {
           } yield (w, h)
         }
       val (sw, sh) = screen.getOrElse {
-        val f0 = reader.read(0)
-        (f0.getWidth, f0.getHeight)
+        frame0 = reader.read(0)
+        (frame0.getWidth, frame0.getHeight)
       }
-      if (sw <= 0 || sh <= 0 || sw > (1 << 14) || sh > (1 << 14)) return Seq.empty
+      // decompression-bomb bound: a few-hundred-byte payload can CLAIM any
+      // logical screen; the ARGB canvas (and each snapshot copy) costs
+      // 4·w·h bytes, so cap total pixels, not just each side — and OOM is
+      // an Error that NonFatal would not catch
+      if (sw <= 0 || sh <= 0 || sw.toLong * sh > (1L << 22)) return Seq.empty
 
       val canvas = new BufferedImage(sw, sh, BufferedImage.TYPE_INT_ARGB)
       val out = Seq.newBuilder[(Int, BufferedImage)]
       var previous: BufferedImage = null
       var i = 0
       while (i <= maxIdx) {
-        val patch = reader.read(i)
+        val patch = if (i == 0 && frame0 != null) frame0 else reader.read(i)
         val tree = reader.getImageMetadata(i)
           .getAsTree("javax_imageio_gif_image_1.0").asInstanceOf[IIOMetadataNode]
         val x = attr(tree, "ImageDescriptor", "imageLeftPosition").map(_.toInt).getOrElse(0)
@@ -115,7 +120,10 @@ object Gif {
       out.result()
     } catch {
       case scala.util.control.NonFatal(_) => Seq.empty
-    } finally reader.dispose()
+    } finally {
+      reader.dispose() // dispose does NOT close the input stream
+      try input.close() catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
   def frameCount(bytes: Array[Byte]): Int = {
@@ -123,14 +131,16 @@ object Gif {
     val readers = ImageIO.getImageReadersByFormatName("gif")
     if (!readers.hasNext) return 0
     val reader = readers.next()
+    val input = new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes))
     try {
-      reader.setInput(
-        new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes)),
-        false, true)
+      reader.setInput(input, false, true)
       reader.getNumImages(true)
     } catch {
       case scala.util.control.NonFatal(_) => 0
-    } finally reader.dispose()
+    } finally {
+      reader.dispose()
+      try input.close() catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
   def decodeFirstFrame(bytes: Array[Byte]): BufferedImage =
@@ -157,6 +167,16 @@ object Gif {
     * `restoreToBackgroundColor`, `restoreToPrevious`). */
   def encodeGifPlaced(frames: Seq[(BufferedImage, Int, Int, String)]): Array[Byte] = {
     require(frames.nonEmpty, "at least one frame")
+    // the logical screen IS frame 0's extent (prepareWriteSequence(null)
+    // derives it); an out-of-screen patch would be silently clipped on
+    // decode, so reject it loudly here
+    val (sw, sh) = (frames.head._1.getWidth, frames.head._1.getHeight)
+    require(frames.head._2 == 0 && frames.head._3 == 0,
+      "frame 0 defines the logical screen and must sit at (0,0)")
+    frames.foreach { case (f, x, y, _) =>
+      require(x >= 0 && y >= 0 && x + f.getWidth <= sw && y + f.getHeight <= sh,
+        s"patch ${f.getWidth}x${f.getHeight}@($x,$y) exceeds the ${sw}x$sh screen")
+    }
     val writers = ImageIO.getImageWritersByFormatName("gif")
     require(writers.hasNext, "JDK GIF writer missing")
     val writer = writers.next()

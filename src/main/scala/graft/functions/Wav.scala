@@ -336,7 +336,10 @@ object Wav {
     val dataLen = blocks.length * blockAlign
     val pad = dataLen & 1 // RIFF chunks pad to even
     val w = new Riff.Writer
-    w.ascii("RIFF"); w.u32(38L + dataLen + pad); w.ascii("WAVE")
+    // RIFF size = file − 8: "WAVE"(4) + fmt chunk(8+20) + data header(8)
+    // + payload — the 20-byte fmt body (cbSize+samplesPerBlock) makes
+    // this 40, not the plain-PCM encoders' 36
+    w.ascii("RIFF"); w.u32(40L + dataLen + pad); w.ascii("WAVE")
     w.ascii("fmt "); w.u32(20L) // 16 standard + cbSize + samplesPerBlock
     w.u16(0x11); w.u16(1); w.u32(sampleRate.toLong)
     // byteRate ≈ blocks per second × blockAlign (informational)

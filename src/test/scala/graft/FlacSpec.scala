@@ -199,6 +199,37 @@ class FlacSpec extends AnyFunSuite {
       Flac.samples(flac).get.toSeq)
   }
 
+  test("a frame whose size code contradicts STREAMINFO classifies (features would mis-scale)") {
+    // STREAMINFO says bps 8; the frame claims szCode 4 (16-bit) — the
+    // spec requires agreement, and features report STREAMINFO's values
+    val w = new Flac.BitWriter
+    handStreamInfo(w)
+    val frameStart = w.snapshot().length
+    w.u(14, 0x3ffe); w.u(1, 0); w.u(1, 0)
+    w.u(4, 6); w.u(4, 4); w.u(4, 0); w.u(3, 4); w.u(1, 0) // szCode 4 = 16-bit
+    w.u(8, 0); w.u(8, 15)
+    val hdr = w.snapshot()
+    w.u(8, Flac.crc8(hdr, frameStart, hdr.length).toLong)
+    w.u(1, 0); w.u(6, 0); w.u(1, 0); w.u(16, 10) // constant subframe, 16-bit
+    handFrameFooter(w, frameStart)
+    assert(Flac.features(w.result()).isEmpty)
+  }
+
+  test("encoder bounds: oversized blocks are loud; a full-scale bps-32 minimum classifies") {
+    intercept[IllegalArgumentException] { // 16-bit header code cannot carry 70000
+      Flac.encodeFlac(Seq(Flac.Frame(0,
+        Seq(Flac.SubVerbatim(new Array[Long](70000))))), 8000, 16)
+    }
+    // Int.MinValue would make math.abs negative in the peak fold — decode
+    // rejects that single value rather than corrupt features
+    val enc = Flac.encodeFlac(Seq(Flac.Frame(0,
+      Seq(Flac.SubConstant(Int.MinValue.toLong, 16)))), 8000, 32)
+    assert(Flac.features(enc).isEmpty)
+    val ok = Flac.encodeFlac(Seq(Flac.Frame(0,
+      Seq(Flac.SubConstant(Int.MinValue.toLong + 1, 16)))), 8000, 32)
+    assert(Flac.features(ok).get.peak == Int.MaxValue)
+  }
+
   test("truncated / malformed payloads classify (None), never throw") {
     val full = FixtureGen.flacBytes(5L)
     (1 to 40 by 7).foreach { cut =>

@@ -98,6 +98,27 @@ class GifSpec extends AnyFunSuite {
     (0 until 5).foreach(y => (0 until 5).foreach(x => assert(grayAt(rt, x, y) == 77)))
   }
 
+  test("a hostile logical screen (decompression bomb) classifies, never allocates") {
+    // a few-hundred-byte GIF can CLAIM any screen; patch the fixture's
+    // LogicalScreenDescriptor (little-endian u16s at offsets 6..9) to
+    // 16384x16384 — the 1 GiB ARGB canvas must never be allocated
+    val bomb = FixtureGen.gifBytes(1L).clone()
+    bomb(6) = 0x00; bomb(7) = 0x40 // width 16384
+    bomb(8) = 0x00; bomb(9) = 0x40 // height 16384
+    assert(Gif.sampleFramesIndexed(bomb, 4).isEmpty)
+  }
+
+  test("encodeGifPlaced rejects out-of-screen patches loudly (decode would clip them)") {
+    intercept[IllegalArgumentException] {
+      Gif.encodeGifPlaced(Seq(
+        (uniform(8, 8, 50), 0, 0, "none"),
+        (uniform(4, 4, 200), 6, 6, "none"))) // 6+4 > 8
+    }
+    intercept[IllegalArgumentException] {
+      Gif.encodeGifPlaced(Seq((uniform(8, 8, 50), 1, 0, "none"))) // frame 0 off-origin
+    }
+  }
+
   test("malformed / truncated / foreign payloads classify, never throw") {
     assert(Gif.sampleFramesIndexed(null, 4).isEmpty)
     assert(Gif.sampleFramesIndexed(Array.emptyByteArray, 4).isEmpty)

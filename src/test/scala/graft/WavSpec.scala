@@ -159,6 +159,17 @@ class WavSpec extends SparkSpec {
     assert(out == (0 to 8).flatMap(k => Seq(100, -200 + 4 * k)))
   }
 
+  test("IMA ADPCM: RIFF size field is file length minus 8 (strict readers bound by it)") {
+    // this parser walks chunks without trusting the RIFF size, so only an
+    // external strict reader would catch an undersized field — pin it
+    (0L until 6L).foreach { d =>
+      val b = FixtureGen.adpcmBytes(d)
+      val declared = (b(4) & 0xff) | ((b(5) & 0xff) << 8) |
+        ((b(6) & 0xff) << 16) | ((b(7) & 0xff) << 24)
+      assert(declared == b.length - 8, s"doc $d: declared $declared len ${b.length}")
+    }
+  }
+
   test("IMA ADPCM: truncated payload decodes the complete prefix, never throws") {
     val full = FixtureGen.adpcmBytes(3L) // pattern 0: ramp
     val fullSamples = Wav.samples(full).get.toSeq
