@@ -590,6 +590,33 @@ object SparkEntry {
         .select(col("doc_id"), col("f._1").as("frame_idx"), col("f._2").as("w"),
           col("f._3").as("h"), col("f._4").as("gray"))
         .orderBy("doc_id", "frame_idx")
+    }),
+    "q42_video_apng" -> ((s, d) => {
+      // X1 — REAL compressed-video decode #3 (animated PNG: the JDK has
+      // NO APNG support — [[graft.functions.Apng]] walks the acTL/fcTL/
+      // fdAT chunks with CRC-32 verification, SYNTHESIZES a standalone
+      // PNG per frame (fdAT re-wrapped as IDAT), and composites patches
+      // with blend/dispose semantics). The fixture alternates BOTH spec
+      // stream shapes (default-image-as-frame-0 / default-image-excluded)
+      // by doc parity; PNG is lossless, so gray must EQUAL the formula
+      // exactly. Runs through the magic-sniffed [[graft.functions
+      // .VideoContainers]] dispatch like every other video payload.
+      val framesUdf = udf((docId: Long) => {
+        val bytes = graft.fixtures.FixtureGen.apngBytes(docId)
+        graft.functions.VideoContainers
+          .sampleFramesIndexed(bytes, Int.MaxValue).map { case (k, img) =>
+            val px = img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
+            val r0 = (px(0) >> 16) & 0xff
+            val uniform = px.forall { p =>
+              ((p >> 16) & 0xff) == r0 && ((p >> 8) & 0xff) == r0 && (p & 0xff) == r0 }
+            (k.toLong, img.getWidth.toLong, img.getHeight.toLong,
+              if (uniform) r0.toLong else -1L)
+          }
+      })
+      docs(s, d).select(col("doc_id"), explode(framesUdf(col("doc_id"))).as("f"))
+        .select(col("doc_id"), col("f._1").as("frame_idx"), col("f._2").as("w"),
+          col("f._3").as("h"), col("f._4").as("gray"))
+        .orderBy("doc_id", "frame_idx")
     })
   )
 
@@ -1027,6 +1054,12 @@ object SparkEntry {
     "q41_video_gif" ->
       """SELECT d.doc_id, t.u AS frame_idx, 16::BIGINT AS w, 16::BIGINT AS h,
                 12 + (37*d.doc_id + 11*t.u) % 232 AS gray
+         FROM documents d, unnest(range(d.doc_id % 3 + 1)) AS t(u)
+         ORDER BY doc_id, frame_idx""",
+    // q42: PNG is lossless — the decoded gray IS the fixture formula
+    "q42_video_apng" ->
+      """SELECT d.doc_id, t.u AS frame_idx, 16::BIGINT AS w, 16::BIGINT AS h,
+                14 + (41*d.doc_id + 17*t.u) % 230 AS gray
          FROM documents d, unnest(range(d.doc_id % 3 + 1)) AS t(u)
          ORDER BY doc_id, frame_idx"""
   )

@@ -420,6 +420,26 @@ object FixtureGen {
     graft.functions.Gif.encodeGif(frames)
   }
 
+  /** q42 fixture: a deterministic APNG per doc id — (d%3)+1 full-canvas
+    * 16×16 uniform-gray frames, gray `14 + (41d + 17k) % 230`, blend
+    * source / dispose none; stream shape alternates by parity of d:
+    * even docs carry the default image AS frame 0 (pre-IDAT fcTL), odd
+    * docs EXCLUDE it (all animation frames ride fdAT) — both spec
+    * layouts are on the wire every round. PNG is lossless, so the
+    * decoded pixel must equal the formula EXACTLY. */
+  def apngBytes(docId: Long): Array[Byte] = {
+    val nFrames = (docId % 3).toInt + 1
+    val frames = (0 until nFrames).map { k =>
+      val g = (14 + (41 * docId + 17 * k) % 230).toInt
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (g << 16) | (g << 8) | g
+      (0 until 16).foreach(y => (0 until 16).foreach(x => img.setRGB(x, y, rgb)))
+      (img, 0, 0, 0, 0): graft.functions.Apng.Placed
+    }
+    graft.functions.Apng.encodeApng(frames, defaultImageExcluded = docId % 2 == 1)
+  }
+
   final case class PageRow(
       url: String, host: String, status: Int, contentType: String,
       content: String, links: Seq[String], navLinks: Seq[String],

@@ -28,5 +28,8 @@ object VideoContainers {
     else if (hasPrefix(bytes, Y4mMagic)) Y4m.sampleFramesIndexed(bytes, n)
     else if (Avi.isAvi(bytes)) Avi.sampleFramesIndexed(bytes, n)
     else if (Gif.isGif(bytes)) Gif.sampleFramesIndexed(bytes, n)
+    // APNG only when the animation chunk is present — a plain PNG is a
+    // still image (the png decoder's job), not a zero-frame video
+    else if (Apng.isApng(bytes)) Apng.sampleFramesIndexed(bytes, n)
     else Seq.empty
 }

@@ -184,6 +184,13 @@ object Smoke {
         $"gray" =!= lit(12) + ($"doc_id" * 37 + $"frame_idx" * 11) % 232)
       assert(badGif.isEmpty, "q41 gif decode diverges from closed form")
       println(s"SMOKE gif: frames=$gifFrames q41_rows=${q41.count()} match closed form")
+      // APNG (q42): the acTL/fcTL/fdAT walk + per-frame PNG synthesis
+      // through the same dispatch; lossless → gray equals the formula
+      val q42 = graft.SparkEntry.queries("q42_video_apng")(spark, "/root/testdata/sf0.001")
+      val badApng = q42.where(
+        $"gray" =!= lit(14) + ($"doc_id" * 41 + $"frame_idx" * 17) % 230)
+      assert(badApng.isEmpty, "q42 apng decode diverges from closed form")
+      println(s"SMOKE apng: q42_rows=${q42.count()} matches closed form")
     }
 
     // full engine drive: crawl the synthetic web end-to-end

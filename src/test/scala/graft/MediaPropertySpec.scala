@@ -51,7 +51,7 @@ class MediaPropertySpec extends AnyFunSuite {
     })
   }
 
-  test("y4m/wav/g711/adpcm/flac/gif/avi: random mutation never throws — corrupt payloads classify") {
+  test("y4m/wav/g711/adpcm/flac/gif/apng/avi: random mutation never throws — corrupt payloads classify") {
     val base: Gen[Array[Byte]] = Gen.oneOf(
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.y4mBytes),
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.wavBytes),
@@ -59,6 +59,7 @@ class MediaPropertySpec extends AnyFunSuite {
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.adpcmBytes),
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.flacBytes),
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.gifBytes),
+      Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.apngBytes),
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.aviMjpegBytes))
     val mutation: Gen[(Array[Byte]) => Array[Byte]] = Gen.oneOf(
       Gen.choose(0, 1000).map(c => (b: Array[Byte]) => b.dropRight(c)),
@@ -79,6 +80,7 @@ class MediaPropertySpec extends AnyFunSuite {
         Avi.sampleFramesIndexed(mutated, 4)
         Avi.decodeFirstFrame(mutated)
         graft.functions.Gif.sampleFramesIndexed(mutated, 4)
+        graft.functions.Apng.sampleFramesIndexed(mutated, 4)
         graft.functions.VideoContainers.sampleFramesIndexed(mutated, 4)
         true
     }, tests = 400)
