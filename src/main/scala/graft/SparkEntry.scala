@@ -617,6 +617,41 @@ object SparkEntry {
         .select(col("doc_id"), col("f._1").as("frame_idx"), col("f._2").as("w"),
           col("f._3").as("h"), col("f._4").as("gray"))
         .orderBy("doc_id", "frame_idx")
+    }),
+    "q43_video_rle" -> ((s, d) => {
+      // X1 — REAL compressed-video decode #4, and the first INTER-FRAME
+      // codec: Microsoft RLE8 in RIFF/AVI ([[graft.functions.Rle8]]).
+      // Frames after the keyframe are DELTA chunks — they paint only an
+      // 8×8 patch and skip the rest, so the sampled background is correct
+      // ONLY if the decoder composited the previous frames (a
+      // standalone-frame decode shows black there and emits -1). The check
+      // is exact (identity palette, RLE is lossless); the oracle emits the
+      // two-region closed form per frame. Runs through the magic-sniffed
+      // [[graft.functions.VideoContainers]] dispatch like every other
+      // video payload.
+      val framesUdf = udf((docId: Long) => {
+        val bytes = graft.fixtures.FixtureGen.aviRleBytes(docId)
+        val bg = (20 + (43 * docId) % 225).toInt
+        graft.functions.VideoContainers
+          .sampleFramesIndexed(bytes, Int.MaxValue).map { case (k, img) =>
+            val w = img.getWidth; val h = img.getHeight
+            val pg = if (k == 0) bg else (20 + (43 * docId + 19 * k) % 225).toInt
+            val px = img.getRGB(0, 0, w, h, null, 0, w)
+            val ok = (0 until h).forall { y =>
+              (0 until w).forall { x =>
+                val e = if (k >= 1 && x >= 4 && x < 12 && y >= 4 && y < 12) pg else bg
+                val p = px(y * w + x)
+                ((p >> 16) & 0xff) == e && ((p >> 8) & 0xff) == e && (p & 0xff) == e
+              }
+            }
+            (k.toLong, w.toLong, h.toLong,
+              if (ok) bg.toLong else -1L, if (ok) pg.toLong else -1L)
+          }
+      })
+      docs(s, d).select(col("doc_id"), explode(framesUdf(col("doc_id"))).as("f"))
+        .select(col("doc_id"), col("f._1").as("frame_idx"), col("f._2").as("w"),
+          col("f._3").as("h"), col("f._4").as("bg_gray"), col("f._5").as("patch_gray"))
+        .orderBy("doc_id", "frame_idx")
     })
   )
 
@@ -1060,6 +1095,16 @@ object SparkEntry {
     "q42_video_apng" ->
       """SELECT d.doc_id, t.u AS frame_idx, 16::BIGINT AS w, 16::BIGINT AS h,
                 14 + (41*d.doc_id + 17*t.u) % 230 AS gray
+         FROM documents d, unnest(range(d.doc_id % 3 + 1)) AS t(u)
+         ORDER BY doc_id, frame_idx""",
+    // q43: RLE8 is lossless and INTER-FRAME — frame k's background equals
+    // frame 0's keyframe gray only if the decoder composited the deltas,
+    // so the oracle emits the two-region closed form per frame
+    "q43_video_rle" ->
+      """SELECT d.doc_id, t.u AS frame_idx, 16::BIGINT AS w, 16::BIGINT AS h,
+                20 + (43*d.doc_id) % 225 AS bg_gray,
+                CASE WHEN t.u = 0 THEN 20 + (43*d.doc_id) % 225
+                     ELSE 20 + (43*d.doc_id + 19*t.u) % 225 END AS patch_gray
          FROM documents d, unnest(range(d.doc_id % 3 + 1)) AS t(u)
          ORDER BY doc_id, frame_idx"""
   )

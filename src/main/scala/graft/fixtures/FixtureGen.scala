@@ -403,6 +403,29 @@ object FixtureGen {
     graft.functions.Avi.encodeMjpeg(frames)
   }
 
+  /** q43 fixture: a deterministic INTER-FRAME RLE8/AVI payload per doc id
+    * — (d%3)+1 frames on a 16×16 canvas. Frame 0 is a keyframe filling the
+    * canvas with gray `bg = 20 + 43d % 225`; every later frame k paints
+    * ONLY an 8×8 patch at (4,4) with gray `20 + (43d + 19k) % 225` and
+    * SKIPS the rest via delta moves — so the background pixels of frame k
+    * are only correct if the decoder retained frame k−1's canvas (the
+    * defining inter-frame property; a standalone-frame decode shows black
+    * there and reddens the hash). Patch rows alternate run/absolute
+    * opcodes by k's parity, keeping both families on the wire. The
+    * identity gray palette makes the check exact (lossless). */
+  def aviRleBytes(docId: Long): Array[Byte] = {
+    val nFrames = (docId % 3).toInt + 1
+    val bg = (20 + (43 * docId) % 225).toInt
+    val ops = (0 until nFrames).map { k =>
+      if (k == 0) graft.functions.Rle8.opFull(16, 16, bg)
+      else {
+        val g = (20 + (43 * docId + 19 * k) % 225).toInt
+        graft.functions.Rle8.opPatch(16, 16, 4, 4, 8, 8, g, absolute = k % 2 == 0)
+      }
+    }
+    graft.functions.Avi.encodeRle8(16, 16, graft.functions.Rle8.grayPalette, ops)
+  }
+
   /** q41 fixture: a deterministic animated GIF per doc id — (d%3)+1
     * full-screen 16×16 uniform-gray frames, gray `12 + (37d + 11k) % 232`.
     * GIF is palette + LZW (lossless given an in-palette color), so the

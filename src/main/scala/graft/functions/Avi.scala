@@ -2,15 +2,14 @@ package graft.functions
 
 import java.awt.image.BufferedImage
 
-/** Real COMPRESSED-video decode: Motion-JPEG inside the RIFF/AVI container
-  * (the oldest interchange format still in the wild — OpenDML/AVI 1.0,
-  * Microsoft 1992 public spec). Every frame of an MJPEG stream is a
-  * standalone baseline JPEG, and the JDK ships a real JPEG codec
-  * (ImageIO), so MJPEG/AVI decodes end-to-end in pure JVM: a RIFF list
-  * walk to the `movi` frame chunks, then the JDK's Huffman+DCT decode per
-  * frame. Only inter-frame codecs (H.264/VP9/…) stay behind the
-  * clearly-marked stub — those genuinely need codec libraries this
-  * container doesn't ship.
+/** Real COMPRESSED-video decode inside the RIFF/AVI container (the oldest
+  * interchange format still in the wild — OpenDML/AVI 1.0, Microsoft 1992
+  * public spec), two codecs by the vids stream's strf biCompression:
+  * Motion-JPEG (every frame a standalone baseline JPEG through the JDK's
+  * real ImageIO codec — Huffman+DCT) and Microsoft RLE8 (biCompression=1
+  * — a genuinely INTER-FRAME delta codec, composited via [[Rle8]]). Only
+  * modern inter-frame codecs (H.264/VP9/…) stay behind the clearly-marked
+  * stub — those need codec libraries this container doesn't ship.
   *
   * The reference's converter plugin registry (`src/converters/base.py:
   * 10-27`) dispatches payload decoders by format; this decoder slots in
@@ -45,10 +44,20 @@ object Avi {
 
   /** Container facts + per-frame chunk slices (offset,length) in stream
     * order. `w`/`h` come from avih; frames are the selected video stream's
-    * movi `##dc`/`##db` chunks. */
-  final case class Parsed(w: Int, h: Int, frames: IndexedSeq[(Int, Int)]) {
+    * movi `##dc`/`##db` chunks. `compression` is the vids strf
+    * biCompression (1 = BI_RLE8 inter-frame delta coding, 'MJPG' fourcc =
+    * Motion-JPEG); `palette` the strf color table (ARGB, 256 entries) for
+    * 8-bit streams, null otherwise. */
+  final case class Parsed(w: Int, h: Int, frames: IndexedSeq[(Int, Int)],
+      compression: Long = 0L, palette: Array[Int] = null) {
     def frameCount: Int = frames.length
+    /** Inter-frame RLE8 stream: frames are delta chunks onto a shared
+      * canvas, so decode is sequential ([[Rle8]]); anything else decodes
+      * per-frame through the JDK JPEG codec. */
+    def isRle8: Boolean = compression == 1L && palette != null
   }
+
+  private val BiRle8 = 1L
 
   private def u32(b: Array[Byte], i: Int): Long =
     (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) | ((b(i + 2) & 0xffL) << 16) |
@@ -76,7 +85,33 @@ object Avi {
     var w = -1; var h = -1
     var streamCount = 0
     var vidStream = -1 // hdrl strl order gives each stream its movi number
+    var compression = 0L
+    var palette: Array[Int] = null
     val frames = IndexedSeq.newBuilder[(Int, Int)]
+
+    // the selected vids stream's strf (BITMAPINFOHEADER + color table):
+    // biCompression decides the frame decode path (JPEG vs inter-frame
+    // RLE8) and 8-bit streams carry the palette as BGRX quads after the
+    // 40-byte header
+    def readStrf(body: Int, avail: Int): Unit = {
+      compression = u32(bytes, body + 16)
+      val bitCount = (bytes(body + 14) & 0xff) | ((bytes(body + 15) & 0xff) << 8)
+      if (bitCount == 8) {
+        val clrUsed = u32(bytes, body + 32)
+        val declared = if (clrUsed <= 0L || clrUsed > 256L) 256 else clrUsed.toInt
+        val present = math.min(declared, math.max(0, (avail - 40) / 4))
+        val pal = Array.fill(256)(0xff000000) // missing entries: opaque black
+        var i = 0
+        while (i < present) {
+          val b = bytes(body + 40 + 4 * i) & 0xff
+          val g = bytes(body + 41 + 4 * i) & 0xff
+          val r = bytes(body + 42 + 4 * i) & 0xff
+          pal(i) = 0xff000000 | (r << 16) | (g << 8) | b
+          i += 1
+        }
+        palette = pal
+      }
+    }
 
     def walkHdrl(start: Int, end: Int): Unit = {
       var sp = start
@@ -91,8 +126,20 @@ object Avi {
             fourcc(bytes, sbody, "strl")) {
           // first strl sub-chunk is strh; its body leads with fccType
           if (sbody + 16 <= end && fourcc(bytes, sbody + 4, "strh") &&
-              fourcc(bytes, sbody + 12, "vids") && vidStream < 0)
+              fourcc(bytes, sbody + 12, "vids") && vidStream < 0) {
             vidStream = streamCount
+            // walk THIS strl's sub-chunks to its strf (codec + palette)
+            var tp = sbody + 4
+            val tend = sbody + savail
+            while (tp + 8 <= tend) {
+              val tsize = u32(bytes, tp + 4)
+              val tbody = tp + 8
+              val tavail = math.min(tsize, (tend - tbody).toLong).toInt
+              if (fourcc(bytes, tp, "strf") && tavail >= 40) readStrf(tbody, tavail)
+              val tnext = tbody.toLong + tsize + (tsize & 1L)
+              tp = if (tnext > tend) tend else tnext.toInt
+            }
+          }
           streamCount += 1
         }
         val snext = sbody.toLong + ssize + (ssize & 1L)
@@ -133,15 +180,39 @@ object Avi {
       pos = if (next > bytes.length) bytes.length else next.toInt
     }
     val fs = frames.result()
-    if (w <= 0 || h <= 0 || fs.isEmpty) None else Some(Parsed(w, h, fs))
+    if (w <= 0 || h <= 0 || fs.isEmpty) None
+    else Some(Parsed(w, h, fs, compression, palette))
   }
 
-  /** Decode frame `idx` through the JDK's real JPEG codec; null if the
-    * chunk isn't decodable (the registry's null-decode contract). */
-  def frame(bytes: Array[Byte], p: Parsed, idx: Int): BufferedImage = {
-    val (off, len) = p.frames(idx)
-    ImageOps.decode(java.util.Arrays.copyOfRange(bytes, off, off + len))
-  }
+  /** Decompression-bomb bound for the RLE8 canvas: a few-hundred-byte
+    * payload can CLAIM any avih geometry, and the ARGB canvas (plus each
+    * snapshot copy) costs 4·w·h bytes — cap total pixels, like [[Gif]]. */
+  private def rleCanvasOk(p: Parsed): Boolean = p.w.toLong * p.h <= (1L << 22)
+
+  private def rleCanvas(p: Parsed): Array[Int] = Array.fill(p.w * p.h)(0xff000000)
+
+  private def canvasImage(canvas: Array[Int], w: Int, h: Int): BufferedImage =
+    ImageOps.toImage(canvas.clone(), w, h)
+
+  /** Decode frame `idx`. MJPEG streams decode the one chunk through the
+    * JDK's real JPEG codec (null if undecodable — the registry's
+    * null-decode contract). Inter-frame RLE8 streams composite chunks
+    * 0..idx sequentially (O(idx) by the codec's nature — use
+    * [[sampleFramesIndexed]] for multi-frame access, it pays the walk
+    * once). */
+  def frame(bytes: Array[Byte], p: Parsed, idx: Int): BufferedImage =
+    if (p.isRle8) {
+      if (!rleCanvasOk(p)) return null
+      val canvas = rleCanvas(p)
+      (0 to idx).foreach { k =>
+        val (off, len) = p.frames(k)
+        Rle8.applyChunk(bytes, off, len, canvas, p.w, p.h, p.palette)
+      }
+      canvasImage(canvas, p.w, p.h)
+    } else {
+      val (off, len) = p.frames(idx)
+      ImageOps.decode(java.util.Arrays.copyOfRange(bytes, off, off + len))
+    }
 
   def decodeFirstFrame(bytes: Array[Byte]): BufferedImage =
     parse(bytes) match {
@@ -151,10 +222,29 @@ object Avi {
 
   /** Evenly-spaced sample of up to `n` distinct frames with SOURCE indices
     * — the same floor-spaced decimation rule as
-    * [[Y4m.sampleFramesIndexed]]. Frames whose JPEG payload fails to
-    * decode are dropped (classify, never throw). */
+    * [[Y4m.sampleFramesIndexed]]. MJPEG frames whose JPEG payload fails to
+    * decode are dropped (classify, never throw); inter-frame RLE8 streams
+    * walk chunks 0..max(sampled) sequentially onto one canvas (cumulative
+    * state is inherent to a delta codec — same discipline as [[Gif]]) and
+    * snapshot at the sampled indices. */
   def sampleFramesIndexed(bytes: Array[Byte], n: Int): Seq[(Int, BufferedImage)] =
     parse(bytes) match {
+      case Some(p) if p.frameCount > 0 && n > 0 && p.isRle8 =>
+        if (!rleCanvasOk(p)) return Seq.empty
+        val m = p.frameCount
+        val k = math.min(n, m)
+        val wanted = (0 until k).map(j => (j.toLong * m / k).toInt).toSet
+        val canvas = rleCanvas(p)
+        val out = Seq.newBuilder[(Int, BufferedImage)]
+        var i = 0
+        val maxIdx = wanted.max
+        while (i <= maxIdx) {
+          val (off, len) = p.frames(i)
+          Rle8.applyChunk(bytes, off, len, canvas, p.w, p.h, p.palette)
+          if (wanted.contains(i)) out += ((i, canvasImage(canvas, p.w, p.h)))
+          i += 1
+        }
+        out.result()
       case Some(p) if p.frameCount > 0 && n > 0 =>
         val m = p.frameCount
         val k = math.min(n, m)
@@ -171,40 +261,69 @@ object Avi {
     * dimensions (the AVI contract: one video stream, fixed geometry). */
   def encodeMjpeg(framesIn: Seq[BufferedImage], fps: Int = 25): Array[Byte] = {
     require(framesIn.nonEmpty, "MJPEG container needs at least one frame")
-    require(fps > 0, s"fps must be positive, got $fps")
     val w = framesIn.head.getWidth; val h = framesIn.head.getHeight
     require(framesIn.forall(f => f.getWidth == w && f.getHeight == h),
       "all MJPEG frames must share one geometry")
-    val jpegs = framesIn.map(ImageOps.encode(_, "jpg"))
+    writeAvi(w, h, fps, "MJPG", bitCount = 24, compression = 0x47504A4DL /* 'MJPG' */,
+      palette = null, chunks = framesIn.map(ImageOps.encode(_, "jpg")),
+      firstIsKeyframe = false)
+  }
+
+  /** Inter-frame RLE8/AVI encode: raw opcode chunks ([[Rle8.opFull]]/
+    * [[Rle8.opPatch]] or hand-assembled hostile streams) into a
+    * spec-complete container — vids/MRLE strl, 8-bit BITMAPINFOHEADER
+    * with biCompression=1 and the color table, frame 0 tagged `00db`
+    * (keyframe) and delta frames `00dc`. */
+  def encodeRle8(w: Int, h: Int, palette: Array[Int], frameOps: Seq[Array[Byte]],
+      fps: Int = 25): Array[Byte] = {
+    require(frameOps.nonEmpty, "RLE8 container needs at least one frame")
+    require(palette != null && palette.length <= 256, "palette: up to 256 ARGB entries")
+    writeAvi(w, h, fps, "MRLE", bitCount = 8, compression = BiRle8,
+      palette = palette, chunks = frameOps, firstIsKeyframe = true)
+  }
+
+  private def writeAvi(w: Int, h: Int, fps: Int, handler: String, bitCount: Int,
+      compression: Long, palette: Array[Int], chunks: Seq[Array[Byte]],
+      firstIsKeyframe: Boolean): Array[Byte] = {
+    require(fps > 0, s"fps must be positive, got $fps")
+    val palBytes = if (palette == null) 0 else 4 * palette.length
     val bb = new Riff.Writer
-    // strh(56) + strf(40) inside strl; avih(56); sizes per spec
-    val strlSize = 4 + (8 + 56) + (8 + 40)
+    // strh(56) + strf(40 + palette) inside strl; avih(56); sizes per spec
+    val strfSize = 40 + palBytes
+    val strlSize = 4 + (8 + 56) + (8 + strfSize)
     val hdrlSize = 4 + (8 + 56) + (8 + strlSize)
-    val moviSize = 4 + jpegs.map(j => 8 + j.length + (j.length & 1)).sum
+    val moviSize = 4 + chunks.map(c => 8 + c.length + (c.length & 1)).sum
     val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
     bb.ascii("RIFF"); bb.u32(riffSize.toLong); bb.ascii("AVI ")
     bb.ascii("LIST"); bb.u32(hdrlSize.toLong); bb.ascii("hdrl")
     bb.ascii("avih"); bb.u32(56L)
     bb.u32(1000000L / fps); bb.u32(0L); bb.u32(0L)
     bb.u32(0L) // dwFlags: no AVIF_HASINDEX — this writer emits no idx1 chunk
-    bb.u32(jpegs.length.toLong); bb.u32(0L); bb.u32(1L); bb.u32(0L)
+    bb.u32(chunks.length.toLong); bb.u32(0L); bb.u32(1L); bb.u32(0L)
     bb.u32(w.toLong); bb.u32(h.toLong); (0 until 4).foreach(_ => bb.u32(0L))
     bb.ascii("LIST"); bb.u32(strlSize.toLong); bb.ascii("strl")
     bb.ascii("strh"); bb.u32(56L)
-    bb.ascii("vids"); bb.ascii("MJPG")
+    bb.ascii("vids"); bb.ascii(handler)
     bb.u32(0L); bb.u16(0); bb.u16(0) // flags, priority, language
     bb.u32(0L); bb.u32(1L); bb.u32(fps.toLong) // initialFrames, scale, rate
-    bb.u32(0L); bb.u32(jpegs.length.toLong); bb.u32(0L) // start, length, bufSize
+    bb.u32(0L); bb.u32(chunks.length.toLong); bb.u32(0L) // start, length, bufSize
     bb.u32(0L); bb.u32(0L) // quality, sampleSize
     bb.u16(0); bb.u16(0); bb.u16(w); bb.u16(h) // rcFrame
-    bb.ascii("strf"); bb.u32(40L) // BITMAPINFOHEADER
-    bb.u32(40L); bb.u32(w.toLong); bb.u32(h.toLong); bb.u16(1); bb.u16(24)
-    bb.ascii("MJPG"); bb.u32(w.toLong * h * 3)
-    bb.u32(0L); bb.u32(0L); bb.u32(0L); bb.u32(0L)
+    bb.ascii("strf"); bb.u32(strfSize.toLong) // BITMAPINFOHEADER [+ palette]
+    bb.u32(40L); bb.u32(w.toLong); bb.u32(h.toLong); bb.u16(1); bb.u16(bitCount)
+    bb.u32(compression); bb.u32(w.toLong * h * (bitCount / 8))
+    bb.u32(0L); bb.u32(0L)
+    bb.u32(if (palette == null) 0L else palette.length.toLong) // biClrUsed
+    bb.u32(0L)
+    if (palette != null) palette.foreach { argb => // RGBQUAD: B, G, R, reserved
+      bb.u32(((argb & 0xff).toLong) | (((argb >> 8) & 0xff).toLong << 8) |
+        (((argb >> 16) & 0xff).toLong << 16))
+    }
     bb.ascii("LIST"); bb.u32(moviSize.toLong); bb.ascii("movi")
-    jpegs.foreach { j =>
-      bb.ascii("00dc"); bb.u32(j.length.toLong); bb.bytes(j)
-      if ((j.length & 1) == 1) bb.pad() // chunks pad to even
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      bb.ascii(if (firstIsKeyframe && i == 0) "00db" else "00dc")
+      bb.u32(c.length.toLong); bb.bytes(c)
+      if ((c.length & 1) == 1) bb.pad() // chunks pad to even
     }
     bb.result()
   }

@@ -4,7 +4,8 @@ import java.awt.image.BufferedImage
 
 /** Container sniffing for the video decode family: dispatch on the
   * payload's magic bytes to the real decoder that owns it — [[Y4m]]
-  * (uncompressed YUV4MPEG2), [[Avi]] (Motion-JPEG in RIFF/AVI), or
+  * (uncompressed YUV4MPEG2), [[Avi]] (Motion-JPEG or inter-frame RLE8 in
+  * RIFF/AVI, codec picked by strf content), or
   * [[Gif]] (LZW-compressed animation with patch/disposal compositing). At
   * 100 TB the `bytes` column carries whatever the crawl fetched; format
   * comes from content, not a trusted column. Unknown/truncated magic →

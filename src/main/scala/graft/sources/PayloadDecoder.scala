@@ -49,11 +49,13 @@ final class Y4mDecoder extends PayloadDecoder {
     graft.functions.Y4m.encodeFrame(img)
 }
 
-/** Motion-JPEG in RIFF/AVI: REAL compressed-video decode — every MJPEG
-  * frame is a standalone baseline JPEG, which the JDK's own codec decodes,
-  * so the full container-walk + Huffman/DCT path runs in pure JVM
-  * ([[graft.functions.Avi]]; frame sampling via
-  * [[graft.functions.Avi.sampleFramesIndexed]]). Driver-gated by q38. */
+/** RIFF/AVI video: REAL compressed-video decode for both codecs the
+  * container walk recognizes — Motion-JPEG (every frame a standalone
+  * baseline JPEG through the JDK's own Huffman/DCT codec; driver-gated by
+  * q38) and Microsoft RLE8 (biCompression=1 — a genuinely INTER-FRAME
+  * delta codec composited by [[graft.functions.Rle8]]; driver-gated by
+  * q43). Dispatch is by strf content inside [[graft.functions.Avi]];
+  * frame sampling via [[graft.functions.Avi.sampleFramesIndexed]]. */
 final class AviMjpegDecoder extends PayloadDecoder {
   override val fmt = "avi"
   override val lossless = false // JPEG per frame: lossy, ≥40 dB gate
@@ -78,12 +80,13 @@ final class GifDecoder extends PayloadDecoder {
     graft.functions.Gif.encodeGif(Seq(img))
 }
 
-/** INTER-FRAME video codecs (h264/vp9/…) and perceptual audio (mp3/aac):
-  * those genuinely need codec libraries this container doesn't ship, so
-  * decode is STUBBED (clearly marked); the registry/dispatch plumbing,
-  * schema and batch shape are real and tested — uncompressed Y4M video has
-  * the REAL [[Y4mDecoder]], MJPEG/AVI the REAL [[AviMjpegDecoder]], and
-  * WAV carries real PCM + G.711 decode ([[graft.functions.Wav]]). */
+/** MODERN inter-frame video codecs (h264/vp9/…) and perceptual audio
+  * (mp3/aac): those genuinely need codec libraries this container doesn't
+  * ship, so decode is STUBBED (clearly marked); the registry/dispatch
+  * plumbing, schema and batch shape are real and tested — uncompressed
+  * Y4M video has the REAL [[Y4mDecoder]], MJPEG and inter-frame RLE8 AVIs
+  * the REAL [[AviMjpegDecoder]], and WAV carries real PCM + G.711 + IMA
+  * ADPCM decode ([[graft.functions.Wav]]). */
 final class VideoFrameDecoderStub extends PayloadDecoder {
   override val fmt = "video"
   override val lossless = false

@@ -191,6 +191,23 @@ object Smoke {
         $"gray" =!= lit(14) + ($"doc_id" * 41 + $"frame_idx" * 17) % 230)
       assert(badApng.isEmpty, "q42 apng decode diverges from closed form")
       println(s"SMOKE apng: q42_rows=${q42.count()} matches closed form")
+      // RLE8/AVI (q43): the INTER-FRAME delta codec through the same
+      // distributed dispatch — bg_gray is only right if compositing
+      // retained the keyframe canvas under the delta frames' skips
+      val rles = spark.range(24).select(
+        concat(lit("r"), $"id").as("video_id"),
+        udf((d: Long) => graft.fixtures.FixtureGen.aviRleBytes(d)).apply($"id").as("bytes"))
+      val rleFrames = graft.operators.ImageBatch.videoFrames(rles, 4)
+        .where($"w" === 16 && $"h" === 16 && $"frame".isNotNull).count()
+      val rleExpect = (0L until 24L).map(d => d % 3 + 1).sum
+      assert(rleFrames == rleExpect, s"rle frames=$rleFrames expected=$rleExpect")
+      val q43 = graft.SparkEntry.queries("q43_video_rle")(spark, "/root/testdata/sf0.001")
+      val badRle = q43.where(
+        $"bg_gray" =!= lit(20) + ($"doc_id" * 43) % 225 ||
+        $"patch_gray" =!= when($"frame_idx" === 0, lit(20) + ($"doc_id" * 43) % 225)
+          .otherwise(lit(20) + ($"doc_id" * 43 + $"frame_idx" * 19) % 225))
+      assert(badRle.isEmpty, "q43 inter-frame RLE8 decode diverges from closed form")
+      println(s"SMOKE rle8: frames=$rleFrames q43_rows=${q43.count()} match closed form")
     }
 
     // full engine drive: crawl the synthetic web end-to-end

@@ -51,7 +51,7 @@ class MediaPropertySpec extends AnyFunSuite {
     })
   }
 
-  test("y4m/wav/g711/adpcm/flac/gif/apng/avi: random mutation never throws — corrupt payloads classify") {
+  test("y4m/wav/g711/adpcm/flac/gif/apng/avi/rle8: random mutation never throws — corrupt payloads classify") {
     val base: Gen[Array[Byte]] = Gen.oneOf(
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.y4mBytes),
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.wavBytes),
@@ -60,7 +60,8 @@ class MediaPropertySpec extends AnyFunSuite {
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.flacBytes),
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.gifBytes),
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.apngBytes),
-      Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.aviMjpegBytes))
+      Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.aviMjpegBytes),
+      Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.aviRleBytes))
     val mutation: Gen[(Array[Byte]) => Array[Byte]] = Gen.oneOf(
       Gen.choose(0, 1000).map(c => (b: Array[Byte]) => b.dropRight(c)),
       Gen.choose(0, 60).map(c => (b: Array[Byte]) => b.drop(c)),
