@@ -652,6 +652,32 @@ object SparkEntry {
         .select(col("doc_id"), col("f._1").as("frame_idx"), col("f._2").as("w"),
           col("f._3").as("h"), col("f._4").as("bg_gray"), col("f._5").as("patch_gray"))
         .orderBy("doc_id", "frame_idx")
+    }),
+    "q44_audio_msadpcm" -> ((s, d) => {
+      // X1 — REAL compressed-audio decode #4 (Microsoft ADPCM, WAV format
+      // tag 0x02 — a 2-tap LPC predictor with per-block coefficient-pair
+      // selection from the file-carried table plus nibble-driven delta
+      // adaptation; structurally different machinery from IMA's step-table
+      // walk): synthesize a deterministic two-block payload per doc
+      // ([[graft.fixtures.FixtureGen.msAdpcmBytes]] — header-order / both
+      // clamp bounds / stereo nibble-alternation patterns by doc_id%3),
+      // decode through the real RIFF walk + [[graft.functions.Wav
+      // .msAdpcmStep]], and emit exact-integer features; the oracle
+      // regenerates the closed-form signal per pattern in SQL. A decoder
+      // that gets the field-major header layout, frame order (sample2
+      // FIRST), coefficient table, signed nibble, clamp, or high-first
+      // nibble order wrong reddens the hash.
+      val featUdf = udf((docId: Long) => {
+        val bytes = graft.fixtures.FixtureGen.msAdpcmBytes(docId)
+        val f = graft.functions.Wav.features(bytes).get
+        val ss = graft.functions.Wav.samples(bytes).get
+          .foldLeft(0L)((a, v) => a + v.toLong * v)
+        (f.channels.toLong, f.nFrames.toLong, f.peak.toLong, ss, f.durationMs)
+      })
+      docs(s, d).select(col("doc_id"), featUdf(col("doc_id")).as("f"))
+        .select(col("doc_id"), col("f._1").as("ch"), col("f._2").as("n_frames"),
+          col("f._3").as("peak"), col("f._4").as("sumsq"), col("f._5").as("dur_ms"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1106,6 +1132,56 @@ object SparkEntry {
                 CASE WHEN t.u = 0 THEN 20 + (43*d.doc_id) % 225
                      ELSE 20 + (43*d.doc_id + 19*t.u) % 225 END AS patch_gray
          FROM documents d, unnest(range(d.doc_id % 3 + 1)) AS t(u)
-         ORDER BY doc_id, frame_idx"""
+         ORDER BY doc_id, frame_idx""",
+    // q44: the MS ADPCM fixture decodes to a closed-form signal per
+    // pattern (see FixtureGen.msAdpcmBytes): pat 0 is s2-then-s1-repeated
+    // (frame-order proof), pat 1 a 2x₁−x₂ linear ramp into BOTH clamp
+    // bounds (once clamped the recurrence pins, so least/greatest is
+    // exact), pat 2 stereo with one signed nibble per channel then
+    // constants. This SQL regenerates every sample (one row per
+    // block·frame·channel) and aggregates exact integers (sums CAST to
+    // BIGINT — HUGEINT never escapes, per the q09 lesson)
+    "q44_audio_msadpcm" ->
+      """WITH p AS (
+           SELECT doc_id, doc_id % 3 AS pat,
+                  50 + 2*(doc_id % 25) AS nib,
+                  (113*doc_id) % 18000 - 9000 AS pv,
+                  20000 + (doc_id % 100) * 97 AS p1,
+                  300 + (doc_id % 50) * 23 AS st,
+                  40 + (doc_id % 20) AS nf,
+                  64 + (doc_id % 32) AS dl,
+                  48 + (doc_id % 16) AS dr
+           FROM documents),
+         f AS (
+           SELECT *, CASE WHEN pat = 2 THEN nf + 2 ELSE nib + 2 END AS spb,
+                  CASE WHEN pat = 2 THEN 2 ELSE 1 END AS ch
+           FROM p),
+         s AS (
+           SELECT f.*, b.u AS blk, k.u AS k, c.u AS chn,
+                  CASE WHEN b.u = 0 THEN 1 ELSE -1 END AS sg
+           FROM f, unnest(range(2)) AS b(u), unnest(range(f.spb)) AS k(u),
+                unnest(range(f.ch)) AS c(u)),
+         v AS (
+           SELECT doc_id, ch, spb,
+                  CASE WHEN pat = 0
+                         THEN sg*pv + (CASE WHEN k = 0 THEN 0 ELSE 9 END)
+                       WHEN pat = 1
+                         THEN CASE WHEN blk = 0 THEN least(p1 + st*k, 32767)
+                                   ELSE greatest(-p1 - st*k, -32768) END
+                       WHEN chn = 0
+                         THEN sg*pv + (CASE WHEN k = 0 THEN 0
+                                            WHEN k = 1 THEN 11
+                                            ELSE 11 + 4*dl END)
+                       ELSE -sg*pv + (CASE WHEN k = 0 THEN 0
+                                           WHEN k = 1 THEN 5
+                                           ELSE 5 - 4*dr END)
+                  END AS val
+           FROM s)
+         SELECT doc_id, CAST(ch AS BIGINT) AS ch,
+                CAST(2*spb AS BIGINT) AS n_frames,
+                CAST(max(abs(val)) AS BIGINT) AS peak,
+                CAST(sum(val*val) AS BIGINT) AS sumsq,
+                CAST(2*spb * 1000 // 8000 AS BIGINT) AS dur_ms
+         FROM v GROUP BY doc_id, ch, spb ORDER BY doc_id"""
   )
 }

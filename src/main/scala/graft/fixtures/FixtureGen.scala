@@ -365,6 +365,56 @@ object FixtureGen {
     *    on the wire)
     * No value exceeds 16 bits (|s0| ≤ 8000, ramp max 8279), so the SQL
     * formulas are exact. */
+  /** q44 fixture: a deterministic MS ADPCM WAV per doc id (fmt tag 0x02 —
+    * the 2-tap LPC codec, structurally different from IMA's step walk) at
+    * 8000 Hz, TWO blocks so the per-block reseed is always on the wire.
+    * Three closed-form patterns by `d%3` (each decoded sample is exact
+    * integer math, so the DuckDB oracle regenerates the signal in SQL):
+    *  - 0: mono, bpred 0 (c1=256: predictor = sample1 exactly), nibbles
+    *    all 0 — signal is s2 then s1 repeated: frame ORDER proof (the
+    *    header stores sample1 first but sample2 is the OLDER frame 0).
+    *    Blocks (P, P+9) / (−P, −P+9), `P = (113d)%18000 − 9000`.
+    *  - 1: mono, bpred 1 (c1=512, c2=−256: x = 2x₁ − x₂, exact — the sum
+    *    is always a multiple of 256 so the >>8 loses nothing), nibbles 0 —
+    *    a perfect linear ramp that CLAMPS: block 0 ramps +S from
+    *    P₁ = 20000 + (d%100)·97 into the +32767 ceiling, block 1 ramps −S
+    *    from −P₁ into the −32768 floor (both clamp bounds on the wire;
+    *    once clamped the recurrence pins there, so min/greatest is exact).
+    *  - 2: STEREO, bpred 0 both — header layout + per-nibble channel
+    *    alternation: first data byte carries (4, 12) = +4·ΔL on L (high
+    *    nibble) and −4·ΔR on R (low nibble, SIGNED), rest 0 so both
+    *    channels hold constant after; ΔL = 64 + d%32, ΔR = 48 + d%16.
+    * No pattern hits an unmodeled clamp (|P| ≤ 9000, stereo max ≈ 9400;
+    * delta adaptation only ever scales nibble-0 contributions). */
+  def msAdpcmBytes(docId: Long): Array[Byte] = {
+    import graft.functions.Wav
+    val p = ((docId * 113) % 18000 - 9000).toInt
+    (docId % 3) match {
+      case 0 =>
+        val nib = 50 + 2 * (docId % 25).toInt
+        def blk(s0: Int) = Wav.MsBlock(
+          Seq(Wav.MsChan(0, 100, s0 + 9, s0)), Array.fill(nib)(0))
+        Wav.encodeMsAdpcm(Seq(blk(p), blk(-p)), 8000)
+      case 1 =>
+        val nib = 50 + 2 * (docId % 25).toInt
+        val p1 = (20000 + (docId % 100) * 97).toInt
+        val st = (300 + (docId % 50) * 23).toInt
+        val up = Wav.MsBlock(
+          Seq(Wav.MsChan(1, 100, p1 + st, p1)), Array.fill(nib)(0))
+        val dn = Wav.MsBlock(
+          Seq(Wav.MsChan(1, 100, -p1 - st, -p1)), Array.fill(nib)(0))
+        Wav.encodeMsAdpcm(Seq(up, dn), 8000)
+      case _ =>
+        val nf = 40 + (docId % 20).toInt
+        val dl = (64 + docId % 32).toInt
+        val dr = (48 + docId % 16).toInt
+        def blk(s0: Int) = Wav.MsBlock(
+          Seq(Wav.MsChan(0, dl, s0 + 11, s0), Wav.MsChan(0, dr, -s0 + 5, -s0)),
+          Array.tabulate(2 * nf)(i => if (i == 0) 4 else if (i == 1) 12 else 0))
+        Wav.encodeMsAdpcm(Seq(blk(p), blk(-p)), 8000)
+    }
+  }
+
   def flacBytes(docId: Long): Array[Byte] = {
     import graft.functions.Flac
     val b = 64 + 2 * (docId % 16).toInt

@@ -170,6 +170,19 @@ object Smoke {
           ($"doc_id" % 4 === 2 && $"peak" =!= abs(($"doc_id" * 97) % 16000 - 8000)))
       assert(badFlac.isEmpty, "q40 flac features diverge from closed form")
       println(s"SMOKE flac: q40_rows=${q40.count()} matches closed form")
+      // MS ADPCM (q44): the 2-tap LPC codec through the distributed query;
+      // gate against the fixture's closed form (pattern 1 ramps into the
+      // +32767 clamp; pattern 2 is the only stereo pattern)
+      val q44 = graft.SparkEntry.queries("q44_audio_msadpcm")(spark, "/root/testdata/sf0.001")
+      val badMs = q44.where(
+        $"ch" =!= when($"doc_id" % 3 === 2, 2L).otherwise(1L) ||
+          ($"doc_id" % 3 === 1 && $"peak" =!= 32768) ||
+          ($"doc_id" % 3 === 0 && // blocks are (P, P+9) and (−P, −P+9)
+            $"peak" =!= greatest(abs(($"doc_id" * 113) % 18000 - 9000),
+              abs(($"doc_id" * 113) % 18000 - 9000 + 9),
+              abs(($"doc_id" * 113) % 18000 - 9000 - 9))))
+      assert(badMs.isEmpty, "q44 msadpcm features diverge from closed form")
+      println(s"SMOKE msadpcm: q44_rows=${q44.count()} matches closed form")
       // animated GIF (q41): LZW decode + compositing through the same
       // distributed dispatch; lossless → gray equals the formula exactly
       val gifs = spark.range(24).select(

@@ -57,6 +57,7 @@ class MediaPropertySpec extends AnyFunSuite {
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.wavBytes),
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.g711Bytes),
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.adpcmBytes),
+      Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.msAdpcmBytes),
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.flacBytes),
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.gifBytes),
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.apngBytes),
@@ -127,6 +128,49 @@ class MediaPropertySpec extends AnyFunSuite {
       val f = Wav.features(Wav.encodeAdpcmMono(blocks, 8000)).get
       f.nFrames == expected.length &&
         Wav.samples(Wav.encodeAdpcmMono(blocks, 8000)).get.toSeq == expected
+    }, tests = 120)
+  }
+
+  test("msadpcm: encode→samples round-trip on arbitrary blocks, mono and stereo") {
+    // the hand-stepped vectors in WavSpec pin the LPC step math; this pins
+    // the field-major header layout, high-first nibble packing, channel
+    // alternation, and multi-block reseed against the step function
+    // threaded nibble-by-nibble in the test
+    val gen = for {
+      ch <- Gen.choose(1, 2)
+      nBlocks <- Gen.choose(1, 3)
+      nFrames <- Gen.choose(1, 40)
+      blocks <- Gen.listOfN(nBlocks, for {
+        chans <- Gen.listOfN(ch, for {
+          bp <- Gen.choose(0, 6)
+          d <- Gen.choose(-32768, 32767)
+          a <- Gen.choose(-32768, 32767)
+          b <- Gen.choose(-32768, 32767)
+        } yield Wav.MsChan(bp, d, a, b))
+        ns <- Gen.listOfN(2 * ch * nFrames, Gen.choose(0, 15)) // even ∧ ÷ch
+      } yield Wav.MsBlock(chans, ns.toArray))
+    } yield blocks
+    check("msadpcm-roundtrip", Prop.forAll(gen) { blocks =>
+      val ch = blocks.head.chans.length
+      val expected = blocks.flatMap { b =>
+        val s1 = b.chans.map(_.sample1).toArray
+        val s2 = b.chans.map(_.sample2).toArray
+        val dl = b.chans.map(_.idelta).toArray
+        val out = Seq.newBuilder[Int]
+        out ++= s2.toSeq; out ++= s1.toSeq
+        b.nibbles.zipWithIndex.foreach { case (n, i) =>
+          val c = i % ch
+          val (v, d2) = Wav.msAdpcmStep(s1(c), s2(c),
+            Wav.MsCoef1(b.chans(c).bpred), Wav.MsCoef2(b.chans(c).bpred), dl(c), n)
+          s2(c) = s1(c); s1(c) = v; dl(c) = d2
+          out += v
+        }
+        out.result()
+      }
+      val bytes = Wav.encodeMsAdpcm(blocks, 8000)
+      val f = Wav.features(bytes).get
+      f.nFrames == expected.length / ch && f.channels == ch &&
+        Wav.samples(bytes).get.toSeq == expected
     }, tests = 120)
   }
 

@@ -186,6 +186,106 @@ class WavSpec extends SparkSpec {
     assert(Wav.features(bad).isEmpty)
   }
 
+  test("MS ADPCM: hand-stepped reference vector (2-tap LPC + delta adaptation)") {
+    // independent hand computation, coefficient pair 1 (512, −256):
+    //   hdr (Δ20, s1 100, s2 60) → frames 60, 100
+    //   nib 2  → ((100·512 − 60·256)>>8 = 140) + 2·20 = 180, Δ (230·20)>>8 = 17
+    //   nib 14 → ((180·512 − 100·256)>>8 = 260) − 2·17 = 226, Δ (230·17)>>8 = 15 → 16
+    //   nib 0  → ((226·512 − 180·256)>>8 = 272) + 0,          Δ stays 16 (floor)
+    //   nib 4  → ((272·512 − 226·256)>>8 = 318) + 4·16 = 382
+    val bytes = Wav.encodeMsAdpcm(
+      Seq(Wav.MsBlock(Seq(Wav.MsChan(1, 20, 100, 60)), Array(2, 14, 0, 4))), 8000)
+    assert(Wav.samples(bytes).get.toSeq == Seq(60, 100, 180, 226, 272, 382))
+    val f = Wav.features(bytes).get
+    assert(f.audioFormat == 2 && f.bitsPerSample == 4 && f.nFrames == 6)
+    assert(f.peak == 382)
+  }
+
+  test("MS ADPCM: negative prediction sums FLOOR (arithmetic >>8, not a divide)") {
+    // pair 5 (460, −208), s1=−1, s2=3: sum = −460 − 624 = −1084, and
+    // −1084 >> 8 floors to −5 (truncating division would give −4); the
+    // next step's sum is −5·460 + (−1)·(−208) = −2092 >> 8 = −9
+    val bytes = Wav.encodeMsAdpcm(
+      Seq(Wav.MsBlock(Seq(Wav.MsChan(5, 16, -1, 3)), Array(0, 0))), 8000)
+    assert(Wav.samples(bytes).get.toSeq == Seq(3, -1, -5, -9))
+  }
+
+  test("MS ADPCM: fixture patterns decode to the closed form (order, clamps, stereo)") {
+    // the same closed-form signal the q44 DuckDB oracle regenerates
+    def model(d: Long): Seq[Int] = {
+      val pat = (d % 3).toInt
+      val pv = ((d * 113) % 18000 - 9000).toInt
+      val nib = 50 + 2 * (d % 25).toInt
+      val p1 = (20000 + (d % 100) * 97).toInt
+      val st = (300 + (d % 50) * 23).toInt
+      val nf = 40 + (d % 20).toInt
+      val dl = (64 + d % 32).toInt
+      val dr = (48 + d % 16).toInt
+      val spb = if (pat == 2) nf + 2 else nib + 2
+      val ch = if (pat == 2) 2 else 1
+      for { b <- 0 until 2; k <- 0 until spb; c <- 0 until ch } yield {
+        val sg = if (b == 0) 1 else -1
+        pat match {
+          case 0 => sg * pv + (if (k == 0) 0 else 9)
+          case 1 => if (b == 0) math.min(p1 + st * k, 32767)
+                    else math.max(-p1 - st * k, -32768)
+          case _ =>
+            if (c == 0) sg * pv + (if (k == 0) 0 else if (k == 1) 11 else 11 + 4 * dl)
+            else -sg * pv + (if (k == 0) 0 else if (k == 1) 5 else 5 - 4 * dr)
+        }
+      }
+    }
+    (0L until 60L).foreach { d =>
+      val bytes = FixtureGen.msAdpcmBytes(d)
+      assert(Wav.samples(bytes).get.toSeq == model(d), s"doc $d")
+      val f = Wav.features(bytes).get
+      val spb = if (d % 3 == 2) 40 + (d % 20).toInt + 2 else 50 + 2 * (d % 25).toInt + 2
+      assert(f.nFrames == 2 * spb, s"doc $d")
+      assert(f.channels == (if (d % 3 == 2) 2 else 1), s"doc $d")
+    }
+  }
+
+  test("MS ADPCM: extensionless fmt defaults spb; hostile bpred clamps to the table") {
+    val plain = Wav.encodeMsAdpcm(
+      Seq(Wav.MsBlock(Seq(Wav.MsChan(0, 16, 70, 30)), Array(0, 0))), 8000)
+    // strip the 34-byte fmt extension (cbSize + spb + numCoef + 7 pairs):
+    // the decoder must fall back to the STANDARD coefficient table and the
+    // everything-past-the-header spb default
+    def ascii(s: String) = s.getBytes(StandardCharsets.US_ASCII)
+    def u32le(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val fmtBody = java.util.Arrays.copyOfRange(plain, 20, 36) // first 16 bytes
+    val dataChunk = java.util.Arrays.copyOfRange(plain, 70, plain.length) // after the 50-byte fmt
+    val body = ascii("fmt ") ++ u32le(16) ++ fmtBody ++ dataChunk
+    val bytes = ascii("RIFF") ++ u32le(4 + body.length) ++ ascii("WAVE") ++ body
+    assert(Wav.samples(bytes).get.toSeq == Seq(30, 70, 70, 70)) // pair 0: constant
+    // bpred 200 indexes past the 7-entry table → clamp to the LAST pair
+    // (392, −232), decode deterministically, never throw
+    val hostile = plain.clone()
+    hostile(78) = 200.toByte // data payload starts at 70+8; byte 0 is bpred
+    val got = Wav.samples(hostile).get
+    assert(got.length == 4 && got(0) == 30 && got(1) == 70)
+    assert(got(2) == ((70 * 392 + 30 * -232) >> 8)) // pair 6 prediction = 80
+    assert(got(3) == ((got(2) * 392 + 70 * -232) >> 8))
+  }
+
+  test("MS ADPCM: truncated payload decodes the complete prefix, never throws") {
+    val full = FixtureGen.msAdpcmBytes(1L) // pattern 1: two ramp blocks
+    val fullSamples = Wav.samples(full).get.toSeq
+    val cut = Wav.samples(full.dropRight(6)).get.toSeq
+    assert(cut.length < fullSamples.length && fullSamples.startsWith(cut))
+    // cut inside block 2's 7-byte header: block 2 contributes nothing
+    val nib = 50 + 2 * (1 % 25)
+    val cutHdr = Wav.samples(full.take(full.length - nib / 2 - 3)).get.toSeq
+    assert(cutHdr == fullSamples.take(nib + 2))
+    // degenerate blockAlign (< the 7-byte header) classifies
+    val bad = full.clone(); bad(32) = 6; bad(33) = 0 // fmt.blockAlign := 6
+    assert(Wav.features(bad).isEmpty)
+    // 3+ channels are outside the spec's interleave definition → classify
+    val tri = full.clone(); tri(22) = 3 // fmt.channels := 3
+    assert(Wav.features(tri).isEmpty)
+  }
+
   test("malformed payloads classify (None), never throw") {
     assert(Wav.features(null).isEmpty)
     assert(Wav.features(Array.emptyByteArray).isEmpty)
