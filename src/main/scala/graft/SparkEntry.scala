@@ -678,6 +678,40 @@ object SparkEntry {
         .select(col("doc_id"), col("f._1").as("ch"), col("f._2").as("n_frames"),
           col("f._3").as("peak"), col("f._4").as("sumsq"), col("f._5").as("dur_ms"))
         .orderBy("doc_id")
+    }),
+    "q45_image_qoi" -> ((s, d) => {
+      // X1 — REAL image decode the JDK does NOT ship (QOI — the published
+      // one-page LZ-style format): synthesize a deterministic QOI payload
+      // per doc ([[graft.fixtures.FixtureGen.qoiBytes]] — RUN/DIFF/LUMA
+      // rows, RGB and RGBA headers by doc parity), decode through the
+      // magic-sniffed [[graft.functions.ImageOps.decode]] dispatch (the
+      // SAME path phash/PSNR/resize/J7 ride), and emit a position-weighted
+      // exact checksum. QOI is lossless, so the decoded gray must EQUAL
+      // the fixture formula; non-gray or mis-positioned pixels emit -1
+      // and redden the hash. The oracle regenerates the formula in SQL.
+      val featUdf = udf((docId: Long) => {
+        val img = graft.functions.ImageOps.decode(
+          graft.fixtures.FixtureGen.qoiBytes(docId))
+        if (img == null) (-1L, -1L, -1L, -1L)
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          var checksum = 0L; var peak = 0L; var gray = true
+          var i = 0
+          while (i < px.length) {
+            val r = (px(i) >> 16) & 0xff
+            if (((px(i) >> 8) & 0xff) != r || (px(i) & 0xff) != r) gray = false
+            checksum += r.toLong * (1 + (i % w) + w.toLong * (i / w))
+            if (r > peak) peak = r
+            i += 1
+          }
+          if (gray) (w.toLong, h.toLong, checksum, peak) else (-1L, -1L, -1L, -1L)
+        }
+      })
+      docs(s, d).select(col("doc_id"), featUdf(col("doc_id")).as("f"))
+        .select(col("doc_id"), col("f._1").as("w"), col("f._2").as("h"),
+          col("f._3").as("checksum"), col("f._4").as("peak"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1182,6 +1216,20 @@ object SparkEntry {
                 CAST(max(abs(val)) AS BIGINT) AS peak,
                 CAST(sum(val*val) AS BIGINT) AS sumsq,
                 CAST(2*spb * 1000 // 8000 AS BIGINT) AS dur_ms
-         FROM v GROUP BY doc_id, ch, spb ORDER BY doc_id"""
+         FROM v GROUP BY doc_id, ch, spb ORDER BY doc_id""",
+    // q45: QOI is lossless, so the decoded gray IS the fixture formula
+    // (no wrap: max value 254) — this SQL regenerates every pixel and
+    // aggregates the position-weighted checksum exactly (sums CAST to
+    // BIGINT — HUGEINT never escapes, per the q09 lesson)
+    "q45_image_qoi" ->
+      """WITH p AS (SELECT doc_id, 30 + (29*doc_id) % 180 AS a FROM documents),
+         g AS (
+           SELECT p.doc_id, x.u AS x, y.u AS y,
+                  (p.a + 5*(y.u//4) + x.u*(y.u%3)) % 256 AS v
+           FROM p, unnest(range(16)) AS x(u), unnest(range(16)) AS y(u))
+         SELECT doc_id, 16::BIGINT AS w, 16::BIGINT AS h,
+                CAST(sum(v*(1 + x + 16*y)) AS BIGINT) AS checksum,
+                CAST(max(v) AS BIGINT) AS peak
+         FROM g GROUP BY doc_id ORDER BY doc_id"""
   )
 }

@@ -415,6 +415,24 @@ object FixtureGen {
     }
   }
 
+  /** q45 fixture: a deterministic 16×16 QOI image per doc id. The pixel
+    * gray is the closed form `v(x,y) = (A + 5·(y/4) + x·(y%3)) % 256`
+    * with `A = 30 + (29d)%180` — rows cycle constant / +1-per-pixel /
+    * +2-per-pixel, so the greedy encoder naturally lays RUN, DIFF, and
+    * LUMA chunks on the wire (QoiSpec asserts all op families appear),
+    * and no value ever wraps (max 254), keeping the SQL formula exact.
+    * Odd ids declare 4 channels (the RGBA header path) — QOI is lossless
+    * either way, so decode must EQUAL the formula. */
+  def qoiBytes(docId: Long): Array[Byte] = {
+    val a = (30 + (29 * docId) % 180).toInt
+    val px = Array.tabulate(256) { i =>
+      val x = i % 16; val y = i / 16
+      val v = (a + 5 * (y / 4) + x * (y % 3)) % 256
+      0xff000000 | (v << 16) | (v << 8) | v
+    }
+    graft.functions.Qoi.encode(px, 16, 16, channels = if (docId % 2 == 0) 3 else 4)
+  }
+
   def flacBytes(docId: Long): Array[Byte] = {
     import graft.functions.Flac
     val b = 64 + 2 * (docId % 16).toInt

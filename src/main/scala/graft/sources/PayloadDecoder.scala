@@ -80,6 +80,20 @@ final class GifDecoder extends PayloadDecoder {
     graft.functions.Gif.encodeGif(Seq(img))
 }
 
+/** QOI ("Quite OK Image"): REAL decode — the JDK has no reader for the
+  * format, so [[graft.functions.Qoi]] owns the op-stream walk (index /
+  * diff / luma / run / literal chunks). Lossless by construction, so the
+  * J7 gate is exact-pixel. Driver-gated by q45. */
+final class QoiDecoder extends PayloadDecoder {
+  override val fmt = "qoi"
+  override val lossless = true
+  override def decode(bytes: Array[Byte]): BufferedImage = ImageOps.decode(bytes)
+  override def encode(img: BufferedImage): Array[Byte] = {
+    val w = img.getWidth; val h = img.getHeight
+    graft.functions.Qoi.encode(img.getRGB(0, 0, w, h, null, 0, w), w, h)
+  }
+}
+
 /** MODERN inter-frame video codecs (h264/vp9/…) and perceptual audio
   * (mp3/aac): those genuinely need codec libraries this container doesn't
   * ship, so decode is STUBBED (clearly marked); the registry/dispatch
@@ -107,6 +121,7 @@ object DecoderRegistry {
     "y4m" -> new Y4mDecoder,
     "avi" -> new AviMjpegDecoder,
     "gif" -> new GifDecoder,
+    "qoi" -> new QoiDecoder,
     "video" -> new VideoFrameDecoderStub)
 
   /** "jpg"/"jpeg" are one format under two spellings — a registration for

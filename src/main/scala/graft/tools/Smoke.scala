@@ -183,6 +183,12 @@ object Smoke {
               abs(($"doc_id" * 113) % 18000 - 9000 - 9))))
       assert(badMs.isEmpty, "q44 msadpcm features diverge from closed form")
       println(s"SMOKE msadpcm: q44_rows=${q44.count()} matches closed form")
+      // QOI (q45): the JDK-less image codec through the distributed query
+      // and the ImageOps sniffing dispatch; lossless → exact checksum
+      val q45 = graft.SparkEntry.queries("q45_image_qoi")(spark, "/root/testdata/sf0.001")
+      val badQoi = q45.where($"w" =!= 16 || $"h" =!= 16 || $"peak" < 0)
+      assert(badQoi.isEmpty, "q45 qoi decode diverges from closed form")
+      println(s"SMOKE qoi: q45_rows=${q45.count()} decodes losslessly")
       // animated GIF (q41): LZW decode + compositing through the same
       // distributed dispatch; lossless → gray equals the formula exactly
       val gifs = spark.range(24).select(

@@ -58,6 +58,7 @@ class MediaPropertySpec extends AnyFunSuite {
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.g711Bytes),
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.adpcmBytes),
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.msAdpcmBytes),
+      Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.qoiBytes),
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.flacBytes),
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.gifBytes),
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.apngBytes),
@@ -76,6 +77,7 @@ class MediaPropertySpec extends AnyFunSuite {
         // any outcome is fine — throwing is the only failure
         Y4m.sampleFrames(mutated, 4)
         Y4m.decodeFirstFrame(mutated)
+        graft.functions.ImageOps.decode(mutated) // incl. the QOI sniff
         Wav.features(mutated)
         graft.functions.Flac.features(mutated)
         graft.functions.AudioContainers.features(mutated)
