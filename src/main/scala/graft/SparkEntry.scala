@@ -712,6 +712,30 @@ object SparkEntry {
         .select(col("doc_id"), col("f._1").as("w"), col("f._2").as("h"),
           col("f._3").as("checksum"), col("f._4").as("peak"))
         .orderBy("doc_id")
+    }),
+    "q46_audio_bigendian" -> ((s, d) => {
+      // X1 — REAL decode for the two BIG-endian audio containers: AIFF
+      // (even docs — 16-bit BE PCM whose sample rate rides the 80-bit
+      // IEEE extended-precision COMM field, the format's genuinely tricky
+      // part: a wrong bias/hidden-bit/signed-mantissa assumption shifts
+      // the rate and reddens dur_ms) and Sun AU (odd docs — variable data
+      // offset + G.711 μ/A-law reuse). Decode through the magic-sniffed
+      // [[graft.functions.AudioContainers]] dispatch; the emitted codec
+      // tag (1 PCM / 7 μ-law / 6 A-law) proves WHICH decoder ran. The
+      // oracle recomputes the ITU expansion in SQL exactly as q37.
+      val featUdf = udf((docId: Long) => {
+        val bytes = graft.fixtures.FixtureGen.bigEndianAudioBytes(docId)
+        val f = graft.functions.AudioContainers.features(bytes).get
+        val ss = graft.functions.AudioContainers.samples(bytes).get
+          .foldLeft(0L)((a, v) => a + v.toLong * v)
+        (f.audioFormat.toLong, f.sampleRate.toLong, f.nFrames.toLong,
+          f.peak.toLong, ss, f.durationMs)
+      })
+      docs(s, d).select(col("doc_id"), featUdf(col("doc_id")).as("f"))
+        .select(col("doc_id"), col("f._1").as("codec"), col("f._2").as("sr"),
+          col("f._3").as("n_frames"), col("f._4").as("peak"),
+          col("f._5").as("sumsq"), col("f._6").as("dur_ms"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1230,6 +1254,38 @@ object SparkEntry {
          SELECT doc_id, 16::BIGINT AS w, 16::BIGINT AS h,
                 CAST(sum(v*(1 + x + 16*y)) AS BIGINT) AS checksum,
                 CAST(max(v) AS BIGINT) AS peak
-         FROM g GROUP BY doc_id ORDER BY doc_id"""
+         FROM g GROUP BY doc_id ORDER BY doc_id""",
+    // q46: AIFF square wave (peak = A exactly, sumsq = n·A²) and AU G.711
+    // square wave (the SAME ITU integer expansion as the q37 oracle — a
+    // driver red means the expansion or the container walk diverged);
+    // dur_ms floors like Features.durationMs
+    "q46_audio_bigendian" ->
+      """WITH p AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 2 = 0 THEN 60 + doc_id % 40
+                       ELSE 70 + doc_id % 30 END AS n,
+                  CASE WHEN doc_id % 2 = 0 THEN 8000 + 1000*(doc_id % 5)
+                       ELSE 8000 END AS sr,
+                  CASE WHEN doc_id % 2 = 0 THEN 1
+                       WHEN doc_id % 4 = 1 THEN 7 ELSE 6 END AS codec,
+                  900 + (doc_id % 90) * 37 AS amp,
+                  (doc_id * 41) % 256 AS b0
+           FROM documents),
+         m AS (
+           SELECT doc_id, n, sr, codec,
+                  CASE WHEN codec = 1 THEN amp
+                       WHEN codec = 7
+                         THEN ((((255 - b0) % 16) * 8 + 132) << (((255 - b0) // 16) % 8)) - 132
+                       ELSE CASE WHEN (xor(b0, 85) // 16) % 8 = 0
+                              THEN (xor(b0, 85) % 16) * 16 + 8
+                              ELSE ((xor(b0, 85) % 16) * 16 + 264) << ((xor(b0, 85) // 16) % 8 - 1)
+                            END
+                  END AS mag
+           FROM p)
+         SELECT doc_id, CAST(codec AS BIGINT) AS codec, CAST(sr AS BIGINT) AS sr,
+                CAST(n AS BIGINT) AS n_frames, CAST(mag AS BIGINT) AS peak,
+                CAST(n * mag * mag AS BIGINT) AS sumsq,
+                CAST(n * 1000 // sr AS BIGINT) AS dur_ms
+         FROM m ORDER BY doc_id"""
   )
 }

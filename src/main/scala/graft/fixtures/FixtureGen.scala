@@ -433,6 +433,43 @@ object FixtureGen {
     graft.functions.Qoi.encode(px, 16, 16, channels = if (docId % 2 == 0) 3 else 4)
   }
 
+  /** q46 fixture: the big-endian audio containers. Even docs: an AIFF
+    * (16-bit BE PCM, square wave ±A with `A = 900 + (d%90)·37`,
+    * `n = 60 + d%40` frames) whose sample rate `8000 + 1000·(d%5)` rides
+    * the REAL 80-bit extended-precision COMM field — a wrong exponent
+    * bias, hidden-bit assumption, or signed-mantissa bug shifts the rate
+    * and reddens dur_ms; a NAME chunk sits before COMM so the walk is
+    * always exercised. Odd docs: a Sun AU with an 8-byte annotation
+    * region (data offset 32 — fixed-24 parsing misreads), code byte
+    * `b0 = (41d)%256` alternating with its sign-flip, μ-law for d%4==1 /
+    * A-law for d%4==3, `n = 70 + d%30` — peak = RMS = |expand(b0)|,
+    * which the oracle recomputes with the same ITU integer math as q37. */
+  def bigEndianAudioBytes(docId: Long): Array[Byte] =
+    if (docId % 2 == 0) {
+      val n = 60 + (docId % 40).toInt
+      val amp = (900 + (docId % 90) * 37).toInt
+      val sr = (8000 + 1000 * (docId % 5)).toInt
+      val plain = graft.functions.Aiff.encodePcm16Mono(
+        Array.tabulate(n)(i => if (i % 2 == 0) amp else -amp), sr)
+      // splice a NAME chunk (8 + 4 bytes) between "AIFF" and COMM
+      val name = "NAME".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+        Array[Byte](0, 0, 0, 4) ++
+        "doc!".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val out = new Array[Byte](plain.length + name.length)
+      System.arraycopy(plain, 0, out, 0, 12) // FORM..AIFF
+      System.arraycopy(name, 0, out, 12, name.length)
+      System.arraycopy(plain, 12, out, 12 + name.length, plain.length - 12)
+      val formLen = out.length - 8 // big-endian size fixup
+      (0 until 4).foreach(j => out(4 + j) = ((formLen >> (8 * (3 - j))) & 0xff).toByte)
+      out
+    } else {
+      val n = 70 + (docId % 30).toInt
+      val b0 = ((docId * 41) % 256).toInt
+      val codes = Array.tabulate(n)(i => (if (i % 2 == 0) b0 else b0 ^ 0x80).toByte)
+      val enc = if (docId % 4 == 1) 1 else 27 // μ-law / A-law
+      graft.functions.Au.encodeMono(codes, 8000, enc, annotation = 8)
+    }
+
   def flacBytes(docId: Long): Array[Byte] = {
     import graft.functions.Flac
     val b = 64 + 2 * (docId % 16).toInt

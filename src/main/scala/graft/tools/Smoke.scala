@@ -189,6 +189,16 @@ object Smoke {
       val badQoi = q45.where($"w" =!= 16 || $"h" =!= 16 || $"peak" < 0)
       assert(badQoi.isEmpty, "q45 qoi decode diverges from closed form")
       println(s"SMOKE qoi: q45_rows=${q45.count()} decodes losslessly")
+      // big-endian containers (q46): the 80-bit AIFF rate field and AU's
+      // variable offset through the distributed dispatch
+      val q46 = graft.SparkEntry.queries("q46_audio_bigendian")(spark, "/root/testdata/sf0.001")
+      val badBe = q46.where(
+        $"codec" =!= when($"doc_id" % 2 === 0, 1L)
+          .otherwise(when($"doc_id" % 4 === 1, 7L).otherwise(6L)) ||
+          ($"doc_id" % 2 === 0 && $"sr" =!= lit(8000) + ($"doc_id" % 5) * 1000) ||
+          ($"doc_id" % 2 === 0 && $"peak" =!= lit(900) + ($"doc_id" % 90) * 37))
+      assert(badBe.isEmpty, "q46 big-endian audio diverges from closed form")
+      println(s"SMOKE aiff+au: q46_rows=${q46.count()} matches closed form")
       // animated GIF (q41): LZW decode + compositing through the same
       // distributed dispatch; lossless → gray equals the formula exactly
       val gifs = spark.range(24).select(

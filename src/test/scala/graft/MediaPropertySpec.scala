@@ -59,6 +59,7 @@ class MediaPropertySpec extends AnyFunSuite {
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.adpcmBytes),
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.msAdpcmBytes),
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.qoiBytes),
+      Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.bigEndianAudioBytes),
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.flacBytes),
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.gifBytes),
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.apngBytes),
