@@ -736,6 +736,40 @@ object SparkEntry {
           col("f._3").as("n_frames"), col("f._4").as("peak"),
           col("f._5").as("sumsq"), col("f._6").as("dur_ms"))
         .orderBy("doc_id")
+    }),
+    "q47_video_dib" -> ((s, d) => {
+      // X1 — REAL uncompressed-DIB video in RIFF/AVI (BI_RGB — the raw
+      // raster layout every Windows-lineage tool emits): 24-bit BGR and
+      // 8-bit paletted frames, rows padded to 4-byte stride, BOTTOM-UP
+      // unless the strf carries a negative biHeight (the top-down
+      // variant — doc%3==2 puts it on the wire every round). The fixture
+      // gradient keys gray to (x, y), so a stride miscount, a BGR/RGB
+      // swap, or a row-order mistake shifts the position-weighted
+      // checksum and reddens the hash. Runs through the magic-sniffed
+      // [[graft.functions.VideoContainers]] dispatch like every video.
+      val framesUdf = udf((docId: Long) => {
+        val bytes = graft.fixtures.FixtureGen.aviDibBytes(docId)
+        graft.functions.VideoContainers
+          .sampleFramesIndexed(bytes, Int.MaxValue).map { case (k, img) =>
+            val w = img.getWidth; val h = img.getHeight
+            val px = img.getRGB(0, 0, w, h, null, 0, w)
+            var checksum = 0L; var peak = 0L; var gray = true
+            var i = 0
+            while (i < px.length) {
+              val r = (px(i) >> 16) & 0xff
+              if (((px(i) >> 8) & 0xff) != r || (px(i) & 0xff) != r) gray = false
+              checksum += r.toLong * (1 + (i % w) + w.toLong * (i / w))
+              if (r > peak) peak = r
+              i += 1
+            }
+            if (gray) (k.toLong, w.toLong, h.toLong, checksum, peak)
+            else (k.toLong, -1L, -1L, -1L, -1L)
+          }
+      })
+      docs(s, d).select(col("doc_id"), explode(framesUdf(col("doc_id"))).as("f"))
+        .select(col("doc_id"), col("f._1").as("frame_idx"), col("f._2").as("w"),
+          col("f._3").as("h"), col("f._4").as("checksum"), col("f._5").as("peak"))
+        .orderBy("doc_id", "frame_idx")
     })
   )
 
@@ -1286,6 +1320,26 @@ object SparkEntry {
                 CAST(n AS BIGINT) AS n_frames, CAST(mag AS BIGINT) AS peak,
                 CAST(n * mag * mag AS BIGINT) AS sumsq,
                 CAST(n * 1000 // sr AS BIGINT) AS dur_ms
-         FROM m ORDER BY doc_id"""
+         FROM m ORDER BY doc_id""",
+    // q47: DIB is raw pixels (lossless), so the decoded gray IS the
+    // fixture gradient — this SQL regenerates every pixel per frame and
+    // aggregates the position-weighted checksum exactly (sums CAST to
+    // BIGINT — HUGEINT never escapes, per the q09 lesson)
+    "q47_video_dib" ->
+      """WITH p AS (
+           SELECT doc_id, doc_id % 3 AS pat, doc_id % 3 + 1 AS nf,
+                  10 + (29*doc_id) % 160 AS p0
+           FROM documents),
+         f AS (SELECT p.*, k.u AS k FROM p, unnest(range(p.nf)) AS k(u)),
+         g AS (
+           SELECT doc_id, k, x.u AS x, y.u AS y,
+                  CASE WHEN pat = 1 THEN p0 + 5*((x.u + y.u + 3*k) % 16)
+                       ELSE 20 + (31*doc_id + 7*k) % 200 + x.u + 2*y.u
+                  END AS v
+           FROM f, unnest(range(6)) AS x(u), unnest(range(5)) AS y(u))
+         SELECT doc_id, k AS frame_idx, 6::BIGINT AS w, 5::BIGINT AS h,
+                CAST(sum(v*(1 + x + 6*y)) AS BIGINT) AS checksum,
+                CAST(max(v) AS BIGINT) AS peak
+         FROM g GROUP BY doc_id, k ORDER BY doc_id, frame_idx"""
   )
 }

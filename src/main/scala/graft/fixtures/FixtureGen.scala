@@ -470,6 +470,46 @@ object FixtureGen {
       graft.functions.Au.encodeMono(codes, 8000, enc, annotation = 8)
     }
 
+  /** q47 fixture: an uncompressed BI_RGB DIB/AVI per doc id, 6×5 frames
+    * (`nf = d%3 + 1`) — dimensions chosen so BOTH bit depths carry
+    * nonzero stride padding (24-bit rows are 18→20 bytes, 8-bit rows
+    * 6→8). Three variants by `d%3`:
+    *  - 0: 24-bit BOTTOM-UP, gray `v(x,y) = b0 + x + 2y` with
+    *    `b0 = 20 + (31d + 7k)%200` — the x/y gradient reddens any stride
+    *    or row-order mistake (a non-flipped read maps y → h−1−y).
+    *  - 1: 8-bit PALETTED bottom-up: index `(x + y + 3k) % 16`, palette
+    *    gray `p0 + 5i` with the per-FILE base `p0 = 10 + (29d)%160`
+    *    (palettes live in the strf — one per stream, not per frame).
+    *  - 2: 24-bit TOP-DOWN (negative strf biHeight): same gradient —
+    *    decode must NOT flip.
+    * All values ≤ 244: no wrap, so the SQL formulas are exact. */
+  def aviDibBytes(docId: Long): Array[Byte] = {
+    val w = 6; val h = 5
+    val nf = (docId % 3).toInt + 1
+    (docId % 3) match {
+      case 1 =>
+        val p0 = (10 + (29 * docId) % 160).toInt
+        val frames = (0 until nf).map { k =>
+          Array.tabulate[Byte](w * h)(i => (((i % w) + (i / w) + 3 * k) % 16).toByte)
+        }
+        val pal = Array.tabulate(256) { i =>
+          val v = p0 + 5 * (i % 16)
+          0xff000000 | (v << 16) | (v << 8) | v
+        }
+        graft.functions.Avi.encodeDib8(w, h, pal, frames)
+      case pat =>
+        val frames = (0 until nf).map { k =>
+          val b0 = (20 + (31 * docId + 7 * k) % 200).toInt
+          val px = Array.tabulate(w * h) { i =>
+            val v = b0 + (i % w) + 2 * (i / w)
+            0xff000000 | (v << 16) | (v << 8) | v
+          }
+          graft.functions.ImageOps.toImage(px, w, h)
+        }
+        graft.functions.Avi.encodeDib24(frames, topDown = pat == 2)
+    }
+  }
+
   def flacBytes(docId: Long): Array[Byte] = {
     import graft.functions.Flac
     val b = 64 + 2 * (docId % 16).toInt

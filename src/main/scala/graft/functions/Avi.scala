@@ -45,16 +45,23 @@ object Avi {
   /** Container facts + per-frame chunk slices (offset,length) in stream
     * order. `w`/`h` come from avih; frames are the selected video stream's
     * movi `##dc`/`##db` chunks. `compression` is the vids strf
-    * biCompression (1 = BI_RLE8 inter-frame delta coding, 'MJPG' fourcc =
-    * Motion-JPEG); `palette` the strf color table (ARGB, 256 entries) for
-    * 8-bit streams, null otherwise. */
+    * biCompression (0 = BI_RGB uncompressed DIB, 1 = BI_RLE8 inter-frame
+    * delta coding, 'MJPG' fourcc = Motion-JPEG); `palette` the strf color
+    * table (ARGB, 256 entries) for 8-bit streams, null otherwise;
+    * `bitCount` the strf biBitCount; `topDown` when strf biHeight is
+    * NEGATIVE (the DIB convention for top-down row order — positive
+    * heights store rows bottom-up). */
   final case class Parsed(w: Int, h: Int, frames: IndexedSeq[(Int, Int)],
-      compression: Long = 0L, palette: Array[Int] = null) {
+      compression: Long = 0L, palette: Array[Int] = null,
+      bitCount: Int = 0, topDown: Boolean = false) {
     def frameCount: Int = frames.length
     /** Inter-frame RLE8 stream: frames are delta chunks onto a shared
-      * canvas, so decode is sequential ([[Rle8]]); anything else decodes
-      * per-frame through the JDK JPEG codec. */
+      * canvas, so decode is sequential ([[Rle8]]). */
     def isRle8: Boolean = compression == 1L && palette != null
+    /** Uncompressed DIB stream (BI_RGB): 24-bit BGR or 8-bit paletted
+      * rows, 4-byte-aligned stride, bottom-up unless `topDown`. */
+    def isDib: Boolean = compression == 0L &&
+      (bitCount == 24 || (bitCount == 8 && palette != null))
   }
 
   private val BiRle8 = 1L
@@ -87,15 +94,19 @@ object Avi {
     var vidStream = -1 // hdrl strl order gives each stream its movi number
     var compression = 0L
     var palette: Array[Int] = null
+    var bitCount = 0
+    var topDown = false
     val frames = IndexedSeq.newBuilder[(Int, Int)]
 
     // the selected vids stream's strf (BITMAPINFOHEADER + color table):
-    // biCompression decides the frame decode path (JPEG vs inter-frame
-    // RLE8) and 8-bit streams carry the palette as BGRX quads after the
+    // biCompression decides the frame decode path (JPEG vs DIB vs
+    // inter-frame RLE8), a NEGATIVE biHeight flips row order to top-down,
+    // and 8-bit streams carry the palette as BGRX quads after the
     // 40-byte header
     def readStrf(body: Int, avail: Int): Unit = {
       compression = u32(bytes, body + 16)
-      val bitCount = (bytes(body + 14) & 0xff) | ((bytes(body + 15) & 0xff) << 8)
+      bitCount = (bytes(body + 14) & 0xff) | ((bytes(body + 15) & 0xff) << 8)
+      topDown = (u32(bytes, body + 8) & 0x80000000L) != 0L // biHeight < 0
       if (bitCount == 8) {
         val clrUsed = u32(bytes, body + 32)
         val declared = if (clrUsed <= 0L || clrUsed > 256L) 256 else clrUsed.toInt
@@ -181,7 +192,7 @@ object Avi {
     }
     val fs = frames.result()
     if (w <= 0 || h <= 0 || fs.isEmpty) None
-    else Some(Parsed(w, h, fs, compression, palette))
+    else Some(Parsed(w, h, fs, compression, palette, bitCount, topDown))
   }
 
   /** Decompression-bomb bound for the RLE8 canvas: a few-hundred-byte
@@ -194,12 +205,41 @@ object Avi {
   private def canvasImage(canvas: Array[Int], w: Int, h: Int): BufferedImage =
     ImageOps.toImage(canvas.clone(), w, h)
 
-  /** Decode frame `idx`. MJPEG streams decode the one chunk through the
-    * JDK's real JPEG codec (null if undecodable — the registry's
-    * null-decode contract). Inter-frame RLE8 streams composite chunks
-    * 0..idx sequentially (O(idx) by the codec's nature — use
-    * [[sampleFramesIndexed]] for multi-frame access, it pays the walk
-    * once). */
+  /** One uncompressed BI_RGB frame: 24-bit BGR triplets or 8-bit palette
+    * indices, rows padded to 4-byte stride, BOTTOM-UP unless the strf
+    * declared a negative height. A chunk smaller than the full raster
+    * classifies (null) — a partial DIB frame has no defined content. */
+  private def decodeDib(bytes: Array[Byte], off: Int, len: Int, p: Parsed): BufferedImage = {
+    if (!rleCanvasOk(p)) return null // claimed-geometry bomb bound
+    val bpp = p.bitCount / 8
+    val stride = (p.w * bpp + 3) & ~3
+    if (len < stride * p.h) return null
+    val px = new Array[Int](p.w * p.h)
+    var y = 0
+    while (y < p.h) {
+      val srcRow = off + stride * (if (p.topDown) y else p.h - 1 - y)
+      var x = 0
+      while (x < p.w) {
+        px(y * p.w + x) =
+          if (bpp == 3) { // BGR on disk
+            val b = bytes(srcRow + 3 * x) & 0xff
+            val g = bytes(srcRow + 3 * x + 1) & 0xff
+            val r = bytes(srcRow + 3 * x + 2) & 0xff
+            0xff000000 | (r << 16) | (g << 8) | b
+          } else p.palette(bytes(srcRow + x) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    ImageOps.toImage(px, p.w, p.h)
+  }
+
+  /** Decode frame `idx`. Uncompressed DIB and MJPEG streams decode the
+    * one chunk standalone (MJPEG through the JDK's real JPEG codec; null
+    * if undecodable — the registry's null-decode contract). Inter-frame
+    * RLE8 streams composite chunks 0..idx sequentially (O(idx) by the
+    * codec's nature — use [[sampleFramesIndexed]] for multi-frame access,
+    * it pays the walk once). */
   def frame(bytes: Array[Byte], p: Parsed, idx: Int): BufferedImage =
     if (p.isRle8) {
       if (!rleCanvasOk(p)) return null
@@ -209,6 +249,9 @@ object Avi {
         Rle8.applyChunk(bytes, off, len, canvas, p.w, p.h, p.palette)
       }
       canvasImage(canvas, p.w, p.h)
+    } else if (p.isDib) {
+      val (off, len) = p.frames(idx)
+      decodeDib(bytes, off, len, p)
     } else {
       val (off, len) = p.frames(idx)
       ImageOps.decode(java.util.Arrays.copyOfRange(bytes, off, off + len))
@@ -282,9 +325,64 @@ object Avi {
       palette = palette, chunks = frameOps, firstIsKeyframe = true)
   }
 
+  /** Uncompressed 24-bit BI_RGB/AVI encode: frames as raw BGR rasters,
+    * rows padded to 4-byte stride, stored bottom-up (or top-down with the
+    * negative-biHeight strf when `topDown`). */
+  def encodeDib24(framesIn: Seq[BufferedImage], topDown: Boolean = false,
+      fps: Int = 25): Array[Byte] = {
+    require(framesIn.nonEmpty, "DIB container needs at least one frame")
+    val w = framesIn.head.getWidth; val h = framesIn.head.getHeight
+    require(framesIn.forall(f => f.getWidth == w && f.getHeight == h),
+      "all DIB frames must share one geometry")
+    val stride = (w * 3 + 3) & ~3
+    val chunks = framesIn.map { img =>
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      val raster = new Array[Byte](stride * h)
+      var y = 0
+      while (y < h) {
+        val dstRow = stride * (if (topDown) y else h - 1 - y)
+        var x = 0
+        while (x < w) {
+          val p = px(y * w + x)
+          raster(dstRow + 3 * x) = (p & 0xff).toByte // B
+          raster(dstRow + 3 * x + 1) = ((p >> 8) & 0xff).toByte // G
+          raster(dstRow + 3 * x + 2) = ((p >> 16) & 0xff).toByte // R
+          x += 1
+        }
+        y += 1
+      }
+      raster
+    }
+    writeAvi(w, h, fps, "DIB ", bitCount = 24, compression = 0L,
+      palette = null, chunks = chunks, firstIsKeyframe = true,
+      strfTopDown = topDown)
+  }
+
+  /** Uncompressed 8-bit paletted BI_RGB/AVI encode: frames as raw index
+    * rasters (row-major, top-left origin — this writer lays them
+    * bottom-up on disk), palette in the strf color table. */
+  def encodeDib8(w: Int, h: Int, palette: Array[Int],
+      indexFrames: Seq[Array[Byte]], fps: Int = 25): Array[Byte] = {
+    require(indexFrames.nonEmpty, "DIB container needs at least one frame")
+    require(palette != null && palette.length <= 256, "palette: up to 256 ARGB entries")
+    require(indexFrames.forall(_.length == w * h), "index rasters must match geometry")
+    val stride = (w + 3) & ~3
+    val chunks = indexFrames.map { idx =>
+      val raster = new Array[Byte](stride * h)
+      var y = 0
+      while (y < h) {
+        System.arraycopy(idx, y * w, raster, stride * (h - 1 - y), w)
+        y += 1
+      }
+      raster
+    }
+    writeAvi(w, h, fps, "DIB ", bitCount = 8, compression = 0L,
+      palette = palette, chunks = chunks, firstIsKeyframe = true)
+  }
+
   private def writeAvi(w: Int, h: Int, fps: Int, handler: String, bitCount: Int,
       compression: Long, palette: Array[Int], chunks: Seq[Array[Byte]],
-      firstIsKeyframe: Boolean): Array[Byte] = {
+      firstIsKeyframe: Boolean, strfTopDown: Boolean = false): Array[Byte] = {
     require(fps > 0, s"fps must be positive, got $fps")
     val palBytes = if (palette == null) 0 else 4 * palette.length
     val bb = new Riff.Writer
@@ -310,7 +408,10 @@ object Avi {
     bb.u32(0L); bb.u32(0L) // quality, sampleSize
     bb.u16(0); bb.u16(0); bb.u16(w); bb.u16(h) // rcFrame
     bb.ascii("strf"); bb.u32(strfSize.toLong) // BITMAPINFOHEADER [+ palette]
-    bb.u32(40L); bb.u32(w.toLong); bb.u32(h.toLong); bb.u16(1); bb.u16(bitCount)
+    bb.u32(40L); bb.u32(w.toLong)
+    // DIB convention: negative biHeight = top-down row order
+    bb.u32(if (strfTopDown) (-h).toLong & 0xffffffffL else h.toLong)
+    bb.u16(1); bb.u16(bitCount)
     bb.u32(compression); bb.u32(w.toLong * h * (bitCount / 8))
     bb.u32(0L); bb.u32(0L)
     bb.u32(if (palette == null) 0L else palette.length.toLong) // biClrUsed

@@ -199,6 +199,12 @@ object Smoke {
           ($"doc_id" % 2 === 0 && $"peak" =!= lit(900) + ($"doc_id" % 90) * 37))
       assert(badBe.isEmpty, "q46 big-endian audio diverges from closed form")
       println(s"SMOKE aiff+au: q46_rows=${q46.count()} matches closed form")
+      // uncompressed DIB/AVI (q47): stride/row-order/BGR through the
+      // distributed dispatch; lossless → positive checksums, exact dims
+      val q47 = graft.SparkEntry.queries("q47_video_dib")(spark, "/root/testdata/sf0.001")
+      val badDib = q47.where($"w" =!= 6 || $"h" =!= 5 || $"checksum" < 0)
+      assert(badDib.isEmpty, "q47 dib decode diverges from closed form")
+      println(s"SMOKE dib: q47_rows=${q47.count()} decodes losslessly")
       // animated GIF (q41): LZW decode + compositing through the same
       // distributed dispatch; lossless → gray equals the formula exactly
       val gifs = spark.range(24).select(

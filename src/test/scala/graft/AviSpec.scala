@@ -161,6 +161,83 @@ class AviSpec extends SparkSpec {
     assert(math.abs(gray(Avi.frame(bytes, p, 1)) - 180) <= 4)
   }
 
+  test("dib 24-bit: exact color round-trip pins BGR byte order and bottom-up rows") {
+    // full-color asymmetric image: a BGR/RGB swap turns the red corner
+    // blue; a non-flipped row read moves it to the other side
+    val img = new BufferedImage(6, 5, BufferedImage.TYPE_INT_RGB)
+    (0 until 5).foreach(y => (0 until 6).foreach { x =>
+      img.setRGB(x, y, ((x * 40) << 16) | ((y * 50) << 8) | (x + y))
+    })
+    img.setRGB(0, 0, 0xff0000) // pure red at the top-left
+    val bytes = Avi.encodeDib24(Seq(img))
+    val p = Avi.parse(bytes).get
+    assert(p.isDib && !p.topDown && p.bitCount == 24)
+    val back = Avi.frame(bytes, p, 0)
+    assert(back.getRGB(0, 0, 6, 5, null, 0, 6).toSeq ==
+      img.getRGB(0, 0, 6, 5, null, 0, 6).toSeq)
+    // the raster really is bottom-up on disk: the LAST stored row holds
+    // the pure-red top-left pixel's BGR bytes (0,0,255)
+    val moviFrame = p.frames.head
+    val stride = (6 * 3 + 3) & ~3
+    val lastRow = moviFrame._1 + stride * 4
+    assert((bytes(lastRow) & 0xff, bytes(lastRow + 1) & 0xff, bytes(lastRow + 2) & 0xff)
+      == ((0, 0, 255)))
+  }
+
+  test("dib: negative strf biHeight means top-down — same logical image, flipped disk layout") {
+    val img = new BufferedImage(6, 5, BufferedImage.TYPE_INT_RGB)
+    (0 until 5).foreach(y => (0 until 6).foreach(x => img.setRGB(x, y, (y * 30) << 16)))
+    val up = Avi.encodeDib24(Seq(img))
+    val down = Avi.encodeDib24(Seq(img), topDown = true)
+    assert(!Avi.parse(up).get.topDown && Avi.parse(down).get.topDown)
+    // both decode to the SAME logical image…
+    Seq(up, down).foreach { b =>
+      val p = Avi.parse(b).get
+      assert(Avi.frame(b, p, 0).getRGB(0, 0, 6, 5, null, 0, 6).toSeq ==
+        img.getRGB(0, 0, 6, 5, null, 0, 6).toSeq)
+    }
+    // …from DIFFERENT disk rasters (first stored row differs)
+    val pu = Avi.parse(up).get; val pd = Avi.parse(down).get
+    assert(bytes2(up, pu.frames.head._1, 18) != bytes2(down, pd.frames.head._1, 18))
+  }
+
+  private def bytes2(b: Array[Byte], off: Int, n: Int): Seq[Byte] =
+    java.util.Arrays.copyOfRange(b, off, off + n).toSeq
+
+  test("dib 8-bit: palette lookup + stride padding; truncated frame classifies") {
+    val pal = Array.tabulate(256)(i => 0xff000000 | (i << 16) | ((255 - i) << 8) | i)
+    val idx = Array.tabulate[Byte](6 * 5)(i => (i % 11).toByte)
+    val bytes = Avi.encodeDib8(6, 5, pal, Seq(idx))
+    val p = Avi.parse(bytes).get
+    assert(p.isDib && p.bitCount == 8)
+    val back = Avi.frame(bytes, p, 0)
+    (0 until 30).foreach { i =>
+      assert(back.getRGB(i % 6, i / 6) == pal(i % 11), s"px $i")
+    }
+    // cut into the frame raster: the frame is incomplete → null (classify)
+    val cut = java.util.Arrays.copyOf(bytes, bytes.length - 6)
+    val pc = Avi.parse(cut).get
+    assert(Avi.frame(cut, pc, 0) == null)
+    assert(Avi.sampleFramesIndexed(cut, 4).isEmpty) // dropped, not thrown
+  }
+
+  test("dib fixture: closed form through VideoContainers, all three variants") {
+    (0L until 12L).foreach { d =>
+      val frames = VideoContainers.sampleFramesIndexed(FixtureGen.aviDibBytes(d), Int.MaxValue)
+      assert(frames.length == (d % 3).toInt + 1, s"doc $d")
+      frames.foreach { case (k, img) =>
+        assert(img.getWidth == 6 && img.getHeight == 5, s"doc $d frame $k")
+        (0 until 30).foreach { i =>
+          val x = i % 6; val y = i / 6
+          val v =
+            if (d % 3 == 1) (10 + (29 * d) % 160).toInt + 5 * ((x + y + 3 * k) % 16)
+            else (20 + (31 * d + 7 * k) % 200).toInt + x + 2 * y
+          assert((img.getRGB(x, y) & 0xff) == v, s"doc $d frame $k px $i")
+        }
+      }
+    }
+  }
+
   test("registry seam: avi is a registered lossy decoder; J7 gate applies") {
     val d = graft.sources.DecoderRegistry.get("avi")
     assert(!d.lossless)

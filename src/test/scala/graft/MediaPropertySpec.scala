@@ -64,7 +64,8 @@ class MediaPropertySpec extends AnyFunSuite {
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.gifBytes),
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.apngBytes),
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.aviMjpegBytes),
-      Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.aviRleBytes))
+      Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.aviRleBytes),
+      Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.aviDibBytes))
     val mutation: Gen[(Array[Byte]) => Array[Byte]] = Gen.oneOf(
       Gen.choose(0, 1000).map(c => (b: Array[Byte]) => b.dropRight(c)),
       Gen.choose(0, 60).map(c => (b: Array[Byte]) => b.drop(c)),
