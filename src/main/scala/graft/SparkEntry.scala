@@ -770,6 +770,45 @@ object SparkEntry {
         .select(col("doc_id"), col("f._1").as("frame_idx"), col("f._2").as("w"),
           col("f._3").as("h"), col("f._4").as("checksum"), col("f._5").as("peak"))
         .orderBy("doc_id", "frame_idx")
+    }),
+    "q48_image_webp" -> ((s, d) => {
+      // X1 — REAL decode for WebP lossless (VP8L), the deepest
+      // entropy-coded image bitstream in the module (canonical prefix
+      // codes via code-length codes, LZ77 + the 120-entry neighbor map,
+      // color cache, and four spatial transforms): synthesize a
+      // deterministic 21×13 VP8L payload per doc
+      // ([[graft.fixtures.FixtureGen.webpBytes]] — doc_id%6 cycles plain /
+      // subtract-green+cache / prediction / cross-color / palette / the
+      // full transform stack), decode through the magic-sniffed
+      // [[graft.functions.ImageOps.decode]] dispatch (the SAME path
+      // phash/PSNR/resize/J7 ride), and emit a position-weighted exact
+      // checksum. VP8L is lossless through every transform, so the
+      // decoded gray must EQUAL the fixture formula; any prefix-code,
+      // LZ77-distance, or inverse-transform slip reddens the hash. The
+      // oracle regenerates the formula in SQL.
+      val featUdf = udf((docId: Long) => {
+        val img = graft.functions.ImageOps.decode(
+          graft.fixtures.FixtureGen.webpBytes(docId))
+        if (img == null) (-1L, -1L, -1L, -1L)
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          var checksum = 0L; var peak = 0L; var gray = true
+          var i = 0
+          while (i < px.length) {
+            val r = (px(i) >> 16) & 0xff
+            if (((px(i) >> 8) & 0xff) != r || (px(i) & 0xff) != r) gray = false
+            checksum += r.toLong * (1 + (i % w) + w.toLong * (i / w))
+            if (r > peak) peak = r
+            i += 1
+          }
+          if (gray) (w.toLong, h.toLong, checksum, peak) else (-1L, -1L, -1L, -1L)
+        }
+      })
+      docs(s, d).select(col("doc_id"), featUdf(col("doc_id")).as("f"))
+        .select(col("doc_id"), col("f._1").as("w"), col("f._2").as("h"),
+          col("f._3").as("checksum"), col("f._4").as("peak"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1340,6 +1379,20 @@ object SparkEntry {
          SELECT doc_id, k AS frame_idx, 6::BIGINT AS w, 5::BIGINT AS h,
                 CAST(sum(v*(1 + x + 6*y)) AS BIGINT) AS checksum,
                 CAST(max(v) AS BIGINT) AS peak
-         FROM g GROUP BY doc_id, k ORDER BY doc_id, frame_idx"""
+         FROM g GROUP BY doc_id, k ORDER BY doc_id, frame_idx""",
+    // q48: VP8L is lossless through every transform combination the
+    // fixture cycles, so the decoded gray IS the fixture formula — the
+    // same closed-form regeneration as q45, on the 21×13 geometry (A
+    // capped at 189 so no pixel ever wraps; sums CAST to BIGINT)
+    "q48_image_webp" ->
+      """WITH p AS (SELECT doc_id, 20 + (29*doc_id) % 170 AS a FROM documents),
+         g AS (
+           SELECT p.doc_id, x.u AS x, y.u AS y,
+                  (p.a + 5*(y.u//4) + x.u*(y.u%3)) % 256 AS v
+           FROM p, unnest(range(21)) AS x(u), unnest(range(13)) AS y(u))
+         SELECT doc_id, 21::BIGINT AS w, 13::BIGINT AS h,
+                CAST(sum(v*(1 + x + 21*y)) AS BIGINT) AS checksum,
+                CAST(max(v) AS BIGINT) AS peak
+         FROM g GROUP BY doc_id ORDER BY doc_id"""
   )
 }

@@ -433,6 +433,41 @@ object FixtureGen {
     graft.functions.Qoi.encode(px, 16, 16, channels = if (docId % 2 == 0) 3 else 4)
   }
 
+  /** q48 fixture: a deterministic 21×13 lossless WebP (VP8L) per doc id.
+    * The gray closed form `v(x,y) = (A + 5·(y/4) + x·(y%3)) % 256` with
+    * `A = 20 + (29d)%170` never wraps (max 244), so the SQL oracle
+    * regenerates it exactly; the odd width/height exercise the transform
+    * sub-image rounding and sub-byte palette bundling tails. `d % 6`
+    * cycles the encoder through every transform family and entropy
+    * feature the decoder owns — plain LZ77, subtract-green + color
+    * cache, per-block prediction (mode rotating through all 14),
+    * cross-color, the palette path (≤256 distinct grays by
+    * construction), and the full transform stack — so each is on the
+    * wire at every scale, not just in unit specs. VP8L is lossless
+    * through all of them: decode must EQUAL the formula. */
+  def webpBytes(docId: Long): Array[Byte] = {
+    import graft.functions.Webp
+    val a = (20 + (29 * docId) % 170).toInt
+    val px = Array.tabulate(21 * 13) { i =>
+      val x = i % 21; val y = i / 21
+      val v = (a + 5 * (y / 4) + x * (y % 3)) % 256
+      0xff000000 | (v << 16) | (v << 8) | v
+    }
+    val opts = (docId % 6) match {
+      case 0 => Webp.WebpOptions()
+      case 1 => Webp.WebpOptions(subtractGreen = true, cacheBits = 4)
+      case 2 => Webp.WebpOptions(predictorMode = ((docId / 6) % 14).toInt,
+        predictorBits = 3)
+      case 3 => Webp.WebpOptions(colorTransform = true, colorBits = 3,
+        greenToRed = 13, greenToBlue = -9, redToBlue = 21)
+      case 4 => Webp.WebpOptions(palette = true, lz77 = false)
+      case _ => Webp.WebpOptions(subtractGreen = true,
+        predictorMode = ((docId / 6) % 14).toInt, colorTransform = true,
+        greenToRed = -5, greenToBlue = 7, redToBlue = -11, cacheBits = 6)
+    }
+    Webp.encode(px, 21, 13, opts)
+  }
+
   /** q46 fixture: the big-endian audio containers. Even docs: an AIFF
     * (16-bit BE PCM, square wave ±A with `A = 900 + (d%90)·37`,
     * `n = 60 + d%40` frames) whose sample rate `8000 + 1000·(d%5)` rides

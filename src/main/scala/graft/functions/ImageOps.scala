@@ -86,9 +86,10 @@ object ImageOps {
   /** null for unparseable bytes — validation consumers below map null to
     * "invalid", never NPE: a corrupt payload must CLASSIFY as invalid
     * (J7's whole purpose), not crash the epoch into a resume loop that
-    * re-decodes the same bad bytes forever. QOI payloads are magic-sniffed
-    * to [[Qoi]] first (the JDK has no reader for the format), so phash /
-    * PSNR / resize / the J7 gate all work on them like any PNG. ImageIO
+    * re-decodes the same bad bytes forever. QOI and WebP payloads are
+    * magic-sniffed to [[Qoi]]/[[Webp]] first (the JDK has no reader for
+    * either format), so phash / PSNR / resize / the J7 gate all work on
+    * them like any PNG. ImageIO
     * .read returns null only when NO reader claims the stream; a
     * recognized-but-truncated payload (valid JPEG SOI, cut body) THROWS
     * IIOException — and some readers throw RuntimeExceptions on malformed
@@ -96,6 +97,7 @@ object ImageOps {
   def decode(bytes: Array[Byte]): BufferedImage =
     if (bytes == null) null
     else if (Qoi.isQoi(bytes)) Qoi.decode(bytes)
+    else if (Webp.isWebp(bytes)) Webp.decode(bytes)
     else try ImageIO.read(new ByteArrayInputStream(bytes))
     catch {
       case _: java.io.IOException => null

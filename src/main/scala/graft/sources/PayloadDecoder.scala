@@ -94,6 +94,25 @@ final class QoiDecoder extends PayloadDecoder {
   }
 }
 
+/** WebP lossless (VP8L): REAL decode — the JDK has no WebP reader, so
+  * [[graft.functions.Webp]] owns the bitstream (canonical prefix codes,
+  * LZ77 + color cache, meta-prefix groups, the four spatial transforms).
+  * Lossless by construction → exact-pixel J7 gate; the encode side is the
+  * deterministic fixture encoder (subtract-green + color cache — every
+  * image round-trips exactly). LOSSY WebP (VP8) needs the full DCT stack
+  * and classifies as undecodable with the modern-codec stubs.
+  * Driver-gated by q48. */
+final class WebpDecoder extends PayloadDecoder {
+  override val fmt = "webp"
+  override val lossless = true
+  override def decode(bytes: Array[Byte]): BufferedImage = ImageOps.decode(bytes)
+  override def encode(img: BufferedImage): Array[Byte] = {
+    val w = img.getWidth; val h = img.getHeight
+    graft.functions.Webp.encode(img.getRGB(0, 0, w, h, null, 0, w), w, h,
+      graft.functions.Webp.WebpOptions(subtractGreen = true, cacheBits = 6))
+  }
+}
+
 /** MODERN inter-frame video codecs (h264/vp9/…) and perceptual audio
   * (mp3/aac): those genuinely need codec libraries this container doesn't
   * ship, so decode is STUBBED (clearly marked); the registry/dispatch
@@ -122,6 +141,7 @@ object DecoderRegistry {
     "avi" -> new AviMjpegDecoder,
     "gif" -> new GifDecoder,
     "qoi" -> new QoiDecoder,
+    "webp" -> new WebpDecoder,
     "video" -> new VideoFrameDecoderStub)
 
   /** "jpg"/"jpeg" are one format under two spellings — a registration for

@@ -205,6 +205,23 @@ object Smoke {
       val badDib = q47.where($"w" =!= 6 || $"h" =!= 5 || $"checksum" < 0)
       assert(badDib.isEmpty, "q47 dib decode diverges from closed form")
       println(s"SMOKE dib: q47_rows=${q47.count()} decodes losslessly")
+      // WebP lossless / VP8L (q48): the prefix-code + LZ77 + transform
+      // bitstream through the distributed dispatch — exact checksum per
+      // the fixture formula, and the batch thumbnail operator over webp
+      // payloads (registry + magic sniff on the executor path)
+      val webps = spark.range(24).select(
+        concat(lit("w"), $"id").as("image_id"),
+        udf((d: Long) => graft.fixtures.FixtureGen.webpBytes(d)).apply($"id").as("bytes"),
+        lit("webp").as("fmt"))
+      val webpThumbs = graft.operators.ImageBatch.thumbnails(webps, 4, 4)
+        .where($"w" === 21 && $"h" === 13 && $"thumb".isNotNull).count()
+      assert(webpThumbs == 24, s"webp thumbs=$webpThumbs")
+      val q48 = graft.SparkEntry.queries("q48_image_webp")(spark, "/root/testdata/sf0.001")
+      // peak: y∈{8,11} maximizes 5·(y/4)+x·(y%3) at 10+40=50; never wraps
+      val badWebp = q48.where($"w" =!= 21 || $"h" =!= 13 || $"peak" =!=
+        lit(20) + ($"doc_id" * 29) % 170 + 50)
+      assert(badWebp.isEmpty, "q48 webp decode diverges from closed form")
+      println(s"SMOKE webp: thumbs=$webpThumbs q48_rows=${q48.count()} match closed form")
       // animated GIF (q41): LZW decode + compositing through the same
       // distributed dispatch; lossless → gray equals the formula exactly
       val gifs = spark.range(24).select(

@@ -193,7 +193,8 @@ class SourcesStreamingSpec extends SparkSpec {
     assert(jpg.valid(45.0) && !jpg.valid(39.0))
     assert(DecoderRegistry.supported.contains("video"))
     assert(DecoderRegistry.supported.contains("gif")) // real since q41
-    intercept[IllegalArgumentException](DecoderRegistry.get("webp"))
+    assert(DecoderRegistry.supported.contains("webp")) // real since q48
+    intercept[IllegalArgumentException](DecoderRegistry.get("tiff"))
   }
 
   test("streaming: watermarked hourly window agg matches batch (q08 shape)") {
