@@ -114,53 +114,58 @@ object Webp {
   private val MaxCodeLength = 15
 
   /** A canonical prefix code over `lengths` (0 = absent). Exactly one of:
-    * a 0-bit single-symbol code (simple-code form only), or a COMPLETE
-    * canonical code — anything under- or over-subscribed is malformed,
-    * per the spec. Decoding walks length by length with the canonical
-    * first-code recurrence (no tree allocation). */
+    * a 0-bit single-symbol code (the simple-code form, or a normal
+    * transmission whose lengths use exactly one symbol — libwebp's
+    * BuildHuffmanTable "code with only one value" special case, which
+    * real encoders emit via ClearHuffmanTreeIfOnlyOneSymbol), or a
+    * COMPLETE canonical code — anything else under- or over-subscribed
+    * is malformed, per the spec. Decoding walks length by length with
+    * the canonical first-code recurrence (no tree allocation). */
   private sealed class Prefix(lengths: Array[Int], zeroBitSymbol: Int) {
     // count(l) and the symbols sorted by (length, symbol)
     private val count = new Array[Int](MaxCodeLength + 1)
+    private var single = zeroBitSymbol // 0-bit symbol, -1 if a real code
     private val sorted: Array[Int] = if (zeroBitSymbol >= 0) null else {
       var n = 0
       var s = 0
+      var last = -1
       while (s < lengths.length) {
         val l = lengths(s)
         if (l < 0 || l > MaxCodeLength) fail()
-        if (l > 0) { count(l) += 1; n += 1 }
+        if (l > 0) { count(l) += 1; n += 1; last = s }
         s += 1
       }
       if (n == 0) fail()
-      // Kraft must close exactly: `left` is the number of unassigned code
-      // slots at each depth; negative = over-subscribed, nonzero at the
-      // end = incomplete. A complete 1-symbol code is impossible here —
-      // only the simple-code form can express one (0-bit symbol), so a
-      // normal transmission of a single nonzero length fails as
-      // incomplete, which also rejects it for hostile streams.
-      var left = 2
-      var l = 1
-      while (l <= MaxCodeLength) {
-        left -= count(l)
-        if (left < 0) fail()
-        left <<= 1
-        l += 1
+      if (n == 1) { single = last; null }
+      else {
+        // Kraft must close exactly: `left` is the number of unassigned
+        // code slots at each depth; negative = over-subscribed, nonzero
+        // at the end = incomplete — rejected for hostile streams.
+        var left = 2
+        var l = 1
+        while (l <= MaxCodeLength) {
+          left -= count(l)
+          if (left < 0) fail()
+          left <<= 1
+          l += 1
+        }
+        if (left != 0) fail()
+        val out = new Array[Int](n)
+        val offsets = new Array[Int](MaxCodeLength + 1)
+        var acc = 0
+        l = 1
+        while (l <= MaxCodeLength) { offsets(l) = acc; acc += count(l); l += 1 }
+        s = 0
+        while (s < lengths.length) {
+          if (lengths(s) > 0) { out(offsets(lengths(s))) = s; offsets(lengths(s)) += 1 }
+          s += 1
+        }
+        out
       }
-      if (left != 0) fail()
-      val out = new Array[Int](n)
-      val offsets = new Array[Int](MaxCodeLength + 1)
-      var acc = 0
-      l = 1
-      while (l <= MaxCodeLength) { offsets(l) = acc; acc += count(l); l += 1 }
-      s = 0
-      while (s < lengths.length) {
-        if (lengths(s) > 0) { out(offsets(lengths(s))) = s; offsets(lengths(s)) += 1 }
-        s += 1
-      }
-      out
     }
 
     def read(br: BitReader): Int = {
-      if (zeroBitSymbol >= 0) return zeroBitSymbol
+      if (single >= 0) return single
       var len = 0
       var code = 0
       var first = 0
@@ -237,6 +242,17 @@ object Webp {
     }
   }
 
+  /** Test hook: read one prefix code from raw LSB-first bits, then decode
+    * `reads` symbols — exercises the normal-form grammar (including the
+    * single-symbol 0-bit special case) without hand-building a whole VP8L
+    * container. Returns null where a decoder would classify malformed. */
+  private[graft] def readPrefixCodeForTest(bytes: Array[Byte], alphabet: Int, reads: Int): Seq[Int] =
+    try {
+      val br = new BitReader(bytes, 0, bytes.length)
+      val p = readPrefixCode(br, alphabet)
+      (0 until reads).map(_ => p.read(br))
+    } catch { case _: Malformed => null }
+
   // ---------------------------------------------------------------------
   // LZ77 plumbing shared by decode and encode
   // ---------------------------------------------------------------------
@@ -252,21 +268,22 @@ object Webp {
   }
 
   /** The 120-entry short-distance neighbor map: all (dx, dy) with
-    * dy in 0..7, dx in -8..8 strictly "before" the current pixel, sorted
+    * dy in 0..7, dx in -7..8 strictly "before" the current pixel, sorted
     * by squared Euclidean distance, ties by larger dy then larger dx —
     * the closed form behind the table RFC 9649 lists literally (the spec
-    * file asserts this derivation against the RFC's own first rows).
+    * file asserts this derivation against the RFC's full 120-row table).
+    * dx cannot reach -8: libwebp packs dx as the nibble 8-dx, so the
+    * candidate grid is exactly 120 pairs with nothing to truncate.
     * Packed as (dy << 8) | (dx + 8). */
   private[graft] val DistMap: Array[Int] = {
     val cand = for {
       y <- 0 to 7
-      x <- -8 to 8
+      x <- -7 to 8
       if y > 0 || x > 0
     } yield (x, y)
-    cand.sortBy { case (x, y) => (x * x + y * y, -y, -x) }
-      .take(120)
-      .map { case (x, y) => (y << 8) | (x + 8) }
-      .toArray
+    val sorted = cand.sortBy { case (x, y) => (x * x + y * y, -y, -x) }
+    require(sorted.length == 120)
+    sorted.map { case (x, y) => (y << 8) | (x + 8) }.toArray
   }
 
   /** distance_code → pixel distance given the coded row width. */
@@ -904,6 +921,11 @@ object Webp {
     if (spatial) bw.bit(0) // single prefix-code group, no meta image
     val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
     val tokens = buildTokens(px, width, cacheBits, lz77)
+    // encodeDistance is a linear table search; memoize per distinct pixel
+    // distance so the histogram and emit passes share one lookup each.
+    val distMemo = scala.collection.mutable.HashMap.empty[Int, (Int, Int, Int)]
+    def distTriple(d: Int): (Int, Int, Int) =
+      distMemo.getOrElseUpdate(d, prefixEncode(encodeDistance(d, width)))
     val green = new Array[Int](256 + 24 + cacheSize)
     val red = new Array[Int](256)
     val blue = new Array[Int](256)
@@ -918,7 +940,7 @@ object Webp {
       case (1, idx, _) => green(280 + idx) += 1
       case (_, len, d) =>
         green(256 + prefixEncode(len)._1) += 1
-        dist(prefixEncode(encodeDistance(d, width))._1) += 1
+        dist(distTriple(d)._1) += 1
     }
     val codes = Array(green, red, blue, alpha, dist)
       .map(c => new BuiltCode(c, MaxCodeLength))
@@ -934,7 +956,7 @@ object Webp {
         val (lc, leb, lev) = prefixEncode(len)
         codes(0).emit(bw, 256 + lc)
         if (leb > 0) bw.bits(lev, leb)
-        val (dc, deb, dev) = prefixEncode(encodeDistance(d, width))
+        val (dc, deb, dev) = distTriple(d)
         codes(4).emit(bw, dc)
         if (deb > 0) bw.bits(dev, deb)
     }

@@ -23,21 +23,71 @@ class WebpSpec extends SparkSpec {
     assert(argb(img) == px.toSeq, s"$label: pixels differ")
   }
 
-  test("short-distance map: the closed-form derivation reproduces RFC 9649's literal table head") {
-    // the RFC lists the 120 (dx, dy) pairs literally; its first rows:
+  test("short-distance map: the closed-form derivation reproduces RFC 9649's FULL literal table") {
+    // the RFC lists all 120 (dx, dy) pairs literally — pinned in full so a
+    // derivation drift anywhere (head OR tail) fails the suite. dx spans
+    // -7..8 (libwebp packs dx as the nibble 8-dx, so -8 is unrepresentable).
     val rfc = Seq(
       (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
       (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
-      (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0))
-    val derived = Webp.DistMap.take(rfc.length).toSeq
-      .map(p => ((p & 0xff) - 8, p >> 8))
-    assert(derived == rfc, s"derived head $derived")
-    assert(Webp.DistMap.length == 120)
-    // bounds the RFC states: dy 0..7, dx -8..8, strictly before current
-    Webp.DistMap.foreach { p =>
-      val dx = (p & 0xff) - 8; val dy = p >> 8
-      assert(dy >= 0 && dy <= 7 && dx >= -8 && dx <= 8 && (dy > 0 || dx > 0))
+      (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+      (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+      (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+      (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+      (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+      (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+      (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+      (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+      (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+      (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+      (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+      (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+      (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7))
+    assert(rfc.length == 120)
+    val derived = Webp.DistMap.toSeq.map(p => ((p & 0xff) - 8, p >> 8))
+    assert(derived.length == 120)
+    derived.zip(rfc).zipWithIndex.foreach { case ((d, r), i) =>
+      assert(d == r, s"distance code ${i + 1}: derived $d, RFC $r")
     }
+    // the tail anchors the r05 review flagged: codes 97/102/103/119/120
+    assert(derived(96) == ((8, 0)) && derived(101) == ((8, 1)) &&
+      derived(102) == ((8, 2)) && derived(118) == ((8, 6)) &&
+      derived(119) == ((8, 7)))
+  }
+
+  /** LSB-first bit packing, the VP8L convention — (value, nbits) fields. */
+  private def packBits(fields: Seq[(Int, Int)]): Array[Byte] = {
+    val bits = fields.flatMap { case (v, n) => (0 until n).map(i => (v >> i) & 1) }
+    bits.grouped(8)
+      .map(g => g.zipWithIndex.map { case (b, i) => b << i }.sum.toByte)
+      .toArray
+  }
+
+  test("normal-form prefix code with exactly ONE used symbol is a valid 0-bit code") {
+    // libwebp's encoder emits these (ClearHuffmanTreeIfOnlyOneSymbol) and
+    // its decoder special-cases them (BuildHuffmanTable "code with only one
+    // value"); rejecting them misclassifies real-world lossless WebPs.
+    // Transmission: normal form, cl code over {0, 1}, max_symbol = 6,
+    // lengths (0, 0, 0, 0, 0, 1) — symbol 5 is the lone user.
+    val tx = packBits(Seq(
+      (0, 1), // normal (code-length-coded) form
+      (0, 4), // numCl = 4 → cl lengths follow order (17, 18, 0, 1)
+      (0, 3), (0, 3), (1, 3), (1, 3),
+      (1, 1), (1, 3), (4, 4), // use max_symbol; nbits = 4; m = 2 + 4 = 6
+      (0, 1), (0, 1), (0, 1), (0, 1), (0, 1), (1, 1)))
+    assert(Webp.readPrefixCodeForTest(tx, 280, 3) == Seq(5, 5, 5))
+  }
+
+  test("an incomplete multi-symbol normal-form code still classifies as malformed") {
+    // two symbols at length 2 under-subscribe the Kraft sum — the hostile
+    // stream rejection the single-symbol special case must NOT relax.
+    val tx = packBits(Seq(
+      (0, 1),
+      (1, 4), // numCl = 5 → order (17, 18, 0, 1, 2)
+      (0, 3), (0, 3), (1, 3), (0, 3), (1, 3),
+      (1, 1), (1, 3), (4, 4), // max_symbol = 6
+      (0, 1), (0, 1), (0, 1), (1, 1), (0, 1), (1, 1))) // lens(3) = lens(5) = 2
+    assert(Webp.readPrefixCodeForTest(tx, 280, 1) == null)
   }
 
   test("round-trip is exact on seeded arbitrary ARGB images across every transform family") {
