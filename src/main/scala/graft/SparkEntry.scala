@@ -809,6 +809,46 @@ object SparkEntry {
         .select(col("doc_id"), col("f._1").as("w"), col("f._2").as("h"),
           col("f._3").as("checksum"), col("f._4").as("peak"))
         .orderBy("doc_id")
+    }),
+    "q49_video_animwebp" -> ((s, d) => {
+      // X1 — REAL compressed-video decode #5, INTER-FRAME like q43 but on
+      // the WebP extended container ([[graft.functions.AnimWebp]]:
+      // VP8X/ANIM/ANMF walk, per-frame VP8L bitstreams decoded by the q48
+      // codec, blend/dispose compositing). Frames after the first paint
+      // ONLY an 8×6 patch at (6,4) — the sampled background is correct
+      // ONLY if the decoder composited the prior frames (a standalone
+      // decode shows transparent there and emits -1). VP8L is lossless,
+      // so the check is exact; the oracle emits the two-region closed
+      // form per frame. Runs through the magic-sniffed
+      // [[graft.functions.VideoContainers]] dispatch like every other
+      // video payload.
+      val framesUdf = udf((docId: Long) => {
+        val bytes = graft.fixtures.FixtureGen.animWebpBytes(docId)
+        graft.functions.VideoContainers
+          .sampleFramesIndexed(bytes, Int.MaxValue).map { case (k, img) =>
+            val w = img.getWidth; val h = img.getHeight
+            val px = img.getRGB(0, 0, w, h, null, 0, w)
+            var bg = -1L; var patch = -1L; var ok = true
+            var i = 0
+            while (ok && i < px.length) {
+              val x = i % w; val y = i / w
+              val p = px(i)
+              val r = (p >> 16) & 0xff
+              if ((p >>> 24) != 0xff || ((p >> 8) & 0xff) != r || (p & 0xff) != r)
+                ok = false
+              else if (x >= 6 && x < 14 && y >= 4 && y < 10) {
+                if (patch < 0) patch = r else if (patch != r) ok = false
+              } else if (bg < 0) bg = r else if (bg != r) ok = false
+              i += 1
+            }
+            if (ok) (k.toLong, w.toLong, h.toLong, bg, patch)
+            else (k.toLong, w.toLong, h.toLong, -1L, -1L)
+          }
+      })
+      docs(s, d).select(col("doc_id"), explode(framesUdf(col("doc_id"))).as("f"))
+        .select(col("doc_id"), col("f._1").as("frame_idx"), col("f._2").as("w"),
+          col("f._3").as("h"), col("f._4").as("bg_gray"), col("f._5").as("patch_gray"))
+        .orderBy("doc_id", "frame_idx")
     })
   )
 
@@ -1393,6 +1433,17 @@ object SparkEntry {
          SELECT doc_id, 21::BIGINT AS w, 13::BIGINT AS h,
                 CAST(sum(v*(1 + x + 21*y)) AS BIGINT) AS checksum,
                 CAST(max(v) AS BIGINT) AS peak
-         FROM g GROUP BY doc_id ORDER BY doc_id"""
+         FROM g GROUP BY doc_id ORDER BY doc_id""",
+    // q49: VP8L is lossless and the animation is INTER-FRAME — frame k's
+    // background equals frame 0's full-canvas gray only if the decoder
+    // composited the patch deltas, so the oracle emits the two-region
+    // closed form per frame (the q43 shape on the WebP container)
+    "q49_video_animwebp" ->
+      """SELECT d.doc_id, t.u AS frame_idx, 20::BIGINT AS w, 12::BIGINT AS h,
+                16 + (47*d.doc_id) % 224 AS bg_gray,
+                CASE WHEN t.u = 0 THEN 16 + (47*d.doc_id) % 224
+                     ELSE 16 + (47*d.doc_id + 23*t.u) % 224 END AS patch_gray
+         FROM documents d, unnest(range(d.doc_id % 3 + 1)) AS t(u)
+         ORDER BY doc_id, frame_idx"""
   )
 }

@@ -643,6 +643,37 @@ object FixtureGen {
     graft.functions.Apng.encodeApng(frames, defaultImageExcluded = docId % 2 == 1)
   }
 
+  /** q49 fixture: a deterministic ANIMATED WebP per doc id — and, like
+    * the RLE8 fixture, an INTER-FRAME one: frame 0 is a full-canvas
+    * 20×12 uniform gray `g0 = 16 + (47d) % 224`; frames k ≥ 1 paint ONLY
+    * an 8×6 patch at (6,4) with gray `16 + (47d + 23k) % 224`
+    * (do-not-blend, dispose none), so the sampled background at frame k
+    * is correct only if the decoder composited every prior frame onto
+    * the canvas — a standalone-frame decode shows transparent there and
+    * emits -1. The per-frame VP8L options alternate plain /
+    * subtract-green+cache by (d+k) parity so both entropy shapes ride
+    * the animation path every round. VP8L is lossless → exact equality
+    * with the two-region closed form. */
+  def animWebpBytes(docId: Long): Array[Byte] = {
+    val nFrames = (docId % 3).toInt + 1
+    def uniform(w: Int, h: Int, g: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (g << 16) | (g << 8) | g
+      (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+      img
+    }
+    val g0 = (16 + (47 * docId) % 224).toInt
+    val frames: Seq[graft.functions.AnimWebp.Placed] =
+      (uniform(20, 12, g0), 0, 0, 0, 1) +: (1 until nFrames).map { k =>
+        val gk = (16 + (47 * docId + 23 * k) % 224).toInt
+        (uniform(8, 6, gk), 6, 4, 0, 1): graft.functions.AnimWebp.Placed
+      }
+    graft.functions.AnimWebp.encodeAnimWebp(frames,
+      optsFor = k => if ((docId + k) % 2 == 0) graft.functions.Webp.WebpOptions()
+      else graft.functions.Webp.WebpOptions(subtractGreen = true, cacheBits = 4))
+  }
+
   final case class PageRow(
       url: String, host: String, status: Int, contentType: String,
       content: String, links: Seq[String], navLinks: Seq[String],

@@ -97,6 +97,9 @@ object ImageOps {
   def decode(bytes: Array[Byte]): BufferedImage =
     if (bytes == null) null
     else if (Qoi.isQoi(bytes)) Qoi.decode(bytes)
+    // animated WebP stills-path parity with GIF/APNG: the first composited
+    // frame (the still walk can't find a top-level VP8L — it rides ANMF)
+    else if (AnimWebp.isAnimWebp(bytes)) AnimWebp.decodeFirstFrame(bytes)
     else if (Webp.isWebp(bytes)) Webp.decode(bytes)
     else try ImageIO.read(new ByteArrayInputStream(bytes))
     catch {

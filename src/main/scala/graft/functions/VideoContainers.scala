@@ -6,7 +6,8 @@ import java.awt.image.BufferedImage
   * payload's magic bytes to the real decoder that owns it — [[Y4m]]
   * (uncompressed YUV4MPEG2), [[Avi]] (Motion-JPEG or inter-frame RLE8 in
   * RIFF/AVI, codec picked by strf content), or
-  * [[Gif]] (LZW-compressed animation with patch/disposal compositing). At
+  * [[Gif]]/[[Apng]]/[[AnimWebp]] (compressed animations with
+  * patch/disposal compositing). At
   * 100 TB the `bytes` column carries whatever the crawl fetched; format
   * comes from content, not a trusted column. Unknown/truncated magic →
   * empty (classify, never throw), same contract as both decoders.
@@ -29,8 +30,10 @@ object VideoContainers {
     else if (hasPrefix(bytes, Y4mMagic)) Y4m.sampleFramesIndexed(bytes, n)
     else if (Avi.isAvi(bytes)) Avi.sampleFramesIndexed(bytes, n)
     else if (Gif.isGif(bytes)) Gif.sampleFramesIndexed(bytes, n)
-    // APNG only when the animation chunk is present — a plain PNG is a
-    // still image (the png decoder's job), not a zero-frame video
+    // APNG/animated WebP only when the animation chunks are present — a
+    // plain PNG/WebP is a still image (the image decoders' job), not a
+    // zero-frame video
     else if (Apng.isApng(bytes)) Apng.sampleFramesIndexed(bytes, n)
+    else if (AnimWebp.isAnimWebp(bytes)) AnimWebp.sampleFramesIndexed(bytes, n)
     else Seq.empty
 }

@@ -69,8 +69,9 @@ object Webp {
       ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
 
   /** Walk the RIFF chunks and return the [start, end) of the VP8L payload,
-    * or null when the container carries no lossless bitstream. */
-  private def vp8lRange(b: Array[Byte]): (Int, Int) = {
+    * or null when the container carries no lossless bitstream. Package
+    * access: [[AnimWebp]] extracts per-frame VP8L chunks through this. */
+  private[functions] def vp8lRange(b: Array[Byte]): (Int, Int) = {
     var p = 12
     while (p + 8 <= b.length) {
       val size = u32le(b, p + 4)

@@ -243,6 +243,16 @@ object Smoke {
         $"gray" =!= lit(14) + ($"doc_id" * 41 + $"frame_idx" * 17) % 230)
       assert(badApng.isEmpty, "q42 apng decode diverges from closed form")
       println(s"SMOKE apng: q42_rows=${q42.count()} matches closed form")
+      // animated WebP (q49): VP8X/ANIM/ANMF walk + per-frame VP8L decode
+      // through the same dispatch — INTER-FRAME patches, so bg_gray is
+      // only right if compositing retained the frame-0 canvas
+      val q49 = graft.SparkEntry.queries("q49_video_animwebp")(spark, "/root/testdata/sf0.001")
+      val badAnimWebp = q49.where(
+        $"bg_gray" =!= lit(16) + ($"doc_id" * 47) % 224 ||
+        $"patch_gray" =!= when($"frame_idx" === 0, lit(16) + ($"doc_id" * 47) % 224)
+          .otherwise(lit(16) + ($"doc_id" * 47 + $"frame_idx" * 23) % 224))
+      assert(badAnimWebp.isEmpty, "q49 animated-webp decode diverges from closed form")
+      println(s"SMOKE animwebp: q49_rows=${q49.count()} matches closed form")
       // RLE8/AVI (q43): the INTER-FRAME delta codec through the same
       // distributed dispatch — bg_gray is only right if compositing
       // retained the keyframe canvas under the delta frames' skips

@@ -51,7 +51,7 @@ class MediaPropertySpec extends AnyFunSuite {
     })
   }
 
-  test("y4m/wav/g711/adpcm/flac/gif/apng/avi/rle8: random mutation never throws — corrupt payloads classify") {
+  test("y4m/wav/g711/adpcm/flac/gif/apng/avi/rle8/webp/animwebp: random mutation never throws — corrupt payloads classify") {
     val base: Gen[Array[Byte]] = Gen.oneOf(
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.y4mBytes),
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.wavBytes),
@@ -65,7 +65,9 @@ class MediaPropertySpec extends AnyFunSuite {
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.apngBytes),
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.aviMjpegBytes),
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.aviRleBytes),
-      Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.aviDibBytes))
+      Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.aviDibBytes),
+      Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.webpBytes),
+      Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.animWebpBytes))
     val mutation: Gen[(Array[Byte]) => Array[Byte]] = Gen.oneOf(
       Gen.choose(0, 1000).map(c => (b: Array[Byte]) => b.dropRight(c)),
       Gen.choose(0, 60).map(c => (b: Array[Byte]) => b.drop(c)),
@@ -87,6 +89,7 @@ class MediaPropertySpec extends AnyFunSuite {
         Avi.decodeFirstFrame(mutated)
         graft.functions.Gif.sampleFramesIndexed(mutated, 4)
         graft.functions.Apng.sampleFramesIndexed(mutated, 4)
+        graft.functions.AnimWebp.sampleFramesIndexed(mutated, 4)
         graft.functions.VideoContainers.sampleFramesIndexed(mutated, 4)
         true
     }, tests = 400)
