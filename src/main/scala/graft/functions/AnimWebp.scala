@@ -18,12 +18,12 @@ import java.awt.image.BufferedImage
   *    the `VP8L` bitstream is extracted and decoded by [[Webp]] via a
   *    synthesized standalone container (the [[Apng]] frame-PNG trick)
   *  - compositing: blend 0 alpha-blends the frame onto the canvas
-  *    (SrcOver), blend 1 overwrites the rect (Src); dispose 1 fills the
-  *    frame rect with the ANIM background color, per the container
-  *    spec's disposal-method text (libwebp's demuxer disposes to
-  *    transparent black — identical whenever the stream's background
-  *    color IS transparent, which is what common muxers emit and what
-  *    [[encodeAnimWebp]] writes by default)
+  *    (SrcOver), blend 1 overwrites the rect (Src); dispose 1 clears the
+  *    frame rect to transparent black — the de-facto behavior of every
+  *    libwebp-based renderer (Chrome/Firefox/the demuxer), which crawl
+  *    data is authored against; the spec text names the ANIM background
+  *    color instead, and the two agree exactly for the transparent
+  *    background common muxers (and [[encodeAnimWebp]]) write
   *  - the canvas starts fully transparent (the libwebp rendering choice;
   *    any stream whose first frame covers the canvas — the overwhelming
   *    real-world shape — renders identically either way)
@@ -47,18 +47,29 @@ object AnimWebp {
     (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
       ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
 
+  /** The walkable extent: the declared RIFF size when fully present
+    * (trailing junk after it is tolerated, like every sibling decoder's
+    * trailer handling), or -1 when the payload is truncated below it —
+    * a truncation that cleanly severs a trailing ANMF must classify,
+    * not silently drop frames. */
+  private def riffEnd(bytes: Array[Byte]): Int = {
+    val declared = 8L + u32le(bytes, 4)
+    if (declared > bytes.length) -1 else declared.toInt
+  }
+
   /** RIFF/WEBP whose first chunk is a VP8X carrying the animation flag
     * (bit 1 of the feature byte) AND an ANIM chunk exists — cheap header
     * walk, no payload decode. */
   def isAnimWebp(bytes: Array[Byte]): Boolean =
     Webp.isWebp(bytes) && {
+      val end = riffEnd(bytes)
       var p = 12
       var anim = false
       var vp8xAnim = false
-      var stop = false
-      while (!stop && p + 8 <= bytes.length) {
+      var stop = end < 0
+      while (!stop && p + 8 <= end) {
         val size = u32le(bytes, p + 4)
-        if (size < 0 || size > bytes.length - p - 8) stop = true
+        if (size < 0 || size > end - p - 8) stop = true
         else {
           val typ = new String(bytes, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
           if (typ == "VP8X" && size >= 10) vp8xAnim = (bytes(p + 8) & 0x02) != 0
@@ -79,10 +90,8 @@ object AnimWebp {
   /** Full container parse; any structural violation → None. */
   private def parse(bytes: Array[Byte]): Option[Parsed] = {
     if (!Webp.isWebp(bytes)) return None
-    // the RIFF header's declared size must be fully present — otherwise a
-    // truncation that cleanly severs a trailing ANMF would silently drop
-    // frames instead of classifying
-    if (8L + u32le(bytes, 4) > bytes.length) return None
+    val end = riffEnd(bytes)
+    if (end < 0) return None
     var canvasW = -1
     var canvasH = -1
     var background = 0
@@ -90,9 +99,9 @@ object AnimWebp {
     var animFlag = false
     val frames = Vector.newBuilder[Anmf]
     var p = 12
-    while (p + 8 <= bytes.length) {
+    while (p + 8 <= end) {
       val size = u32le(bytes, p + 4)
-      if (size < 0 || size > bytes.length - p - 8) return None
+      if (size < 0 || size > end - p - 8) return None
       val typ = new String(bytes, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
       val off = p + 8
       typ match {
@@ -175,8 +184,7 @@ object AnimWebp {
     try {
       val parsed = parse(bytes).getOrElse(return Seq.empty)
       val m = parsed.frames.length
-      val k = math.min(n, m)
-      val wanted = (0 until k).map(j => (j.toLong * m / k).toInt).toSet
+      val wanted = VideoContainers.floorSpacedIndices(m, n).toSet
       val maxIdx = wanted.max
 
       val canvas = new BufferedImage(
@@ -193,14 +201,17 @@ object AnimWebp {
             g.setComposite(java.awt.AlphaComposite.Src)
           g.drawImage(patch, fr.x, fr.y, null)
         } finally g.dispose()
-        if (wanted.contains(i)) out += ((i, copy(canvas)))
+        if (wanted.contains(i)) out += ((i, VideoContainers.copyArgb(canvas)))
         if (fr.dispose == 1) {
-          // dispose to the ANIM background color (spec text; equals
-          // libwebp's transparent-black whenever background IS transparent)
+          // dispose to TRANSPARENT BLACK — the de-facto rendering every
+          // libwebp-based consumer (Chrome/Firefox/the demuxer) applies;
+          // the spec text names the ANIM background color instead, but
+          // crawl data is authored against the renderers, and common
+          // muxers write a transparent background anyway (the two agree
+          // exactly then). The ANIM color is parsed/validated, not painted.
           val g2 = canvas.createGraphics()
           try {
-            g2.setComposite(java.awt.AlphaComposite.Src)
-            g2.setColor(new java.awt.Color(parsed.background, true))
+            g2.setComposite(java.awt.AlphaComposite.Clear)
             g2.fillRect(fr.x, fr.y, fr.w, fr.h)
           } finally g2.dispose()
         }
@@ -218,14 +229,6 @@ object AnimWebp {
 
   def decodeFirstFrame(bytes: Array[Byte]): BufferedImage =
     sampleFramesIndexed(bytes, 1).headOption.map(_._2).orNull
-
-  private def copy(img: BufferedImage): BufferedImage = {
-    val c = new BufferedImage(img.getWidth, img.getHeight, BufferedImage.TYPE_INT_ARGB)
-    val g = c.createGraphics()
-    try { g.setComposite(java.awt.AlphaComposite.Src); g.drawImage(img, 0, 0, null) }
-    finally g.dispose()
-    c
-  }
 
   /** One placed frame: (patch, x, y, disposeOp 0-1, blendOp 0-1) — the
     * [[Apng.Placed]] shape with WebP's op ranges. x/y must be even (the
@@ -264,16 +267,17 @@ object AnimWebp {
       bos.write(data, 0, data.length)
       if ((data.length & 1) == 1) bos.write(0) // RIFF 2-byte alignment
     }
-    // per-frame VP8L chunks, extracted from the still encoder's container
+    // per-frame VP8L chunks, extracted from the still encoder's container;
+    // one pixel extraction per frame feeds both the encode and the VP8X
+    // alpha-feature bit
+    var hasAlpha = false
     val vp8ls = frames.zipWithIndex.map { case ((img, _, _, _, _), i) =>
       val w = img.getWidth; val h = img.getHeight
-      val still = Webp.encode(img.getRGB(0, 0, w, h, null, 0, w), w, h, optsFor(i))
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      if (!hasAlpha) hasAlpha = px.exists(p => (p >>> 24) != 0xff)
+      val still = Webp.encode(px, w, h, optsFor(i))
       val range = Webp.vp8lRange(still)
       java.util.Arrays.copyOfRange(still, range._1, range._2)
-    }
-    val hasAlpha = frames.exists { case (img, _, _, _, _) =>
-      val px = img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
-      px.exists(p => (p >>> 24) != 0xff)
     }
     tag("RIFF"); le32(0); tag("WEBP") // size back-patched below
     val vp8x = new java.io.ByteArrayOutputStream()

@@ -193,8 +193,7 @@ object Apng {
       if (!sawIdat || frames.isEmpty) return Seq.empty
 
       val m = frames.length
-      val k = math.min(n, m)
-      val wanted = (0 until k).map(j => (j.toLong * m / k).toInt).toSet
+      val wanted = VideoContainers.floorSpacedIndices(m, n).toSet
       val maxIdx = wanted.max
 
       val canvas = new BufferedImage(sw, sh, BufferedImage.TYPE_INT_ARGB)
@@ -251,13 +250,8 @@ object Apng {
   def decodeFirstFrame(bytes: Array[Byte]): BufferedImage =
     sampleFramesIndexed(bytes, 1).headOption.map(_._2).orNull
 
-  private def copy(img: BufferedImage): BufferedImage = {
-    val c = new BufferedImage(img.getWidth, img.getHeight, BufferedImage.TYPE_INT_ARGB)
-    val g = c.createGraphics()
-    try { g.setComposite(java.awt.AlphaComposite.Src); g.drawImage(img, 0, 0, null) }
-    finally g.dispose()
-    c
-  }
+  private def copy(img: BufferedImage): BufferedImage =
+    VideoContainers.copyArgb(img)
 
   /** One placed frame: (patch, x, y, disposeOp 0-2, blendOp 0-1). */
   type Placed = (BufferedImage, Int, Int, Int, Int)

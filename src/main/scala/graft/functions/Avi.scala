@@ -275,8 +275,7 @@ object Avi {
       case Some(p) if p.frameCount > 0 && n > 0 && p.isRle8 =>
         if (!rleCanvasOk(p)) return Seq.empty
         val m = p.frameCount
-        val k = math.min(n, m)
-        val wanted = (0 until k).map(j => (j.toLong * m / k).toInt).toSet
+        val wanted = VideoContainers.floorSpacedIndices(m, n).toSet
         val canvas = rleCanvas(p)
         val out = Seq.newBuilder[(Int, BufferedImage)]
         var i = 0
@@ -289,12 +288,8 @@ object Avi {
         }
         out.result()
       case Some(p) if p.frameCount > 0 && n > 0 =>
-        val m = p.frameCount
-        val k = math.min(n, m)
-        (0 until k).flatMap { j =>
-          val idx = (j.toLong * m / k).toInt
-          Option(frame(bytes, p, idx)).map(img => (idx, img))
-        }
+        VideoContainers.floorSpacedIndices(p.frameCount, n).flatMap(idx =>
+          Option(frame(bytes, p, idx)).map(img => (idx, img)))
       case _ => Seq.empty
     }
 

@@ -54,8 +54,7 @@ object Gif {
       reader.setInput(input, false, false)
       val m = reader.getNumImages(true)
       if (m <= 0) return Seq.empty
-      val k = math.min(n, m)
-      val wanted = (0 until k).map(j => (j.toLong * m / k).toInt).toSet
+      val wanted = VideoContainers.floorSpacedIndices(m, n).toSet
       val maxIdx = wanted.max
 
       // logical screen from stream metadata; fall back to frame-0 extent
@@ -146,13 +145,8 @@ object Gif {
   def decodeFirstFrame(bytes: Array[Byte]): BufferedImage =
     sampleFramesIndexed(bytes, 1).headOption.map(_._2).orNull
 
-  private def copy(img: BufferedImage): BufferedImage = {
-    val c = new BufferedImage(img.getWidth, img.getHeight, BufferedImage.TYPE_INT_ARGB)
-    val g = c.createGraphics()
-    try { g.setComposite(java.awt.AlphaComposite.Src); g.drawImage(img, 0, 0, null) }
-    finally g.dispose()
-    c
-  }
+  private def copy(img: BufferedImage): BufferedImage =
+    VideoContainers.copyArgb(img)
 
   /** Animated-GIF encode (the inverse surface): the JDK GIF writer in
     * sequence mode, one full-screen frame per input image (offset 0,0,

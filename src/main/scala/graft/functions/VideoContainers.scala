@@ -14,6 +14,24 @@ import java.awt.image.BufferedImage
   */
 object VideoContainers {
 
+  /** The family's floor-spaced sampling rule: SOURCE indices of up to `n`
+    * evenly-spaced frames out of `m` — shared by every decoder so a rule
+    * change lands in one place. */
+  private[functions] def floorSpacedIndices(m: Int, n: Int): IndexedSeq[Int] = {
+    val k = math.min(n, m)
+    (0 until k).map(j => (j.toLong * m / k).toInt)
+  }
+
+  /** Deep ARGB snapshot — the compositing decoders capture the canvas
+    * mid-walk with this. */
+  private[functions] def copyArgb(img: BufferedImage): BufferedImage = {
+    val c = new BufferedImage(img.getWidth, img.getHeight, BufferedImage.TYPE_INT_ARGB)
+    val g = c.createGraphics()
+    try { g.setComposite(java.awt.AlphaComposite.Src); g.drawImage(img, 0, 0, null) }
+    finally g.dispose()
+    c
+  }
+
   private val Y4mMagic = "YUV4MPEG2".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
 
   private def hasPrefix(bytes: Array[Byte], magic: Array[Byte]): Boolean =

@@ -191,12 +191,8 @@ object Y4m {
   def sampleFramesIndexed(bytes: Array[Byte], n: Int): Seq[(Int, BufferedImage)] =
     parse(bytes) match {
       case Some(p) if p.frameCount > 0 && n > 0 =>
-        val m = p.frameCount
-        val k = math.min(n, m)
-        (0 until k).map { j =>
-          val idx = (j.toLong * m / k).toInt
-          (idx, frame(bytes, p, idx))
-        }
+        VideoContainers.floorSpacedIndices(p.frameCount, n)
+          .map(idx => (idx, frame(bytes, p, idx)))
       case _ => Seq.empty
     }
 

@@ -116,18 +116,28 @@ class AnimWebpSpec extends AnyFunSuite {
     assert(grayAt(f1, 0, 0) == 50)
   }
 
-  test("dispose=1 fills the frame rect with the ANIM background color") {
-    val bg = 0xff4d4d4d // opaque gray 77
+  test("dispose=1 clears the frame rect to transparent (libwebp/Chrome/Firefox behavior)") {
+    // even with a non-transparent ANIM background on the wire, the
+    // de-facto renderers dispose to transparent black — match them
+    val bg = 0xff4d4d4d // opaque gray 77, deliberately NOT painted
     val bytes = AnimWebp.encodeAnimWebp(Seq(
       (uniform(8, 8, 50), 0, 0, 0, 1),
       (uniform(4, 4, 200), 2, 2, 1, 1), // dispose 1 = background
       (uniform(2, 2, 99), 0, 0, 0, 1)), background = bg)
     val frames = AnimWebp.sampleFramesIndexed(bytes, Int.MaxValue)
     assert(grayAt(frames(1)._2, 3, 3) == 200)
-    assert(grayAt(frames(2)._2, 3, 3) == 77, "disposed rect shows the ANIM background")
-    assert(alphaAt(frames(2)._2, 3, 3) == 255)
+    assert(alphaAt(frames(2)._2, 3, 3) == 0, "disposed rect must be transparent")
     assert(grayAt(frames(2)._2, 0, 0) == 99)
-    assert(grayAt(frames(2)._2, 7, 7) == 50)
+    assert(grayAt(frames(2)._2, 7, 7) == 50 && alphaAt(frames(2)._2, 7, 7) == 255)
+  }
+
+  test("trailing junk after the declared RIFF size is tolerated (trailer parity)") {
+    val bytes = FixtureGen.animWebpBytes(1L)
+    val padded = bytes ++ Array.fill(9)(0x5a.toByte)
+    assert(AnimWebp.isAnimWebp(padded))
+    val frames = AnimWebp.sampleFramesIndexed(padded, Int.MaxValue)
+    assert(frames.length == 2, "trailer must not reject a decodable animation")
+    assert(grayAt(frames(0)._2, 0, 0) == (16 + 47 % 224))
   }
 
   test("sampling is floor-spaced with SOURCE indices, like the rest of the family") {
