@@ -849,6 +849,47 @@ object SparkEntry {
         .select(col("doc_id"), col("f._1").as("frame_idx"), col("f._2").as("w"),
           col("f._3").as("h"), col("f._4").as("bg_gray"), col("f._5").as("patch_gray"))
         .orderBy("doc_id", "frame_idx")
+    }),
+    "q50_image_ico" -> ((s, d) => {
+      // X1 — REAL decode for ICO favicons ([[graft.functions.Ico]]): the
+      // web's most-fetched image container and a format the JDK cannot
+      // read. The fixture is a 2-member directory (a low-depth decoy the
+      // best-member selection must skip, then the real 18×11 image whose
+      // DIB depth cycles 1/4/8/24/32-bpp + an embedded-PNG member by
+      // doc_id%6); decode rides the magic-sniffed
+      // [[graft.functions.ImageOps.decode]] dispatch (the SAME path
+      // phash/PSNR/resize/J7 ride) and emits a position-weighted exact
+      // checksum + member count. ICO DIBs are exact, so a stride,
+      // row-order, palette, nibble-packing, or member-selection slip
+      // reddens the hash; the oracle regenerates the two-column closed
+      // form in SQL.
+      val featUdf = udf((docId: Long) => {
+        val bytes = graft.fixtures.FixtureGen.icoBytes(docId)
+        val img = graft.functions.ImageOps.decode(bytes)
+        val n = graft.functions.Ico.imageCount(bytes).toLong
+        if (img == null) (-1L, -1L, -1L, -1L, n)
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          var checksum = 0L; var peak = 0L; var gray = true
+          var i = 0
+          while (i < px.length) {
+            val r = (px(i) >> 16) & 0xff
+            if ((px(i) >>> 24) != 0xff ||
+                ((px(i) >> 8) & 0xff) != r || (px(i) & 0xff) != r) gray = false
+            checksum += r.toLong * (1 + (i % w) + w.toLong * (i / w))
+            if (r > peak) peak = r
+            i += 1
+          }
+          if (gray) (w.toLong, h.toLong, checksum, peak, n)
+          else (-1L, -1L, -1L, -1L, n)
+        }
+      })
+      docs(s, d).select(col("doc_id"), featUdf(col("doc_id")).as("f"))
+        .select(col("doc_id"), col("f._1").as("w"), col("f._2").as("h"),
+          col("f._3").as("checksum"), col("f._4").as("peak"),
+          col("f._5").as("n_members"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1444,6 +1485,21 @@ object SparkEntry {
                 CASE WHEN t.u = 0 THEN 16 + (47*d.doc_id) % 224
                      ELSE 16 + (47*d.doc_id + 23*t.u) % 224 END AS patch_gray
          FROM documents d, unnest(range(d.doc_id % 3 + 1)) AS t(u)
-         ORDER BY doc_id, frame_idx"""
+         ORDER BY doc_id, frame_idx""",
+    // q50: ICO DIB/PNG members decode exactly and the BEST (larger)
+    // member must be the one selected, so the decoded image IS the
+    // two-column closed form — regenerated here like q48
+    "q50_image_ico" ->
+      """WITH p AS (SELECT doc_id, 24 + (31*doc_id) % 200 AS ga,
+                           16 + (37*doc_id) % 224 AS gb FROM documents),
+         g AS (
+           SELECT p.doc_id, x.u AS x, y.u AS y,
+                  CASE WHEN x.u < 9 THEN p.ga ELSE p.gb END AS v
+           FROM p, unnest(range(18)) AS x(u), unnest(range(11)) AS y(u))
+         SELECT doc_id, 18::BIGINT AS w, 11::BIGINT AS h,
+                CAST(sum(v*(1 + x + 18*y)) AS BIGINT) AS checksum,
+                CAST(max(v) AS BIGINT) AS peak,
+                2::BIGINT AS n_members
+         FROM g GROUP BY doc_id ORDER BY doc_id"""
   )
 }

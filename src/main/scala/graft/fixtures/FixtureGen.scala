@@ -674,6 +674,35 @@ object FixtureGen {
       else graft.functions.Webp.WebpOptions(subtractGreen = true, cacheBits = 4))
   }
 
+  /** q50 fixture: a deterministic favicon-shaped ICO per doc id — a
+    * 2-member directory whose FIRST member is a 6×5 low-depth decoy (the
+    * best-member selection must skip it) and whose second is the real
+    * 18×11 image: left 9 columns gray `ga = 24 + (31d) % 200`, right 9
+    * `gb = 16 + (37d) % 224` (vertical halves, so a stride, row-order,
+    * or nibble/bit-packing slip moves mass across the x-weighted
+    * checksum). `d % 6` cycles the member depth through 1/4/8/24/32-bpp
+    * DIBs and an embedded PNG, so every layout the decoder owns is on
+    * the wire at every scale. ICO DIBs are exact → the decoded image
+    * must EQUAL the two-column closed form. */
+  def icoBytes(docId: Long): Array[Byte] = {
+    import graft.functions.Ico
+    val ga = (24 + (31 * docId) % 200).toInt
+    val gb = (16 + (37 * docId) % 224).toInt
+    val px = Array.tabulate(18 * 11) { i =>
+      val g = if (i % 18 < 9) ga else gb
+      0xff000000 | (g << 16) | (g << 8) | g
+    }
+    val depth = (docId % 6) match {
+      case 0 => 1; case 1 => 4; case 2 => 8
+      case 3 => 24; case 4 => 32; case _ => 0 // 0 = embedded PNG member
+    }
+    val decoyG = (40 + (13 * docId) % 180).toInt
+    val decoy = Array.fill(6 * 5)(0xff000000 | (decoyG << 16) | (decoyG << 8) | decoyG)
+    Ico.encode(Seq(
+      Ico.Member(decoy, 6, 5, 1),
+      Ico.Member(px, 18, 11, depth)))
+  }
+
   final case class PageRow(
       url: String, host: String, status: Int, contentType: String,
       content: String, links: Seq[String], navLinks: Seq[String],

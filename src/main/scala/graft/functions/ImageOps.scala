@@ -101,6 +101,7 @@ object ImageOps {
     // frame (the still walk can't find a top-level VP8L — it rides ANMF)
     else if (AnimWebp.isAnimWebp(bytes)) AnimWebp.decodeFirstFrame(bytes)
     else if (Webp.isWebp(bytes)) Webp.decode(bytes)
+    else if (Ico.isIco(bytes)) Ico.decode(bytes) // favicons: best member
     else try ImageIO.read(new ByteArrayInputStream(bytes))
     catch {
       case _: java.io.IOException => null

@@ -113,6 +113,22 @@ final class WebpDecoder extends PayloadDecoder {
   }
 }
 
+/** ICO favicons: REAL decode — the JDK has no reader, so
+  * [[graft.functions.Ico]] owns the ICONDIR walk, DIB depths 1-32 with
+  * the AND transparency mask, embedded-PNG members, and best-member
+  * selection. DIB members are exact-pixel → lossless J7 gate.
+  * Driver-gated by q50. */
+final class IcoDecoder extends PayloadDecoder {
+  override val fmt = "ico"
+  override val lossless = true
+  override def decode(bytes: Array[Byte]): BufferedImage = ImageOps.decode(bytes)
+  override def encode(img: BufferedImage): Array[Byte] = {
+    val w = img.getWidth; val h = img.getHeight
+    graft.functions.Ico.encode(Seq(graft.functions.Ico.Member(
+      img.getRGB(0, 0, w, h, null, 0, w), w, h, 32)))
+  }
+}
+
 /** MODERN inter-frame video codecs (h264/vp9/…) and perceptual audio
   * (mp3/aac): those genuinely need codec libraries this container doesn't
   * ship, so decode is STUBBED (clearly marked); the registry/dispatch
@@ -142,6 +158,7 @@ object DecoderRegistry {
     "gif" -> new GifDecoder,
     "qoi" -> new QoiDecoder,
     "webp" -> new WebpDecoder,
+    "ico" -> new IcoDecoder,
     "video" -> new VideoFrameDecoderStub)
 
   /** "jpg"/"jpeg" are one format under two spellings — a registration for

@@ -253,6 +253,22 @@ object Smoke {
           .otherwise(lit(16) + ($"doc_id" * 47 + $"frame_idx" * 23) % 224))
       assert(badAnimWebp.isEmpty, "q49 animated-webp decode diverges from closed form")
       println(s"SMOKE animwebp: q49_rows=${q49.count()} matches closed form")
+      // ICO favicons (q50): ICONDIR walk + DIB depths + best-member
+      // selection through the distributed dispatch, plus the batch
+      // thumbnail operator over ico payloads (registry + magic sniff)
+      val icos = spark.range(24).select(
+        concat(lit("i"), $"id").as("image_id"),
+        udf((d: Long) => graft.fixtures.FixtureGen.icoBytes(d)).apply($"id").as("bytes"),
+        lit("ico").as("fmt"))
+      val icoThumbs = graft.operators.ImageBatch.thumbnails(icos, 4, 4)
+        .where($"w" === 18 && $"h" === 11 && $"thumb".isNotNull).count()
+      assert(icoThumbs == 24, s"ico thumbs=$icoThumbs")
+      val q50 = graft.SparkEntry.queries("q50_image_ico")(spark, "/root/testdata/sf0.001")
+      val badIco = q50.where($"w" =!= 18 || $"h" =!= 11 || $"n_members" =!= 2 ||
+        $"peak" =!= greatest(lit(24) + ($"doc_id" * 31) % 200,
+          lit(16) + ($"doc_id" * 37) % 224))
+      assert(badIco.isEmpty, "q50 ico decode diverges from closed form")
+      println(s"SMOKE ico: thumbs=$icoThumbs q50_rows=${q50.count()} match closed form")
       // RLE8/AVI (q43): the INTER-FRAME delta codec through the same
       // distributed dispatch — bg_gray is only right if compositing
       // retained the keyframe canvas under the delta frames' skips

@@ -51,7 +51,7 @@ class MediaPropertySpec extends AnyFunSuite {
     })
   }
 
-  test("y4m/wav/g711/adpcm/flac/gif/apng/avi/rle8/webp/animwebp: random mutation never throws — corrupt payloads classify") {
+  test("y4m/wav/g711/adpcm/flac/gif/apng/avi/rle8/webp/animwebp/ico: random mutation never throws — corrupt payloads classify") {
     val base: Gen[Array[Byte]] = Gen.oneOf(
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.y4mBytes),
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.wavBytes),
@@ -67,7 +67,8 @@ class MediaPropertySpec extends AnyFunSuite {
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.aviRleBytes),
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.aviDibBytes),
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.webpBytes),
-      Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.animWebpBytes))
+      Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.animWebpBytes),
+      Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.icoBytes))
     val mutation: Gen[(Array[Byte]) => Array[Byte]] = Gen.oneOf(
       Gen.choose(0, 1000).map(c => (b: Array[Byte]) => b.dropRight(c)),
       Gen.choose(0, 60).map(c => (b: Array[Byte]) => b.drop(c)),
