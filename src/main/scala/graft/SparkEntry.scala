@@ -859,10 +859,10 @@ object SparkEntry {
       // doc_id%6); decode rides the magic-sniffed
       // [[graft.functions.ImageOps.decode]] dispatch (the SAME path
       // phash/PSNR/resize/J7 ride) and emits a position-weighted exact
-      // checksum + member count. ICO DIBs are exact, so a stride,
-      // row-order, palette, nibble-packing, or member-selection slip
-      // reddens the hash; the oracle regenerates the two-column closed
-      // form in SQL.
+      // checksum + member count. ICO DIBs are exact and the quadrant
+      // fixture varies along both axes, so a stride, row-order, palette,
+      // nibble-packing, or member-selection slip reddens the hash; the
+      // oracle regenerates the quadrant closed form in SQL.
       val featUdf = udf((docId: Long) => {
         val bytes = graft.fixtures.FixtureGen.icoBytes(docId)
         val img = graft.functions.ImageOps.decode(bytes)
@@ -1488,13 +1488,13 @@ object SparkEntry {
          ORDER BY doc_id, frame_idx""",
     // q50: ICO DIB/PNG members decode exactly and the BEST (larger)
     // member must be the one selected, so the decoded image IS the
-    // two-column closed form — regenerated here like q48
+    // quadrant closed form — regenerated here like q48
     "q50_image_ico" ->
       """WITH p AS (SELECT doc_id, 24 + (31*doc_id) % 200 AS ga,
                            16 + (37*doc_id) % 224 AS gb FROM documents),
          g AS (
            SELECT p.doc_id, x.u AS x, y.u AS y,
-                  CASE WHEN x.u < 9 THEN p.ga ELSE p.gb END AS v
+                  CASE WHEN (x.u < 9) = (y.u < 6) THEN p.ga ELSE p.gb END AS v
            FROM p, unnest(range(18)) AS x(u), unnest(range(11)) AS y(u))
          SELECT doc_id, 18::BIGINT AS w, 11::BIGINT AS h,
                 CAST(sum(v*(1 + x + 18*y)) AS BIGINT) AS checksum,

@@ -677,19 +677,22 @@ object FixtureGen {
   /** q50 fixture: a deterministic favicon-shaped ICO per doc id — a
     * 2-member directory whose FIRST member is a 6×5 low-depth decoy (the
     * best-member selection must skip it) and whose second is the real
-    * 18×11 image: left 9 columns gray `ga = 24 + (31d) % 200`, right 9
-    * `gb = 16 + (37d) % 224` (vertical halves, so a stride, row-order,
-    * or nibble/bit-packing slip moves mass across the x-weighted
-    * checksum). `d % 6` cycles the member depth through 1/4/8/24/32-bpp
-    * DIBs and an embedded PNG, so every layout the decoder owns is on
-    * the wire at every scale. ICO DIBs are exact → the decoded image
-    * must EQUAL the two-column closed form. */
+    * 18×11 image: a QUADRANT pattern — gray `ga = 24 + (31d) % 200`
+    * where `(x<9) == (y<6)`, `gb = 16 + (37d) % 224` elsewhere. The
+    * pattern varies along BOTH axes with an odd height, so a stride,
+    * nibble/bit-packing, OR bottom-up row-order slip (the 11-row flip is
+    * asymmetric around the 6-row boundary) moves mass across the
+    * position-weighted checksum. `d % 6` cycles the member depth through
+    * 1/4/8/24/32-bpp DIBs and an embedded PNG, so every layout the
+    * decoder owns is on the wire at every scale. ICO DIBs are exact →
+    * the decoded image must EQUAL the quadrant closed form. */
   def icoBytes(docId: Long): Array[Byte] = {
     import graft.functions.Ico
     val ga = (24 + (31 * docId) % 200).toInt
     val gb = (16 + (37 * docId) % 224).toInt
     val px = Array.tabulate(18 * 11) { i =>
-      val g = if (i % 18 < 9) ga else gb
+      val x = i % 18; val y = i / 18
+      val g = if ((x < 9) == (y < 6)) ga else gb
       0xff000000 | (g << 16) | (g << 8) | g
     }
     val depth = (docId % 6) match {

@@ -43,9 +43,7 @@ object AnimWebp {
   private def u24le(b: Array[Byte], i: Int): Int =
     (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16)
 
-  private def u32le(b: Array[Byte], i: Int): Long =
-    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
-      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+  private def u32le(b: Array[Byte], i: Int): Long = Riff.u32le(b, i)
 
   /** The walkable extent: the declared RIFF size when fully present
     * (trailing junk after it is tolerated, like every sibling decoder's

@@ -34,13 +34,8 @@ object Ico {
   private final class Malformed extends RuntimeException(null, null, false, false)
   private def fail(): Nothing = throw new Malformed
 
-  private def u16le(b: Array[Byte], i: Int): Int =
-    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
-
-  private def u32le(b: Array[Byte], i: Int): Long =
-    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
-      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
-
+  private def u16le(b: Array[Byte], i: Int): Int = Riff.u16le(b, i)
+  private def u32le(b: Array[Byte], i: Int): Long = Riff.u32le(b, i)
   private def i32le(b: Array[Byte], i: Int): Int = u32le(b, i).toInt
 
   /** ICONDIR sniff: the magic is weak (00 00 01 00), so also require a
@@ -56,23 +51,51 @@ object Ico {
         }
       }
 
+  /** One directory entry PLUS the geometry/depth read from the member's
+    * OWN header — ICONDIRENTRY w/h/bitCount are unreliable in the wild
+    * (encoders commonly zero bitCount; width/height bytes can lie), so
+    * selection must trust the resource, not the table. */
   private final case class Entry(w: Int, h: Int, bitCount: Int, off: Int, size: Int)
 
+  /** The valid, header-readable entries — a corrupt or truncated TAIL
+    * entry must not classify a file whose other members are intact
+    * (truncated-tail favicons are common in crawls); at least one
+    * member must survive or the walk fails. */
   private def entries(bytes: Array[Byte]): Vector[Entry] = {
     val count = u16le(bytes, 4)
     if (count < 1) fail()
     if (6 + 16L * count > bytes.length) fail()
-    (0 until count).map { i =>
+    val out = (0 until count).flatMap { i =>
       val e = 6 + 16 * i
-      val w = if ((bytes(e) & 0xff) == 0) 256 else bytes(e) & 0xff
-      val h = if ((bytes(e + 1) & 0xff) == 0) 256 else bytes(e + 1) & 0xff
-      val bc = u16le(bytes, e + 6)
       val size = u32le(bytes, e + 8)
       val off = u32le(bytes, e + 12)
-      if (size < 1 || off < 6 + 16L * count || off + size > bytes.length) fail()
-      Entry(w, h, bc, off.toInt, size.toInt)
+      if (size < 1 || off < 6 + 16L * count || off + size > bytes.length) None
+      else memberHeader(bytes, off.toInt, size.toInt).map { case (w, h, bc) =>
+        Entry(w, h, bc, off.toInt, size.toInt)
+      }
     }.toVector
+    if (out.isEmpty) fail()
+    out
   }
+
+  /** (w, h, depth) from the member's own header: the PNG IHDR or the DIB
+    * BITMAPINFOHEADER. None when the header is unreadable. */
+  private def memberHeader(bytes: Array[Byte], off: Int, size: Int): Option[(Int, Int, Int)] =
+    if (isPngMember(bytes, off, size)) {
+      if (size < 24) None
+      else {
+        def be32(i: Int): Long = ((bytes(i) & 0xffL) << 24) | ((bytes(i + 1) & 0xffL) << 16) |
+          ((bytes(i + 2) & 0xffL) << 8) | (bytes(i + 3) & 0xffL)
+        val w = be32(off + 16); val h = be32(off + 20)
+        if (w < 1 || h < 1 || w > Int.MaxValue || h > Int.MaxValue) None
+        else Some((w.toInt, h.toInt, 32)) // PNG members rank as deepest
+      }
+    } else if (size >= 40 && i32le(bytes, off) >= 40) {
+      val w = i32le(bytes, off + 4)
+      val h2 = i32le(bytes, off + 8)
+      val bpp = u16le(bytes, off + 14)
+      if (w < 1 || h2 < 2 || (h2 & 1) != 0) None else Some((w, h2 / 2, bpp))
+    } else None
 
   private val PngSig = Array[Int](0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
 
@@ -112,7 +135,12 @@ object Ico {
     val xorOff = palOff + 4 * paletteSize
     val xorStride = ((w * bpp + 31) / 32) * 4
     val andStride = ((w + 31) / 32) * 4
-    if (xorOff + xorStride.toLong * h + andStride.toLong * h > end) fail()
+    if (xorOff + xorStride.toLong * h > end) fail()
+    // some PNG-to-ICO converters omit the AND plane on 32-bpp members
+    // (the alpha channel supersedes it); tolerate that for 32-bpp only —
+    // every other depth genuinely needs the mask for transparency
+    val hasAndPlane = xorOff + xorStride.toLong * h + andStride.toLong * h <= end
+    if (bpp != 32 && !hasAndPlane) fail()
     val andOff = xorOff + xorStride * h
 
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_ARGB)
@@ -154,14 +182,18 @@ object Ico {
       }
       y += 1
     }
-    // the AND mask applies unless a 32bpp member carries real alpha
+    // the AND mask applies unless a 32bpp member carries real alpha; a
+    // 32bpp member with NEITHER (zero alpha plane, omitted mask) is
+    // rendered opaque — the intent of the converters that emit them
     if (!(bpp == 32 && anyAlpha)) {
       y = 0
       while (y < h) {
         val row = andOff + andStride * (h - 1 - y)
         var x = 0
         while (x < w) {
-          val bit = ((bytes(row + x / 8) & 0xff) >> (7 - (x & 7))) & 1
+          val bit =
+            if (hasAndPlane) ((bytes(row + x / 8) & 0xff) >> (7 - (x & 7))) & 1
+            else 0
           if (bit == 1) px(y * w + x) = px(y * w + x) & 0x00ffffff
           else px(y * w + x) = px(y * w + x) | 0xff000000
           x += 1
@@ -178,12 +210,16 @@ object Ico {
     try { if (!isIco(bytes)) 0 else entries(bytes).length }
     catch { case _: Malformed => 0; case scala.util.control.NonFatal(_) => 0 }
 
-  /** Decode the BEST member (largest area, then deepest): the selection
-    * a thumbnail/phash pipeline wants. null classifies, never throws. */
+  /** Decode the BEST member (largest area, then deepest, judged from the
+    * members' own headers): the selection a thumbnail/phash pipeline
+    * wants. null classifies, never throws. */
   def decode(bytes: Array[Byte]): BufferedImage =
     try {
       if (!isIco(bytes)) return null
       val best = entries(bytes).maxBy(e => (e.w.toLong * e.h, e.bitCount))
+      // the per-member bomb cap applies to PNG members too — the IHDR
+      // dims are already validated by the header peek above
+      if (best.w.toLong * best.h > MaxPixels) return null
       if (isPngMember(bytes, best.off, best.size))
         ImageOps.decode(java.util.Arrays.copyOfRange(
           bytes, best.off, best.off + best.size))

@@ -5,6 +5,16 @@ package graft.functions
   * ([[Wav.encodePcm16Mono]], [[Wav.encodeG711Mono]], [[Avi.encodeMjpeg]]);
   * a masking fix in one encoder must not silently miss the others. */
 private[functions] object Riff {
+
+  /** Shared little-endian READERS — the decode-side counterpart, used by
+    * every LE container walker here ([[Webp]], [[AnimWebp]], [[Ico]]). */
+  def u16le(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  def u32le(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
   final class Writer {
     private val out = new java.io.ByteArrayOutputStream()
     def ascii(s: String): Unit = {

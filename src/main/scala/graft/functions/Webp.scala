@@ -64,9 +64,7 @@ object Webp {
       bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
       bytes(8) == 'W' && bytes(9) == 'E' && bytes(10) == 'B' && bytes(11) == 'P'
 
-  private def u32le(b: Array[Byte], i: Int): Long =
-    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
-      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+  private def u32le(b: Array[Byte], i: Int): Long = Riff.u32le(b, i)
 
   /** Walk the RIFF chunks and return the [start, end) of the VP8L payload,
     * or null when the container carries no lossless bitstream. Package

@@ -264,9 +264,17 @@ object Smoke {
         .where($"w" === 18 && $"h" === 11 && $"thumb".isNotNull).count()
       assert(icoThumbs == 24, s"ico thumbs=$icoThumbs")
       val q50 = graft.SparkEntry.queries("q50_image_ico")(spark, "/root/testdata/sf0.001")
+      // position-weighted sums of the two quadrant regions — the checksum
+      // check is what catches pixel-PERMUTING bugs (peak/dims cannot)
+      val icoWeights = for { y <- 0 until 11; x <- 0 until 18 }
+        yield ((x < 9) == (y < 6), 1L + x + 18L * y)
+      val sGa = icoWeights.collect { case (true, v) => v }.sum
+      val sGb = icoWeights.collect { case (false, v) => v }.sum
       val badIco = q50.where($"w" =!= 18 || $"h" =!= 11 || $"n_members" =!= 2 ||
         $"peak" =!= greatest(lit(24) + ($"doc_id" * 31) % 200,
-          lit(16) + ($"doc_id" * 37) % 224))
+          lit(16) + ($"doc_id" * 37) % 224) ||
+        $"checksum" =!= (lit(24) + ($"doc_id" * 31) % 200) * sGa +
+          (lit(16) + ($"doc_id" * 37) % 224) * sGb)
       assert(badIco.isEmpty, "q50 ico decode diverges from closed form")
       println(s"SMOKE ico: thumbs=$icoThumbs q50_rows=${q50.count()} match closed form")
       // RLE8/AVI (q43): the INTER-FRAME delta codec through the same

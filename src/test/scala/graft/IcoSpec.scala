@@ -11,7 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * 32-bpp alpha conventions, and hostile payloads. */
 class IcoSpec extends AnyFunSuite {
 
-  test("fixture decodes to the two-column closed form at EVERY member depth") {
+  test("fixture decodes to the quadrant closed form at EVERY member depth") {
     (0L until 12L).foreach { d => // d%6 cycles 1/4/8/24/32 bpp + PNG member
       val bytes = FixtureGen.icoBytes(d)
       assert(Ico.isIco(bytes), s"doc $d")
@@ -24,12 +24,62 @@ class IcoSpec extends AnyFunSuite {
       val gb = (16 + (37 * d) % 224).toInt
       (0 until 11).foreach(y => (0 until 18).foreach { x =>
         val p = img.getRGB(x, y)
-        val expect = if (x < 9) ga else gb
+        // quadrant form: varies along BOTH axes, so a bottom-up slip in
+        // any depth's row walk fails here (the 11-row flip is asymmetric)
+        val expect = if ((x < 9) == (y < 6)) ga else gb
         assert((p >>> 24) == 0xff, s"doc $d ($x,$y) alpha")
         assert((p & 0xff) == expect && ((p >> 8) & 0xff) == expect &&
           ((p >> 16) & 0xff) == expect, s"doc $d ($x,$y)")
       })
     }
+  }
+
+  test("selection trusts member HEADERS, not the lying directory entry") {
+    // zero the decoy's entry w/h bytes: the TABLE now claims 256x256 for
+    // the 6x5 member; real-world encoders lie exactly like this
+    val bytes = FixtureGen.icoBytes(7L).clone()
+    bytes(6) = 0; bytes(7) = 0 // entry 0 width/height bytes (0 claims 256)
+    val img = Ico.decode(bytes)
+    assert(img != null && img.getWidth == 18 && img.getHeight == 11,
+      "the real 18x11 member must still win selection")
+  }
+
+  test("a corrupt tail entry is salvaged around, not fatal") {
+    // break the SECOND entry's offset so its resource overruns EOF: the
+    // decoy must still decode (truncated-tail favicons are common)
+    val bytes = FixtureGen.icoBytes(8L).clone()
+    val e1 = 6 + 16
+    bytes(e1 + 12) = 0xff.toByte; bytes(e1 + 13) = 0xff.toByte
+    bytes(e1 + 14) = 0xff.toByte; bytes(e1 + 15) = 0x7f.toByte
+    val img = Ico.decode(bytes)
+    assert(img != null && img.getWidth == 6 && img.getHeight == 5,
+      "the intact decoy member must salvage the file")
+  }
+
+  test("a 32-bpp member whose AND plane was omitted decodes (alpha-superseded form)") {
+    // PNG-to-ICO converters emit these: resource ends after the XOR plane
+    val opaque = Ico.encode(Seq(Ico.Member(Array.fill(16)(0xff515151), 4, 4, 32)))
+    val maskBytes = 4 * 4 // 4 rows x 4-byte AND stride
+    val cut = opaque.dropRight(maskBytes).clone()
+    // the single entry's size field must match the shortened resource
+    val newSize = ((cut(6 + 8) & 0xff) | ((cut(6 + 9) & 0xff) << 8) |
+      ((cut(6 + 10) & 0xff) << 16) | ((cut(6 + 11) & 0xff) << 24)) - maskBytes
+    cut(6 + 8) = (newSize & 0xff).toByte; cut(6 + 9) = ((newSize >> 8) & 0xff).toByte
+    cut(6 + 10) = ((newSize >> 16) & 0xff).toByte; cut(6 + 11) = ((newSize >> 24) & 0xff).toByte
+    val img = Ico.decode(cut)
+    assert(img != null && img.getWidth == 4)
+    (0 until 16).foreach { i =>
+      assert((img.getRGB(i % 4, i / 4) >>> 24) == 0xff, s"px $i opaque")
+      assert((img.getRGB(i % 4, i / 4) & 0xff) == 0x51, s"px $i value")
+    }
+    // but a PALETTE member without its mask is genuinely malformed
+    val pal = Ico.encode(Seq(Ico.Member(Array.fill(16)(0xff515151), 4, 4, 8)))
+    val palCut = pal.dropRight(maskBytes).clone()
+    val ps = ((palCut(6 + 8) & 0xff) | ((palCut(6 + 9) & 0xff) << 8) |
+      ((palCut(6 + 10) & 0xff) << 16) | ((palCut(6 + 11) & 0xff) << 24)) - maskBytes
+    palCut(6 + 8) = (ps & 0xff).toByte; palCut(6 + 9) = ((ps >> 8) & 0xff).toByte
+    palCut(6 + 10) = ((ps >> 16) & 0xff).toByte; palCut(6 + 11) = ((ps >> 24) & 0xff).toByte
+    assert(Ico.decode(palCut) == null)
   }
 
   test("the AND mask makes pixels transparent (palette and 24-bpp members)") {
@@ -101,8 +151,14 @@ class IcoSpec extends AnyFunSuite {
 
   test("hostile payloads classify: truncation, garbage, lying entries, depth bombs") {
     val bytes = FixtureGen.icoBytes(3L)
-    (1 to 60 by 7).foreach(c =>
-      assert(Ico.decode(bytes.dropRight(c)) == null, s"cut $c"))
+    // tail truncation severs the (last) real member: decode must DEGRADE
+    // to the intact 6x5 decoy — never return the damaged 18x11 member
+    (1 to 60 by 7).foreach { c =>
+      val img = Ico.decode(bytes.dropRight(c))
+      assert(img != null && img.getWidth == 6 && img.getHeight == 5, s"cut $c")
+    }
+    // cutting into the DECOY too leaves nothing salvageable → null
+    assert(Ico.decode(java.util.Arrays.copyOf(bytes, 6 + 32 + 8)) == null)
     assert(Ico.decode(null) == null)
     assert(!Ico.isIco("\u0000\u0000\u0001\u0000junk".getBytes("ISO-8859-1")))
     assert(Ico.imageCount(Array.fill(40)(0.toByte)) == 0)
