@@ -890,6 +890,42 @@ object SparkEntry {
           col("f._3").as("checksum"), col("f._4").as("peak"),
           col("f._5").as("n_members"))
         .orderBy("doc_id")
+    }),
+    "q51_image_tga" -> ((s, d) => {
+      // X1 — REAL decode for TGA textures ([[graft.functions.Tga]]), the
+      // asset format game/3D crawls fetch and the JDK cannot read. TGA
+      // has NO magic bytes, so this rides the REGISTRY dispatch by
+      // declared fmt (`DecoderRegistry.get("tga")`) — the path a crawl
+      // takes when content bytes carry no signature — not the magic
+      // sniff. The fixture cycles truecolor 24/32, RLE, palette raw/RLE
+      // (one variant right-to-left), and grayscale, alternating top-down
+      // / bottom-up origins; decode is exact, so an origin-flip, RLE
+      // packet, or palette slip reddens the position-weighted checksum
+      // the oracle regenerates from the quadrant closed form.
+      val featUdf = udf((docId: Long) => {
+        val img = graft.sources.DecoderRegistry.get("tga")
+          .decode(graft.fixtures.FixtureGen.tgaBytes(docId))
+        if (img == null) (-1L, -1L, -1L, -1L)
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          var checksum = 0L; var peak = 0L; var gray = true
+          var i = 0
+          while (i < px.length) {
+            val r = (px(i) >> 16) & 0xff
+            if ((px(i) >>> 24) != 0xff ||
+                ((px(i) >> 8) & 0xff) != r || (px(i) & 0xff) != r) gray = false
+            checksum += r.toLong * (1 + (i % w) + w.toLong * (i / w))
+            if (r > peak) peak = r
+            i += 1
+          }
+          if (gray) (w.toLong, h.toLong, checksum, peak) else (-1L, -1L, -1L, -1L)
+        }
+      })
+      docs(s, d).select(col("doc_id"), featUdf(col("doc_id")).as("f"))
+        .select(col("doc_id"), col("f._1").as("w"), col("f._2").as("h"),
+          col("f._3").as("checksum"), col("f._4").as("peak"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1500,6 +1536,19 @@ object SparkEntry {
                 CAST(sum(v*(1 + x + 18*y)) AS BIGINT) AS checksum,
                 CAST(max(v) AS BIGINT) AS peak,
                 2::BIGINT AS n_members
+         FROM g GROUP BY doc_id ORDER BY doc_id""",
+    // q51: TGA decode is exact across every wire type the fixture
+    // cycles, so the decoded image IS the quadrant closed form
+    "q51_image_tga" ->
+      """WITH p AS (SELECT doc_id, 28 + (41*doc_id) % 200 AS ga,
+                           12 + (53*doc_id) % 228 AS gb FROM documents),
+         g AS (
+           SELECT p.doc_id, x.u AS x, y.u AS y,
+                  CASE WHEN (x.u < 8) = (y.u < 5) THEN p.ga ELSE p.gb END AS v
+           FROM p, unnest(range(17)) AS x(u), unnest(range(10)) AS y(u))
+         SELECT doc_id, 17::BIGINT AS w, 10::BIGINT AS h,
+                CAST(sum(v*(1 + x + 17*y)) AS BIGINT) AS checksum,
+                CAST(max(v) AS BIGINT) AS peak
          FROM g GROUP BY doc_id ORDER BY doc_id"""
   )
 }

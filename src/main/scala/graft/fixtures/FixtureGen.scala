@@ -706,6 +706,35 @@ object FixtureGen {
       Ico.Member(px, 18, 11, depth)))
   }
 
+  /** q51 fixture: a deterministic TGA per doc id — the 17×10 quadrant
+    * pattern (grays `ga = 28 + (41d) % 200` where `(x<8) == (y<5)`, else
+    * `gb = 12 + (53d) % 228`; varies along both axes so origin-flip and
+    * RLE-packet slips move the position-weighted checksum). `d % 6`
+    * cycles the wire type through truecolor 24/32, RLE truecolor,
+    * palette raw/RLE, and grayscale; origin alternates top-down /
+    * bottom-up by parity of d, and the palette-RLE variant also flips
+    * right-to-left. TGA is exact → decode must EQUAL the closed form. */
+  def tgaBytes(docId: Long): Array[Byte] = {
+    import graft.functions.Tga
+    val ga = (28 + (41 * docId) % 200).toInt
+    val gb = (12 + (53 * docId) % 228).toInt
+    val px = Array.tabulate(17 * 10) { i =>
+      val x = i % 17; val y = i / 17
+      val g = if ((x < 8) == (y < 5)) ga else gb
+      0xff000000 | (g << 16) | (g << 8) | g
+    }
+    val topDown = docId % 2 == 0
+    (docId % 6) match {
+      case 0 => Tga.encode(px, 17, 10, imgType = 2, depth = 24, topDown)
+      case 1 => Tga.encode(px, 17, 10, imgType = 2, depth = 32, topDown)
+      case 2 => Tga.encode(px, 17, 10, imgType = 10, depth = 24, topDown)
+      case 3 => Tga.encode(px, 17, 10, imgType = 1, depth = 8, topDown)
+      case 4 => Tga.encode(px, 17, 10, imgType = 9, depth = 8, topDown,
+        rightToLeft = true)
+      case _ => Tga.encode(px, 17, 10, imgType = 3, depth = 8, topDown)
+    }
+  }
+
   final case class PageRow(
       url: String, host: String, status: Int, contentType: String,
       content: String, links: Seq[String], navLinks: Seq[String],

@@ -129,6 +129,25 @@ final class IcoDecoder extends PayloadDecoder {
   }
 }
 
+/** TGA textures: REAL decode — the JDK has no reader, so
+  * [[graft.functions.Tga]] owns the header walk, palette/truecolor/
+  * grayscale raw+RLE types, and both origin flips. TGA has NO magic
+  * bytes, so the format is registry-`fmt`-driven (never magic-sniffed) —
+  * the one image format here dispatched purely by declared type, which
+  * is how a crawl meets it (content type / extension). Exact decode →
+  * lossless J7 gate. Driver-gated by q51. */
+final class TgaDecoder extends PayloadDecoder {
+  override val fmt = "tga"
+  override val lossless = true
+  override def decode(bytes: Array[Byte]): BufferedImage =
+    graft.functions.Tga.decode(bytes)
+  override def encode(img: BufferedImage): Array[Byte] = {
+    val w = img.getWidth; val h = img.getHeight
+    graft.functions.Tga.encode(
+      img.getRGB(0, 0, w, h, null, 0, w), w, h, imgType = 2, depth = 32)
+  }
+}
+
 /** MODERN inter-frame video codecs (h264/vp9/…) and perceptual audio
   * (mp3/aac): those genuinely need codec libraries this container doesn't
   * ship, so decode is STUBBED (clearly marked); the registry/dispatch
@@ -159,6 +178,7 @@ object DecoderRegistry {
     "qoi" -> new QoiDecoder,
     "webp" -> new WebpDecoder,
     "ico" -> new IcoDecoder,
+    "tga" -> new TgaDecoder,
     "video" -> new VideoFrameDecoderStub)
 
   /** "jpg"/"jpeg" are one format under two spellings — a registration for

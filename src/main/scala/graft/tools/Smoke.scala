@@ -277,6 +277,18 @@ object Smoke {
           (lit(16) + ($"doc_id" * 37) % 224) * sGb)
       assert(badIco.isEmpty, "q50 ico decode diverges from closed form")
       println(s"SMOKE ico: thumbs=$icoThumbs q50_rows=${q50.count()} match closed form")
+      // TGA textures (q51): registry-fmt dispatch (TGA has no magic
+      // bytes); quadrant checksum catches origin-flip/RLE/palette slips
+      val q51 = graft.SparkEntry.queries("q51_image_tga")(spark, "/root/testdata/sf0.001")
+      val tgaWeights = for { y <- 0 until 10; x <- 0 until 17 }
+        yield ((x < 8) == (y < 5), 1L + x + 17L * y)
+      val tGa = tgaWeights.collect { case (true, v) => v }.sum
+      val tGb = tgaWeights.collect { case (false, v) => v }.sum
+      val badTga = q51.where($"w" =!= 17 || $"h" =!= 10 ||
+        $"checksum" =!= (lit(28) + ($"doc_id" * 41) % 200) * tGa +
+          (lit(12) + ($"doc_id" * 53) % 228) * tGb)
+      assert(badTga.isEmpty, "q51 tga decode diverges from closed form")
+      println(s"SMOKE tga: q51_rows=${q51.count()} matches closed form")
       // RLE8/AVI (q43): the INTER-FRAME delta codec through the same
       // distributed dispatch — bg_gray is only right if compositing
       // retained the keyframe canvas under the delta frames' skips
