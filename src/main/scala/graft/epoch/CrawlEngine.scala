@@ -607,7 +607,10 @@ final class CrawlEngine(
     val idNum = regexp_extract($"image_id", "(\\d+)", 1).cast("long")
     val fetchedNew = refs
       .join(images, Seq("image_id"))
-      .withColumn("psnr", ImageOps.psnrVsSyntheticUdf($"bytes", idNum, $"w", $"h"))
+      // fmt-aware decode: signature-less formats the registry admits
+      // (tga) can only route by the row's declared fmt — the magic sniff
+      // alone would fail every such row against the lossless gate
+      .withColumn("psnr", ImageOps.psnrVsSyntheticFmtUdf($"bytes", $"fmt", idNum, $"w", $"h"))
       .withColumn("validPixels", {
         // J7 per-format invariant from the DECODER REGISTRY (X1), not a
         // hardcoded format set — the column form of PayloadDecoder.valid,

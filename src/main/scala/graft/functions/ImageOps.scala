@@ -135,11 +135,33 @@ object ImageOps {
     if (mse == 0.0) 999.0 else 10.0 * math.log10(255.0 * 255.0 / mse)
   }
 
+  /** fmt-aware decode: the magic sniff covers every SIGNED format, but a
+    * signature-less payload (tga) can only route by its declared fmt —
+    * the registry decoder is the fallback when the sniff comes up empty.
+    * One extra bounded call, no recursion: registry decoders that
+    * delegate back to [[decode]] re-fail the sniff and return null. */
+  def decodeFmt(fmt: String, bytes: Array[Byte]): BufferedImage = {
+    val sniffed = decode(bytes)
+    if (sniffed != null || fmt == null || bytes == null) return sniffed
+    try graft.sources.DecoderRegistry.get(fmt).decode(bytes)
+    catch { case scala.util.control.NonFatal(_) => null }
+  }
+
   /** PSNR of decoded bytes vs the deterministic synthetic ground truth —
     * the J7 per-row invariant without shipping reference pixels. */
   def psnrVsSynthetic(bytes: Array[Byte], i: Long, w: Int, h: Int): Double = {
     val img = decode(bytes)
     if (img == null) return -1.0 // undecodable → fails every PSNR gate
+    val truth = toImage(syntheticPixels(i, w, h), w, h)
+    psnrImages(img, truth)
+  }
+
+  /** [[psnrVsSynthetic]] with fmt-aware decode, so signature-less
+    * formats the J7 gate admits via the registry (tga) actually decode
+    * there instead of silently failing every row. */
+  def psnrVsSyntheticFmt(bytes: Array[Byte], fmt: String, i: Long, w: Int, h: Int): Double = {
+    val img = decodeFmt(fmt, bytes)
+    if (img == null) return -1.0
     val truth = toImage(syntheticPixels(i, w, h), w, h)
     psnrImages(img, truth)
   }
@@ -259,6 +281,10 @@ object ImageOps {
 
   val psnrUdf: UserDefinedFunction = udf(psnrDb _)
   val psnrVsSyntheticUdf: UserDefinedFunction = udf(psnrVsSynthetic _)
+
+  /** fmt-aware variant — the J7 gate's decode must follow the row's
+    * declared format for signature-less payloads. */
+  val psnrVsSyntheticFmtUdf: UserDefinedFunction = udf(psnrVsSyntheticFmt _)
   val phashUdf: UserDefinedFunction = udf(phash64 _)
   val hammingUdf: UserDefinedFunction = udf(hamming64 _)
   // dims are null (not a crash) for undecodable payloads — same decode

@@ -48,6 +48,10 @@ object Tga {
       val desc = bytes(17) & 0xff
       val rightToLeft = (desc & 0x10) != 0
       val topDown = (desc & 0x20) != 0
+      // reserved color-map types and legacy interleave modes classify:
+      // decoding around them would read palette bytes as pixels or emit
+      // scrambled rows (stb_image/ImageMagick reject them the same way)
+      if (cmType > 1 || (desc & 0xc0) != 0) return null
       if (w < 1 || h < 1 || w.toLong * h > MaxPixels) return null
       val rle = imgType >= 9 && imgType <= 11
       val base = if (rle) imgType - 8 else imgType
@@ -55,7 +59,7 @@ object Tga {
       if (base < 1 || base > 3) return null
       val bpp = depth match {
         case 8 if base != 2 => 1
-        case 16 if base == 2 => 2
+        case 15 | 16 if base == 2 => 2 // same ARGB1555 layout either way
         case 24 if base == 2 => 3
         case 32 if base == 2 => 4
         case _ => return null
@@ -136,19 +140,22 @@ object Tga {
         }
       }
       val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_ARGB)
-      val px = new Array[Int](n)
-      var y = 0
-      while (y < h) {
-        val srcRow = if (topDown) y else h - 1 - y
-        var x = 0
-        while (x < w) {
-          val srcX = if (rightToLeft) w - 1 - x else x
-          px(y * w + x) = stored(srcRow * w + srcX)
-          x += 1
+      if (topDown && !rightToLeft) img.setRGB(0, 0, w, h, stored, 0, w)
+      else { // reorder only when the descriptor actually flips an axis
+        val px = new Array[Int](n)
+        var y = 0
+        while (y < h) {
+          val srcRow = if (topDown) y else h - 1 - y
+          var x = 0
+          while (x < w) {
+            val srcX = if (rightToLeft) w - 1 - x else x
+            px(y * w + x) = stored(srcRow * w + srcX)
+            x += 1
+          }
+          y += 1
         }
-        y += 1
+        img.setRGB(0, 0, w, h, px, 0, w)
       }
-      img.setRGB(0, 0, w, h, px, 0, w)
       img
     } catch {
       case _: Malformed => null
@@ -212,21 +219,25 @@ object Tga {
     }
     if (!rle) stored.foreach(emit)
     else {
-      // greedy: maximal runs of one value, else maximal raw packets
-      var i = 0
-      val n = stored.length
-      while (i < n) {
-        var run = 1
-        while (run < 128 && i + run < n && stored(i + run) == stored(i)) run += 1
-        if (run >= 2) {
-          bos.write(0x80 | (run - 1)); emit(stored(i)); i += run
-        } else {
-          var raw = 1
-          while (raw < 128 && i + raw < n &&
-            !(i + raw + 1 < n && stored(i + raw) == stored(i + raw + 1))) raw += 1
-          bos.write(raw - 1)
-          (0 until raw).foreach(j => emit(stored(i + j)))
-          i += raw
+      // greedy per SCAN LINE: the spec forbids packets that cross line
+      // boundaries, so runs/raws restart at each row (the decoder here is
+      // tolerant, but files must be valid to conforming third parties)
+      (0 until h).foreach { row =>
+        var i = row * w
+        val rowEnd = i + w
+        while (i < rowEnd) {
+          var run = 1
+          while (run < 128 && i + run < rowEnd && stored(i + run) == stored(i)) run += 1
+          if (run >= 2) {
+            bos.write(0x80 | (run - 1)); emit(stored(i)); i += run
+          } else {
+            var raw = 1
+            while (raw < 128 && i + raw < rowEnd &&
+              !(i + raw + 1 < rowEnd && stored(i + raw) == stored(i + raw + 1))) raw += 1
+            bos.write(raw - 1)
+            (0 until raw).foreach(j => emit(stored(i + j)))
+            i += raw
+          }
         }
       }
     }

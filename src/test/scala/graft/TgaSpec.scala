@@ -63,6 +63,58 @@ class TgaSpec extends AnyFunSuite {
     assert(img.getRGB(1, 0) == (0xff000000 | (mid << 16) | (mid << 8) | mid))
   }
 
+  test("depth-15 truecolor decodes like 16 (legacy writers emit it)") {
+    val red = (31 << 10).toShort
+    val bytes = Array[Byte](0, 0, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 0, 1, 0, 15, 0x20,
+      (red & 0xff).toByte, ((red >> 8) & 0xff).toByte)
+    val img = Tga.decode(bytes)
+    assert(img != null && img.getRGB(0, 0) == 0xffff0000)
+  }
+
+  test("reserved color-map types and legacy interleave bits classify, not scramble") {
+    val px = Array.fill(4 * 4)(0xff101010)
+    val ok = Tga.encode(px, 4, 4, imgType = 2, depth = 24)
+    val badCm = ok.clone(); badCm(1) = 2 // reserved cmType
+    assert(Tga.decode(badCm) == null)
+    val interleaved = ok.clone()
+    interleaved(17) = (interleaved(17) | 0x40).toByte // two-way interleave
+    assert(Tga.decode(interleaved) == null)
+  }
+
+  test("encoded RLE packets never cross scan lines (spec conformance)") {
+    // the quadrant fixture has same-color spans that CONTINUE across row
+    // boundaries — walk the packet stream and assert each packet ends
+    // within the row it started in
+    Seq(2L, 4L).foreach { d => // the RLE fixture variants
+      val bytes = FixtureGen.tgaBytes(d)
+      val bpp = if (d % 6 == 4) 1 else 3 // palette-RLE vs truecolor-RLE
+      val palBytes = if (d % 6 == 4) 3 * ((bytes(5) & 0xff) | ((bytes(6) & 0xff) << 8)) else 0
+      var p = 18 + palBytes
+      var i = 0
+      while (i < 17 * 10) {
+        val packet = bytes(p) & 0xff; p += 1
+        val count = (packet & 0x7f) + 1
+        assert(i / 17 == (i + count - 1) / 17,
+          s"doc $d: packet at pixel $i (count $count) crosses a scan line")
+        if ((packet & 0x80) != 0) p += bpp else p += bpp * count
+        i += count
+      }
+    }
+  }
+
+  test("J7 gate path: fmt-aware decode validates a signature-less tga row") {
+    import graft.functions.ImageOps
+    val (w, h) = (16, 12)
+    val synth = ImageOps.syntheticPixels(7L, w, h)
+    val tga = Tga.encode(synth, w, h, imgType = 2, depth = 32)
+    // the magic sniff alone cannot route this...
+    assert(ImageOps.decode(tga) == null || ImageOps.decode(tga).getWidth != w)
+    // ...but the gate's fmt-aware decode must, and losslessly
+    assert(ImageOps.psnrVsSyntheticFmt(tga, "tga", 7L, w, h) == 999.0)
+    assert(ImageOps.psnrVsSyntheticFmt(tga, null, 7L, w, h) == -1.0)
+    assert(ImageOps.psnrVsSyntheticFmt(tga, "no-such-fmt", 7L, w, h) == -1.0)
+  }
+
   test("RLE runs may not overrun the image; truncated packets classify") {
     val px = Array.fill(8 * 8)(0xff555555)
     val good = Tga.encode(px, 8, 8, imgType = 10, depth = 24)
