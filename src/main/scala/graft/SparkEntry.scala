@@ -926,6 +926,29 @@ object SparkEntry {
         .select(col("doc_id"), col("f._1").as("w"), col("f._2").as("h"),
           col("f._3").as("checksum"), col("f._4").as("peak"))
         .orderBy("doc_id")
+    }),
+    "q52_audio_mp3meta" -> ((s, d) => {
+      // X1 — MPEG audio (MP3) frame-header METADATA
+      // ([[graft.functions.Mpeg]]): the ffprobe-shaped operation a
+      // training pipeline runs at 100 TB — duration/bitrate/rate/channel
+      // bucketing WITHOUT decoding samples (sample decode needs a codec
+      // and stays honestly stubbed). The walk chains real frame headers
+      // sync-to-sync, skips leading ID3v2 tags (every fourth doc wears
+      // one), and classifies junk; the fixture cycles the full MPEG1-L3
+      // bitrate table, all three sample rates, and both channel modes,
+      // each emitted field pinned by the closed-form oracle.
+      val metaUdf = udf((docId: Long) => {
+        graft.functions.Mpeg.audioMeta(graft.fixtures.FixtureGen.mp3Bytes(docId)) match {
+          case Some(m) => (m.sampleRate.toLong, m.channels.toLong,
+            m.frames.toLong, m.bitrateKbps.toLong, m.durationMs)
+          case None => (-1L, -1L, -1L, -1L, -1L)
+        }
+      })
+      docs(s, d).select(col("doc_id"), metaUdf(col("doc_id")).as("m"))
+        .select(col("doc_id"), col("m._1").as("sample_rate"),
+          col("m._2").as("channels"), col("m._3").as("n_frames"),
+          col("m._4").as("bitrate_kbps"), col("m._5").as("duration_ms"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1549,6 +1572,30 @@ object SparkEntry {
          SELECT doc_id, 17::BIGINT AS w, 10::BIGINT AS h,
                 CAST(sum(v*(1 + x + 17*y)) AS BIGINT) AS checksum,
                 CAST(max(v) AS BIGINT) AS peak
-         FROM g GROUP BY doc_id ORDER BY doc_id"""
+         FROM g GROUP BY doc_id ORDER BY doc_id""",
+    // q52: the MP3 metadata walk reads only frame headers, so every
+    // field is a closed form of the fixture parameters — the bitrate
+    // CASE is the full MPEG1 Layer-III table (indices 1..14), and
+    // duration is the floor division the decoder computes
+    "q52_audio_mp3meta" ->
+      """WITH p AS (
+           SELECT doc_id,
+                  CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                       ELSE 32000 END AS sr,
+                  CASE doc_id % 2 WHEN 0 THEN 1 ELSE 2 END AS ch,
+                  40 + doc_id % 30 AS nf,
+                  CASE doc_id % 14
+                       WHEN 0 THEN 32 WHEN 1 THEN 40 WHEN 2 THEN 48
+                       WHEN 3 THEN 56 WHEN 4 THEN 64 WHEN 5 THEN 80
+                       WHEN 6 THEN 96 WHEN 7 THEN 112 WHEN 8 THEN 128
+                       WHEN 9 THEN 160 WHEN 10 THEN 192 WHEN 11 THEN 224
+                       WHEN 12 THEN 256 ELSE 320 END AS kbps
+           FROM documents)
+         SELECT doc_id, CAST(sr AS BIGINT) AS sample_rate,
+                CAST(ch AS BIGINT) AS channels,
+                CAST(nf AS BIGINT) AS n_frames,
+                CAST(kbps AS BIGINT) AS bitrate_kbps,
+                CAST(nf * 1152 * 1000 // sr AS BIGINT) AS duration_ms
+         FROM p ORDER BY doc_id"""
   )
 }

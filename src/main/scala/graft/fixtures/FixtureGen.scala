@@ -735,6 +735,22 @@ object FixtureGen {
     }
   }
 
+  /** q52 fixture: a deterministic MPEG1 Layer-III frame chain per doc —
+    * `n = 40 + d%30` frames, sample rate cycling 44100/48000/32000 by
+    * d%3, bitrate index `1 + d%14` (the full V1L3 table over 14 docs),
+    * mono by d-parity, and every fourth doc wears a leading ID3v2 tag
+    * (syncsafe size `37 + d%50`) the walk must skip. Headers are real,
+    * payloads zeroed — the metadata op never reads past the header, and
+    * sample decode is exactly what [[graft.functions.Mpeg]] honestly
+    * does NOT do. Closed form: duration_ms = n·1152·1000 ÷ rate. */
+  def mp3Bytes(docId: Long): Array[Byte] =
+    graft.functions.Mpeg.encodeFrames(
+      nFrames = (40 + docId % 30).toInt,
+      srIdx = (docId % 3).toInt,
+      brIdx = (1 + docId % 14).toInt,
+      mono = docId % 2 == 0,
+      id3v2Bytes = if (docId % 4 == 0) (37 + docId % 50).toInt else 0)
+
   final case class PageRow(
       url: String, host: String, status: Int, contentType: String,
       content: String, links: Seq[String], navLinks: Seq[String],

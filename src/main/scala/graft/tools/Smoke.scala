@@ -289,6 +289,14 @@ object Smoke {
           (lit(12) + ($"doc_id" * 53) % 228) * tGb)
       assert(badTga.isEmpty, "q51 tga decode diverges from closed form")
       println(s"SMOKE tga: q51_rows=${q51.count()} matches closed form")
+      // MP3 frame-header metadata (q52): duration/rate/channel bucketing
+      // without sample decode — the ffprobe-shaped pipeline op
+      val q52 = graft.SparkEntry.queries("q52_audio_mp3meta")(spark, "/root/testdata/sf0.001")
+      val badMp3 = q52.where($"n_frames" =!= lit(40) + $"doc_id" % 30 ||
+        $"duration_ms" =!= expr("n_frames * 1152000 div sample_rate") ||
+        $"sample_rate" < 0)
+      assert(badMp3.isEmpty, "q52 mp3 metadata diverges from closed form")
+      println(s"SMOKE mp3meta: q52_rows=${q52.count()} matches closed form")
       // RLE8/AVI (q43): the INTER-FRAME delta codec through the same
       // distributed dispatch — bg_gray is only right if compositing
       // retained the keyframe canvas under the delta frames' skips
