@@ -11,8 +11,10 @@ package graft.functions
   * genuinely needs a codec and stays with the clearly-marked stubs; this
   * module is the honest metadata half.
   *
-  *  - leading ID3v2 tags are skipped (syncsafe size), trailing ID3v1
-  *    (128-byte "TAG") and up to a frame of trailing junk are tolerated
+  *  - leading ID3v2 tags are skipped (syncsafe size, v2.4 footer flag
+  *    honored), padding gaps after the tag are resync-scanned (bounded),
+  *    and trailing ID3v1 (128-byte "TAG") plus up to a frame of trailing
+  *    junk are tolerated
   *  - at least [[MinFrames]] consistent frames must chain sync-to-sync
   *    (a lone 0xFFE sync in random bytes classifies, not parses)
   *  - free-format (bitrate index 0) and reserved indices classify
@@ -94,14 +96,21 @@ object Mpeg {
   }
 
   /** Skip a leading ID3v2 tag: "ID3", 2 version bytes, flags, 4-byte
-    * SYNCSAFE size (7 bits per byte), then the tag body. */
+    * SYNCSAFE size (7 bits per byte), the tag body, and — when the v2.4
+    * footer flag (0x10) is set — the 10-byte footer the size excludes. */
   private def skipId3v2(b: Array[Byte]): Int =
     if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3' &&
       (b(6) & 0x80) == 0 && (b(7) & 0x80) == 0 && (b(8) & 0x80) == 0 && (b(9) & 0x80) == 0) {
       val size = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
         ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
-      math.min(b.length, 10 + size)
+      val footer = if ((b(5) & 0x10) != 0) 10 else 0
+      math.min(b.length, 10 + size + footer)
     } else 0
+
+  /** How far past the tag to hunt for the first CHAINING sync — tag
+    * editors leave padding/null gaps and stream rips start mid-frame;
+    * bounded so a giant non-audio blob classifies in O(bound). */
+  private val ResyncWindow = 128 * 1024
 
   /** Metadata for an MPEG audio stream, or None when the payload is not
     * one. Frames must CHAIN (each header sits exactly where the previous
@@ -109,11 +118,29 @@ object Mpeg {
   def audioMeta(bytes: Array[Byte]): Option[Meta] =
     try {
       if (bytes == null) return None
-      var p = skipId3v2(bytes)
-      val first = frameAt(bytes, p).getOrElse(return None)
+      // resync scan: the first frame need not sit exactly at the tag end
+      // (padding gaps, stream rips starting mid-frame); a candidate sync
+      // only counts when it CHAINS to a consistent second frame, so the
+      // scan cannot lock onto a lone sync in noise
+      val tagEnd = skipId3v2(bytes)
+      val scanEnd = math.min(bytes.length.toLong, tagEnd.toLong + ResyncWindow).toInt
+      var p = tagEnd
+      var first: Frame = null
+      while (first == null && p < scanEnd) {
+        frameAt(bytes, p) match {
+          case Some(f) if p + f.sizeBytes <= bytes.length &&
+              frameAt(bytes, p + f.sizeBytes).exists(g =>
+                g.version == f.version && g.layer == f.layer &&
+                  g.sampleRate == f.sampleRate && g.channels == f.channels) =>
+            first = f
+          case _ => p += 1
+        }
+      }
+      if (first == null) return None
       var frames = 0
       var kbpsSum = 0L
       var samplesSum = 0L
+      var maxSize = first.sizeBytes
       var vbr = false
       var ok = true
       while (ok) {
@@ -127,6 +154,7 @@ object Mpeg {
             frames += 1
             kbpsSum += f.bitrateKbps
             samplesSum += f.samples
+            if (f.sizeBytes > maxSize) maxSize = f.sizeBytes
             if (f.bitrateKbps != first.bitrateKbps) vbr = true
             p += f.sizeBytes
           case _ => ok = false
@@ -134,9 +162,10 @@ object Mpeg {
       }
       if (frames < MinFrames) return None
       // trailing slack: an ID3v1 tag (128 bytes) or sub-frame junk is
-      // normal; more unparsed bytes than a frame + tag means this is not
-      // a clean MPEG stream — classify rather than under-report duration
-      if (bytes.length - p > first.sizeBytes + 128) return None
+      // normal; more unparsed bytes than the LARGEST frame + tag (a VBR
+      // tail can be bigger than the first frame) means this is not a
+      // clean MPEG stream — classify rather than under-report duration
+      if (bytes.length - p > maxSize + 128) return None
       val durationMs = samplesSum * 1000L / first.sampleRate
       Some(Meta(
         version = first.version match {

@@ -60,6 +60,37 @@ class MpegSpec extends AnyFunSuite {
     assert(Mpeg.audioMeta(junk).isEmpty)
   }
 
+  test("ID3v2.4 footer flag: the 10-byte footer the size excludes is skipped too") {
+    val core = Mpeg.encodeFrames(nFrames = 4, srIdx = 0, brIdx = 9, mono = false)
+    val body = Array.fill(40)(0.toByte)
+    val hdr = Array[Byte]('I', 'D', '3', 4, 0, 0x10.toByte, 0, 0, 0, 40) ++
+      body ++ Array[Byte]('3', 'D', 'I', 4, 0, 0x10.toByte, 0, 0, 0, 40)
+    val m = Mpeg.audioMeta(hdr ++ core).getOrElse(fail("footer tag must skip"))
+    assert(m.frames == 4)
+  }
+
+  test("resync: padding between the tag and the first frame is scanned past") {
+    val core = Mpeg.encodeFrames(nFrames = 5, srIdx = 1, brIdx = 7, mono = true)
+    val padded = Array.fill(33)(0.toByte) ++ core // tag-editor padding gap
+    val m = Mpeg.audioMeta(padded).getOrElse(fail("leading padding must resync"))
+    assert(m.frames == 5 && m.sampleRate == 48000)
+    // a partial leading frame (stream rip) also resyncs to the chain
+    val ripped = core.drop(50)
+    val r = Mpeg.audioMeta(ripped).getOrElse(fail("stream rip must resync"))
+    assert(r.frames == 4)
+  }
+
+  test("VBR truncated tail: slack is judged by the LARGEST frame, not the first") {
+    // first frame tiny (32 kbps), later frames large (320 kbps); cutting
+    // into the big final frame leaves more slack than the FIRST frame's
+    // size — the stream must still parse with the partial frame dropped
+    val small = Mpeg.encodeFrames(nFrames = 2, srIdx = 0, brIdx = 1, mono = true)
+    val big = Mpeg.encodeFrames(nFrames = 2, srIdx = 0, brIdx = 14, mono = true)
+    val cut = (small ++ big).dropRight(60)
+    val m = Mpeg.audioMeta(cut).getOrElse(fail("VBR truncated tail must parse"))
+    assert(m.frames == 3 && m.vbr)
+  }
+
   test("a truncated final frame drops from the count, not over-reports duration") {
     val core = Mpeg.encodeFrames(nFrames = 4, srIdx = 2, brIdx = 6, mono = true)
     val cut = core.dropRight(10) // the 4th frame's payload is incomplete
