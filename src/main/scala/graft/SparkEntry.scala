@@ -949,6 +949,34 @@ object SparkEntry {
           col("m._2").as("channels"), col("m._3").as("n_frames"),
           col("m._4").as("bitrate_kbps"), col("m._5").as("duration_ms"))
         .orderBy("doc_id")
+    }),
+    "q53_video_mp4meta" -> ((s, d) => {
+      // X1 — ISO-BMFF (MP4) box-walk METADATA ([[graft.functions.Mp4]]):
+      // brand, movie duration, per-track codec fourcc, video dims, audio
+      // rate/channels, sample counts — the ffprobe-shaped operation for
+      // the web's dominant video container, WITHOUT decoding samples
+      // (h264/hevc/aac decode needs codecs and stays honestly stubbed).
+      // The fixture cycles codecs/brands/dims and rotates v1 FullBoxes,
+      // 64-bit largesize mdat, and a moov uuid box — structure variants
+      // that must not move any output; every field is pinned by the
+      // closed-form oracle.
+      val metaUdf = udf((docId: Long) => {
+        graft.functions.Mp4.videoMeta(graft.fixtures.FixtureGen.mp4Bytes(docId)) match {
+          case Some(m) =>
+            val v = m.video.getOrElse(graft.functions.Mp4.Track("", "", 0, 0, 0, 0, -1L, -1L))
+            val a = m.audio.getOrElse(graft.functions.Mp4.Track("", "", 0, 0, 0, 0, -1L, -1L))
+            (m.brand, m.durationMs, v.codec, v.width.toLong, v.height.toLong,
+              v.nSamples, a.codec, a.sampleRate.toLong, a.channels.toLong)
+          case None => ("", -1L, "", -1L, -1L, -1L, "", -1L, -1L)
+        }
+      })
+      docs(s, d).select(col("doc_id"), metaUdf(col("doc_id")).as("m"))
+        .select(col("doc_id"), col("m._1").as("brand"),
+          col("m._2").as("duration_ms"), col("m._3").as("video_codec"),
+          col("m._4").as("w"), col("m._5").as("h"),
+          col("m._6").as("n_video_samples"), col("m._7").as("audio_codec"),
+          col("m._8").as("audio_rate"), col("m._9").as("audio_channels"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1596,6 +1624,32 @@ object SparkEntry {
                 CAST(nf AS BIGINT) AS n_frames,
                 CAST(kbps AS BIGINT) AS bitrate_kbps,
                 CAST(nf * 1152 * 1000 // sr AS BIGINT) AS duration_ms
+         FROM p ORDER BY doc_id""",
+    // q53: the MP4 box walk reads only moov headers, so every field is
+    // a closed form of the fixture parameters — 40 ms per video sample
+    // (delta 512 at timescale 12800), codecs/brands/dims cycling by
+    // doc_id residues; the v1-box / largesize / uuid structure variants
+    // change the wire layout but no output
+    "q53_video_mp4meta" ->
+      """WITH p AS (
+           SELECT doc_id,
+                  24 + doc_id % 48 AS n,
+                  CASE doc_id % 3 WHEN 0 THEN 'isom' WHEN 1 THEN 'mp42'
+                       ELSE 'mp41' END AS brand,
+                  CASE doc_id % 4 WHEN 0 THEN 'avc1' WHEN 1 THEN 'hev1'
+                       WHEN 2 THEN 'vp09' ELSE 'av01' END AS vcodec,
+                  160 + 16*(doc_id % 28) AS w,
+                  90 + 2*(doc_id % 40) AS h,
+                  CASE doc_id % 2 WHEN 0 THEN 'mp4a' ELSE 'Opus' END AS acodec,
+                  CASE doc_id % 3 WHEN 0 THEN 48000 WHEN 1 THEN 44100
+                       ELSE 32000 END AS arate,
+                  1 + doc_id % 2 AS ach
+           FROM documents)
+         SELECT doc_id, brand, CAST(40*n AS BIGINT) AS duration_ms,
+                vcodec AS video_codec, CAST(w AS BIGINT) AS w,
+                CAST(h AS BIGINT) AS h, CAST(n AS BIGINT) AS n_video_samples,
+                acodec AS audio_codec, CAST(arate AS BIGINT) AS audio_rate,
+                CAST(ach AS BIGINT) AS audio_channels
          FROM p ORDER BY doc_id"""
   )
 }

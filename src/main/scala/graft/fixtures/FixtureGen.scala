@@ -751,6 +751,40 @@ object FixtureGen {
       mono = docId % 2 == 0,
       id3v2Bytes = if (docId % 4 == 0) (37 + docId % 50).toInt else 0)
 
+  /** q53 fixture: a deterministic ISO-BMFF (MP4) box tree per doc —
+    * `n = 24 + d%48` video samples at delta 512 / timescale 12800
+    * (exactly 40n ms), an audio track at 20 ms/frame (delta = rate/50,
+    * all three rates divide), video codec fourcc cycling
+    * avc1/hev1/vp09/av01 by d%4, audio mp4a/Opus by d-parity, major
+    * brand isom/mp42/mp41 by d%3, dims `w = 160+16(d%28)`,
+    * `h = 90+2(d%40)`. Structure variants that must not change the
+    * outputs: version-1 mvhd/mdhd (d%5=0), 64-bit largesize mdat
+    * (d%7=0), a uuid box inside moov (d%6=0). Box tree is real,
+    * mdat zeroed — the metadata walk never reads samples, and sample
+    * decode is exactly what [[graft.functions.Mp4]] honestly does
+    * NOT do. */
+  def mp4Bytes(docId: Long): Array[Byte] = {
+    import graft.functions.Mp4
+    val n = (24 + docId % 48).toInt
+    val rate = Seq(48000, 44100, 32000)((docId % 3).toInt)
+    Mp4.encode(
+      brand = Seq("isom", "mp42", "mp41")((docId % 3).toInt),
+      movieTimescale = 600,
+      video = Some(Mp4.VideoSpec(
+        codec = Seq("avc1", "hev1", "vp09", "av01")((docId % 4).toInt),
+        w = (160 + 16 * (docId % 28)).toInt,
+        h = (90 + 2 * (docId % 40)).toInt,
+        nSamples = n, delta = 512, timescale = 12800)),
+      audio = Some(Mp4.AudioSpec(
+        codec = if (docId % 2 == 0) "mp4a" else "Opus",
+        rate = rate, channels = (1 + docId % 2).toInt,
+        nSamples = n, delta = rate / 50)),
+      v1Boxes = docId % 5 == 0,
+      largesizeMdat = docId % 7 == 0,
+      uuidInMoov = docId % 6 == 0,
+      mdatLen = 48 + (docId % 64).toInt)
+  }
+
   final case class PageRow(
       url: String, host: String, status: Int, contentType: String,
       content: String, links: Seq[String], navLinks: Seq[String],

@@ -297,6 +297,15 @@ object Smoke {
         $"sample_rate" < 0)
       assert(badMp3.isEmpty, "q52 mp3 metadata diverges from closed form")
       println(s"SMOKE mp3meta: q52_rows=${q52.count()} matches closed form")
+      // MP4 box-walk metadata (q53): brand/duration/codec/dims bucketing
+      // for the web's dominant video container, no sample decode
+      val q53 = graft.SparkEntry.queries("q53_video_mp4meta")(spark, "/root/testdata/sf0.001")
+      val badMp4 = q53.where($"n_video_samples" =!= lit(24) + $"doc_id" % 48 ||
+        $"duration_ms" =!= $"n_video_samples" * 40 ||
+        $"w" =!= lit(160) + lit(16) * ($"doc_id" % 28) ||
+        $"audio_channels" =!= lit(1) + $"doc_id" % 2)
+      assert(badMp4.isEmpty, "q53 mp4 metadata diverges from closed form")
+      println(s"SMOKE mp4meta: q53_rows=${q53.count()} matches closed form")
       // RLE8/AVI (q43): the INTER-FRAME delta codec through the same
       // distributed dispatch — bg_gray is only right if compositing
       // retained the keyframe canvas under the delta frames' skips
