@@ -977,6 +977,28 @@ object SparkEntry {
           col("m._6").as("n_video_samples"), col("m._7").as("audio_codec"),
           col("m._8").as("audio_rate"), col("m._9").as("audio_channels"))
         .orderBy("doc_id")
+    }),
+    "q54_image_exif" -> ((s, d) => {
+      // X1 — JPEG marker walk + EXIF metadata ([[graft.functions.Jpeg]]):
+      // SOF dims off the real JDK-encoded marker stream, orientation /
+      // camera / timestamp / ISO / Exif dims from the TIFF IFDs (both
+      // byte orders), and the has_gps PII-scrub flag a pipeline checks
+      // before publishing crawled images. Every field is pinned by the
+      // closed-form oracle; dims come from the actual SOF, not the spec.
+      val metaUdf = udf((docId: Long) => {
+        graft.functions.Jpeg.exifMeta(graft.fixtures.FixtureGen.jpegExifBytes(docId)) match {
+          case Some(m) => (m.width.toLong, m.height.toLong, m.orientation.toLong,
+            m.make, m.model, m.dateTime, m.exifWidth, m.exifHeight, m.iso, m.hasGps)
+          case None => (-1L, -1L, -1L, "", "", "", -1L, -1L, -1L, false)
+        }
+      })
+      docs(s, d).select(col("doc_id"), metaUdf(col("doc_id")).as("m"))
+        .select(col("doc_id"), col("m._1").as("w"), col("m._2").as("h"),
+          col("m._3").as("orientation"), col("m._4").as("make"),
+          col("m._5").as("model"), col("m._6").as("taken_at"),
+          col("m._7").as("exif_w"), col("m._8").as("exif_h"),
+          col("m._9").as("iso"), col("m._10").as("has_gps"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1650,6 +1672,23 @@ object SparkEntry {
                 CAST(h AS BIGINT) AS h, CAST(n AS BIGINT) AS n_video_samples,
                 acodec AS audio_codec, CAST(arate AS BIGINT) AS audio_rate,
                 CAST(ach AS BIGINT) AS audio_channels
-         FROM p ORDER BY doc_id"""
+         FROM p ORDER BY doc_id""",
+    // q54: SOF dims are the fixture's synthetic image dims (the JDK
+    // encodes at image size); every EXIF field is the doc_id closed
+    // form the fixture writes — byte order and GPS-IFD presence rotate
+    // by residue, but only has_gps is an output
+    "q54_image_exif" ->
+      """SELECT doc_id,
+                CAST(24 + doc_id % 40 AS BIGINT) AS w,
+                CAST(16 + doc_id % 32 AS BIGINT) AS h,
+                CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+                'cam-' || (doc_id % 5) AS make,
+                'm-' || (doc_id % 7) AS model,
+                '2026:0' || (1 + doc_id % 9) || ':15 12:00:00' AS taken_at,
+                CAST(1000 + doc_id % 100 AS BIGINT) AS exif_w,
+                CAST(2000 + doc_id % 50 AS BIGINT) AS exif_h,
+                CAST(100 * (1 + doc_id % 16) AS BIGINT) AS iso,
+                doc_id % 3 = 0 AS has_gps
+         FROM documents ORDER BY doc_id"""
   )
 }

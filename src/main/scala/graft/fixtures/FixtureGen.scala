@@ -785,6 +785,28 @@ object FixtureGen {
       mdatLen = 48 + (docId % 64).toInt)
   }
 
+  /** q54 fixture: a real JDK-encoded JPEG (`w = 24 + d%40`,
+    * `h = 16 + d%32`) with a spliced EXIF APP1 — byte order by d-parity
+    * (II/MM both live), orientation `1 + d%8`, make `cam-(d%5)`, model
+    * `m-(d%7)`, timestamp `2026:0(1+d%9):15 12:00:00`, Exif pixel dims
+    * `1000 + d%100` × `2000 + d%50`, ISO `100(1 + d%16)`, and a GPS IFD
+    * on every third doc (the has_gps PII-scrub signal). The SOF dims are
+    * the JDK encoder's own — the walk reads them from the real marker
+    * stream, not from this spec. */
+  def jpegExifBytes(docId: Long): Array[Byte] = {
+    import graft.functions.{ImageOps, Jpeg}
+    val w = (24 + docId % 40).toInt
+    val h = (16 + docId % 32).toInt
+    val jpeg = ImageOps.encode(ImageOps.toImage(ImageOps.syntheticPixels(docId, w, h), w, h), "jpg")
+    Jpeg.injectExif(jpeg, Jpeg.ExifSpec(
+      orientation = (1 + docId % 8).toInt,
+      make = s"cam-${docId % 5}", model = s"m-${docId % 7}",
+      dateTime = s"2026:0${1 + docId % 9}:15 12:00:00",
+      exifW = (1000 + docId % 100).toInt, exifH = (2000 + docId % 50).toInt,
+      iso = (100 * (1 + docId % 16)).toInt,
+      gps = docId % 3 == 0, littleEndian = docId % 2 == 0))
+  }
+
   final case class PageRow(
       url: String, host: String, status: Int, contentType: String,
       content: String, links: Seq[String], navLinks: Seq[String],

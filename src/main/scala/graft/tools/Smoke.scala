@@ -306,6 +306,15 @@ object Smoke {
         $"audio_channels" =!= lit(1) + $"doc_id" % 2)
       assert(badMp4.isEmpty, "q53 mp4 metadata diverges from closed form")
       println(s"SMOKE mp4meta: q53_rows=${q53.count()} matches closed form")
+      // JPEG/EXIF metadata (q54): SOF dims + camera fields + has_gps —
+      // the PII-scrub signal before publishing crawled images
+      val q54 = graft.SparkEntry.queries("q54_image_exif")(spark, "/root/testdata/sf0.001")
+      val badExif = q54.where($"w" =!= lit(24) + $"doc_id" % 40 ||
+        $"orientation" =!= lit(1) + $"doc_id" % 8 ||
+        $"iso" =!= lit(100) * (lit(1) + $"doc_id" % 16) ||
+        $"has_gps" =!= ($"doc_id" % 3 === 0))
+      assert(badExif.isEmpty, "q54 exif metadata diverges from closed form")
+      println(s"SMOKE exif: q54_rows=${q54.count()} matches closed form")
       // RLE8/AVI (q43): the INTER-FRAME delta codec through the same
       // distributed dispatch — bg_gray is only right if compositing
       // retained the keyframe canvas under the delta frames' skips
