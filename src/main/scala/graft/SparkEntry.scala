@@ -999,6 +999,27 @@ object SparkEntry {
           col("m._7").as("exif_w"), col("m._8").as("exif_h"),
           col("m._9").as("iso"), col("m._10").as("has_gps"))
         .orderBy("doc_id")
+    }),
+    "q55_audio_oggmeta" -> ((s, d) => {
+      // X1 — Ogg container metadata ([[graft.functions.Ogg]]): codec /
+      // channels / rate / Opus pre-skip / duration / page count via the
+      // RFC 3533 page walk with REAL per-page CRC verification and the
+      // published Vorbis-I and OpusHead identification headers — the
+      // streaming-audio analog of q53's MP4 walk. Sample decode
+      // (MDCT/CELT/SILK) needs codecs and stays honestly stubbed.
+      val metaUdf = udf((docId: Long) => {
+        graft.functions.Ogg.audioMeta(graft.fixtures.FixtureGen.oggBytes(docId)) match {
+          case Some(m) => (m.codec, m.channels.toLong, m.sampleRate.toLong,
+            m.preSkipSamples.toLong, m.durationMs, m.pages.toLong)
+          case None => ("", -1L, -1L, -1L, -1L, -1L)
+        }
+      })
+      docs(s, d).select(col("doc_id"), metaUdf(col("doc_id")).as("m"))
+        .select(col("doc_id"), col("m._1").as("codec"),
+          col("m._2").as("channels"), col("m._3").as("sample_rate"),
+          col("m._4").as("pre_skip"), col("m._5").as("duration_ms"),
+          col("m._6").as("n_pages"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1689,6 +1710,24 @@ object SparkEntry {
                 CAST(2000 + doc_id % 50 AS BIGINT) AS exif_h,
                 CAST(100 * (1 + doc_id % 16) AS BIGINT) AS iso,
                 doc_id % 3 = 0 AS has_gps
+         FROM documents ORDER BY doc_id""",
+    // q55: the Ogg walk reads granules and ident headers only, so every
+    // field is the doc_id closed form the fixture encodes — Vorbis
+    // duration is granule·1000/rate with granule = (rate/100)(20+d%30),
+    // Opus is (granule−preSkip)/48 kHz with granule = preSkip+4800(10+d%90)
+    "q55_audio_oggmeta" ->
+      """SELECT doc_id,
+                CASE doc_id % 2 WHEN 0 THEN 'vorbis' ELSE 'opus' END AS codec,
+                CAST(1 + (doc_id % 6) // 3 AS BIGINT) AS channels,
+                CAST(CASE WHEN doc_id % 2 = 0 THEN
+                       CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                            ELSE 32000 END
+                     ELSE 48000 END AS BIGINT) AS sample_rate,
+                CAST(CASE WHEN doc_id % 2 = 0 THEN 0
+                     ELSE 312 + doc_id % 100 END AS BIGINT) AS pre_skip,
+                CAST(CASE WHEN doc_id % 2 = 0 THEN 10 * (20 + doc_id % 30)
+                     ELSE 100 * (10 + doc_id % 90) END AS BIGINT) AS duration_ms,
+                CAST(5 + doc_id % 5 AS BIGINT) AS n_pages
          FROM documents ORDER BY doc_id"""
   )
 }

@@ -807,6 +807,34 @@ object FixtureGen {
       gps = docId % 3 == 0, littleEndian = docId % 2 == 0))
   }
 
+  /** q55 fixture: a deterministic Ogg audio stream per doc — Vorbis
+    * (even d) with rate cycling 44100/48000/32000 by d%3 and granule
+    * `(rate/100)(20 + d%30)` (exactly `10(20 + d%30)` ms), or Opus
+    * (odd d) with pre-skip `312 + d%100` and granule
+    * `preSkip + 4800(10 + d%90)` (exactly `100(10 + d%90)` ms);
+    * channels `1 + (d%6)/3`, `3 + d%5` audio pages after the two header
+    * pages, and every fourth Vorbis doc carries a >255-byte setup packet
+    * (continuation lacing). Pages wear REAL Ogg CRCs; audio packets are
+    * zeroed — the walk reads granules and ident headers only, and
+    * sample decode is exactly what [[graft.functions.Ogg]] honestly
+    * does NOT do. */
+  def oggBytes(docId: Long): Array[Byte] = {
+    import graft.functions.Ogg
+    val ch = (1 + (docId % 6) / 3).toInt
+    if (docId % 2 == 0) {
+      val rate = Seq(44100, 48000, 32000)((docId % 3).toInt)
+      Ogg.encodeStream("vorbis", ch, rate, preSkip = 0,
+        granuleEnd = (rate / 100).toLong * (20 + docId % 30),
+        audioPages = (3 + docId % 5).toInt,
+        bigSetup = docId % 4 == 0)
+    } else {
+      val preSkip = (312 + docId % 100).toInt
+      Ogg.encodeStream("opus", ch, rate = 48000, preSkip = preSkip,
+        granuleEnd = preSkip + 4800L * (10 + docId % 90),
+        audioPages = (3 + docId % 5).toInt)
+    }
+  }
+
   final case class PageRow(
       url: String, host: String, status: Int, contentType: String,
       content: String, links: Seq[String], navLinks: Seq[String],

@@ -315,6 +315,15 @@ object Smoke {
         $"has_gps" =!= ($"doc_id" % 3 === 0))
       assert(badExif.isEmpty, "q54 exif metadata diverges from closed form")
       println(s"SMOKE exif: q54_rows=${q54.count()} matches closed form")
+      // Ogg Vorbis/Opus metadata (q55): page walk + CRC + granule duration
+      val q55 = graft.SparkEntry.queries("q55_audio_oggmeta")(spark, "/root/testdata/sf0.001")
+      val badOgg = q55.where($"n_pages" =!= lit(5) + $"doc_id" % 5 ||
+        $"duration_ms" =!= when($"doc_id" % 2 === 0,
+          lit(10) * (lit(20) + $"doc_id" % 30))
+          .otherwise(lit(100) * (lit(10) + $"doc_id" % 90)) ||
+        $"channels" =!= expr("1 + (doc_id % 6) div 3"))
+      assert(badOgg.isEmpty, "q55 ogg metadata diverges from closed form")
+      println(s"SMOKE oggmeta: q55_rows=${q55.count()} matches closed form")
       // RLE8/AVI (q43): the INTER-FRAME delta codec through the same
       // distributed dispatch — bg_gray is only right if compositing
       // retained the keyframe canvas under the delta frames' skips
