@@ -1020,6 +1020,29 @@ object SparkEntry {
           col("m._4").as("pre_skip"), col("m._5").as("duration_ms"),
           col("m._6").as("n_pages"))
         .orderBy("doc_id")
+    }),
+    "q56_video_mkvmeta" -> ((s, d) => {
+      // X1 — Matroska/WebM EBML metadata ([[graft.functions.Mkv]]):
+      // doc type, duration (TimestampScale × Duration float), per-track
+      // codec IDs, video dims, audio rate/channels — the royalty-free
+      // half of modern web video beside q53's MP4 walk, including the
+      // live-muxed unknown-Segment-size shape. Block decode (VP8/VP9/
+      // AV1, Opus/Vorbis) needs codecs and stays honestly stubbed.
+      val metaUdf = udf((docId: Long) => {
+        graft.functions.Mkv.videoMeta(graft.fixtures.FixtureGen.mkvBytes(docId)) match {
+          case Some(m) => (m.docType, m.durationMs, m.videoCodec,
+            m.width.toLong, m.height.toLong, m.audioCodec,
+            m.sampleRate.toLong, m.channels.toLong)
+          case None => ("", -1L, "", -1L, -1L, "", -1L, -1L)
+        }
+      })
+      docs(s, d).select(col("doc_id"), metaUdf(col("doc_id")).as("m"))
+        .select(col("doc_id"), col("m._1").as("doc_type"),
+          col("m._2").as("duration_ms"), col("m._3").as("video_codec"),
+          col("m._4").as("w"), col("m._5").as("h"),
+          col("m._6").as("audio_codec"), col("m._7").as("audio_rate"),
+          col("m._8").as("audio_channels"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1728,6 +1751,22 @@ object SparkEntry {
                 CAST(CASE WHEN doc_id % 2 = 0 THEN 10 * (20 + doc_id % 30)
                      ELSE 100 * (10 + doc_id % 90) END AS BIGINT) AS duration_ms,
                 CAST(5 + doc_id % 5 AS BIGINT) AS n_pages
+         FROM documents ORDER BY doc_id""",
+    // q56: the EBML walk reads headers only — every field is the
+    // fixture's doc_id closed form (duration floats are integers well
+    // under 2^24, exact in both float widths)
+    "q56_video_mkvmeta" ->
+      """SELECT doc_id,
+                CASE doc_id % 2 WHEN 0 THEN 'webm' ELSE 'matroska' END AS doc_type,
+                CAST(5000 + 250 * (doc_id % 37) AS BIGINT) AS duration_ms,
+                CASE doc_id % 4 WHEN 0 THEN 'V_VP8' WHEN 1 THEN 'V_VP9'
+                     WHEN 2 THEN 'V_AV1' ELSE 'V_MPEG4/ISO/AVC' END AS video_codec,
+                CAST(320 + 16 * (doc_id % 20) AS BIGINT) AS w,
+                CAST(180 + 2 * (doc_id % 50) AS BIGINT) AS h,
+                CASE doc_id % 2 WHEN 0 THEN 'A_OPUS' ELSE 'A_VORBIS' END AS audio_codec,
+                CAST(CASE doc_id % 3 WHEN 0 THEN 48000 WHEN 1 THEN 44100
+                     ELSE 32000 END AS BIGINT) AS audio_rate,
+                CAST(1 + doc_id % 2 AS BIGINT) AS audio_channels
          FROM documents ORDER BY doc_id"""
   )
 }

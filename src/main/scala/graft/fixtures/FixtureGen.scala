@@ -835,6 +835,32 @@ object FixtureGen {
     }
   }
 
+  /** q56 fixture: a deterministic Matroska/WebM EBML tree per doc —
+    * doc type webm/matroska by d-parity, duration `5000 + 250(d%37)` ms
+    * (float, 8-byte form when d%3=0), video codec cycling
+    * V_VP8/V_VP9/V_AV1/V_MPEG4 by d%4 at `320+16(d%20)`×`180+2(d%50)`,
+    * audio A_OPUS/A_VORBIS with rate cycling by d%3 and `1 + d%2`
+    * channels, and the all-ones unknown Segment size (live-muxed shape)
+    * on every fifth doc. Blocks are an empty Cluster — the walk reads
+    * headers only, and block decode is exactly what
+    * [[graft.functions.Mkv]] honestly does NOT do. */
+  def mkvBytes(docId: Long): Array[Byte] = {
+    import graft.functions.Mkv
+    Mkv.encode(
+      docType = if (docId % 2 == 0) "webm" else "matroska",
+      durationMs = (5000 + 250 * (docId % 37)).toDouble,
+      video = Some(Mkv.VideoTrack(
+        Seq("V_VP8", "V_VP9", "V_AV1", "V_MPEG4/ISO/AVC")((docId % 4).toInt),
+        (320 + 16 * (docId % 20)).toInt,
+        (180 + 2 * (docId % 50)).toInt)),
+      audio = Some(Mkv.AudioTrack(
+        if (docId % 2 == 0) "A_OPUS" else "A_VORBIS",
+        Seq(48000, 44100, 32000)((docId % 3).toInt),
+        (1 + docId % 2).toInt)),
+      unknownSegmentSize = docId % 5 == 0,
+      wideDuration = docId % 3 == 0)
+  }
+
   final case class PageRow(
       url: String, host: String, status: Int, contentType: String,
       content: String, links: Seq[String], navLinks: Seq[String],

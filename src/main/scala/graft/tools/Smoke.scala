@@ -324,6 +324,15 @@ object Smoke {
         $"channels" =!= expr("1 + (doc_id % 6) div 3"))
       assert(badOgg.isEmpty, "q55 ogg metadata diverges from closed form")
       println(s"SMOKE oggmeta: q55_rows=${q55.count()} matches closed form")
+      // Matroska/WebM EBML metadata (q56): the royalty-free web container
+      val q56 = graft.SparkEntry.queries("q56_video_mkvmeta")(spark, "/root/testdata/sf0.001")
+      val badMkv = q56.where(
+        $"duration_ms" =!= lit(5000) + lit(250) * ($"doc_id" % 37) ||
+        $"w" =!= lit(320) + lit(16) * ($"doc_id" % 20) ||
+        $"audio_channels" =!= lit(1) + $"doc_id" % 2 ||
+        ($"doc_id" % 2 === 0 && $"doc_type" =!= "webm"))
+      assert(badMkv.isEmpty, "q56 mkv metadata diverges from closed form")
+      println(s"SMOKE mkvmeta: q56_rows=${q56.count()} matches closed form")
       // RLE8/AVI (q43): the INTER-FRAME delta codec through the same
       // distributed dispatch — bg_gray is only right if compositing
       // retained the keyframe canvas under the delta frames' skips
