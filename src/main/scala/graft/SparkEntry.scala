@@ -1043,6 +1043,44 @@ object SparkEntry {
           col("m._6").as("audio_codec"), col("m._7").as("audio_rate"),
           col("m._8").as("audio_channels"))
         .orderBy("doc_id")
+    }),
+    "q57_media_triage" -> ((s, d) => {
+      // X1 — single-pass media TRIAGE ([[graft.functions.MediaMeta]]):
+      // the one call a pipeline runs on every fetched payload — sniff the
+      // container from CONTENT (never a trusted column), route to the
+      // walker that owns it, normalize to one (kind, container, codec,
+      // dims, duration, rate, channels) record. Each doc cycles through
+      // 12 container families by doc_id%12 with the payload keyed by the
+      // QUOTIENT, so every family sees every residue class; family 11 is
+      // TGA, which is signature-less by design — content triage honestly
+      // reports it unknown (reachable only by declared fmt, see q51).
+      val triageUdf = udf((docId: Long) => {
+        val q = docId / 12
+        val bytes = (docId % 12) match {
+          case 0 => graft.fixtures.FixtureGen.jpegExifBytes(q)
+          case 1 => graft.fixtures.FixtureGen.mp4Bytes(q)
+          case 2 => graft.fixtures.FixtureGen.mkvBytes(q)
+          case 3 => graft.fixtures.FixtureGen.oggBytes(q)
+          case 4 => graft.fixtures.FixtureGen.wavBytes(q)
+          case 5 => graft.fixtures.FixtureGen.mp3Bytes(q)
+          case 6 => graft.fixtures.FixtureGen.y4mBytes(q)
+          case 7 => graft.fixtures.FixtureGen.gifBytes(q)
+          case 8 => graft.fixtures.FixtureGen.qoiBytes(q)
+          case 9 => graft.fixtures.FixtureGen.webpBytes(q)
+          case 10 => graft.fixtures.FixtureGen.icoBytes(q)
+          case _ => graft.fixtures.FixtureGen.tgaBytes(q)
+        }
+        val m = graft.functions.MediaMeta.describe(bytes)
+        (m.kind, m.container, m.codec, m.width.toLong, m.height.toLong,
+          m.durationMs, m.sampleRate.toLong, m.channels.toLong)
+      })
+      docs(s, d).select(col("doc_id"), triageUdf(col("doc_id")).as("m"))
+        .select(col("doc_id"), col("m._1").as("kind"),
+          col("m._2").as("container"), col("m._3").as("codec"),
+          col("m._4").as("w"), col("m._5").as("h"),
+          col("m._6").as("duration_ms"), col("m._7").as("sample_rate"),
+          col("m._8").as("channels"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1767,6 +1805,66 @@ object SparkEntry {
                 CAST(CASE doc_id % 3 WHEN 0 THEN 48000 WHEN 1 THEN 44100
                      ELSE 32000 END AS BIGINT) AS audio_rate,
                 CAST(1 + doc_id % 2 AS BIGINT) AS audio_channels
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    // q57: content triage routes each payload by SNIFFED container; the
+    // fixture family is doc_id%12 with the generator keyed by the
+    // QUOTIENT, so every family crosses every residue class. Each branch
+    // below is that family's already-driver-green closed form (q35/q36/
+    // q41/q45/q48/q50/q52-q56); fam 7 (GIF) is image at 1 frame (q%3=0)
+    // and video otherwise; fam 11 (TGA) is signature-less → unknown
+    "q57_media_triage" ->
+      """WITH p AS (
+           SELECT doc_id, doc_id % 12 AS fam, doc_id // 12 AS q
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN fam IN (0, 8, 9, 10) THEN 'image'
+                WHEN fam IN (1, 2, 6) THEN 'video'
+                WHEN fam IN (3, 4, 5) THEN 'audio'
+                WHEN fam = 7 THEN CASE WHEN q % 3 = 0 THEN 'image' ELSE 'video' END
+                ELSE 'unknown' END AS kind,
+           CASE fam WHEN 0 THEN 'jpeg' WHEN 1 THEN 'mp4'
+                WHEN 2 THEN CASE q % 2 WHEN 0 THEN 'webm' ELSE 'matroska' END
+                WHEN 3 THEN 'ogg' WHEN 4 THEN 'wav' WHEN 5 THEN 'mpeg'
+                WHEN 6 THEN 'y4m' WHEN 7 THEN 'gif' WHEN 8 THEN 'qoi'
+                WHEN 9 THEN 'webp' WHEN 10 THEN 'ico'
+                ELSE 'unknown' END AS container,
+           CASE fam WHEN 0 THEN 'jpeg'
+                WHEN 1 THEN CASE q % 4 WHEN 0 THEN 'avc1' WHEN 1 THEN 'hev1'
+                     WHEN 2 THEN 'vp09' ELSE 'av01' END
+                WHEN 2 THEN CASE q % 4 WHEN 0 THEN 'V_VP8' WHEN 1 THEN 'V_VP9'
+                     WHEN 2 THEN 'V_AV1' ELSE 'V_MPEG4/ISO/AVC' END
+                WHEN 3 THEN CASE q % 2 WHEN 0 THEN 'vorbis' ELSE 'opus' END
+                WHEN 4 THEN 'pcm' WHEN 5 THEN 'mp3' WHEN 6 THEN 'rawvideo'
+                WHEN 7 THEN 'gif' WHEN 8 THEN 'qoi' WHEN 9 THEN 'vp8l'
+                WHEN 10 THEN 'ico' ELSE '' END AS codec,
+           CAST(CASE fam WHEN 0 THEN 24 + q % 40
+                WHEN 1 THEN 160 + 16 * (q % 28) WHEN 2 THEN 320 + 16 * (q % 20)
+                WHEN 6 THEN 8 WHEN 7 THEN 16 WHEN 8 THEN 16 WHEN 9 THEN 21
+                WHEN 10 THEN 18 ELSE -1 END AS BIGINT) AS w,
+           CAST(CASE fam WHEN 0 THEN 16 + q % 32
+                WHEN 1 THEN 90 + 2 * (q % 40) WHEN 2 THEN 180 + 2 * (q % 50)
+                WHEN 6 THEN 4 WHEN 7 THEN 16 WHEN 8 THEN 16 WHEN 9 THEN 13
+                WHEN 10 THEN 11 ELSE -1 END AS BIGINT) AS h,
+           CAST(CASE fam WHEN 1 THEN 40 * (24 + q % 48)
+                WHEN 2 THEN 5000 + 250 * (q % 37)
+                WHEN 3 THEN CASE WHEN q % 2 = 0 THEN 10 * (20 + q % 30)
+                     ELSE 100 * (10 + q % 90) END
+                WHEN 4 THEN (100 + q % 50) * 1000 // 8000
+                WHEN 5 THEN (40 + q % 30) * 1152 * 1000 //
+                     (CASE q % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END)
+                ELSE -1 END AS BIGINT) AS duration_ms,
+           CAST(CASE fam
+                WHEN 1 THEN CASE q % 3 WHEN 0 THEN 48000 WHEN 1 THEN 44100 ELSE 32000 END
+                WHEN 2 THEN CASE q % 3 WHEN 0 THEN 48000 WHEN 1 THEN 44100 ELSE 32000 END
+                WHEN 3 THEN CASE WHEN q % 2 = 0 THEN
+                       CASE q % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END
+                     ELSE 48000 END
+                WHEN 4 THEN 8000
+                WHEN 5 THEN CASE q % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END
+                ELSE -1 END AS BIGINT) AS sample_rate,
+           CAST(CASE fam WHEN 1 THEN 1 + q % 2 WHEN 2 THEN 1 + q % 2
+                WHEN 3 THEN 1 + (q % 6) // 3 WHEN 4 THEN 1
+                WHEN 5 THEN 1 + q % 2 ELSE -1 END AS BIGINT) AS channels
+         FROM p ORDER BY doc_id"""
   )
 }

@@ -1,0 +1,164 @@
+package graft.functions
+
+import java.awt.image.BufferedImage
+
+/** Single-pass media TRIAGE — the one call a 100 TB pipeline runs on
+  * every fetched payload: sniff the container from CONTENT (never a
+  * trusted column), route to the walker that owns it, and normalize the
+  * result to one record of (kind, container, codec, dims, duration,
+  * rate, channels). Composes the format family this module tree already
+  * implements: [[Jpeg]]/[[Mp4]]/[[Mkv]]/[[Ogg]]/[[Mpeg]] metadata
+  * walks, [[Wav]]/[[Flac]]/[[Aiff]]/[[Au]] audio features, and the
+  * image/video decoders ([[Y4m]]/[[Avi]]/[[Gif]]/[[Apng]]/
+  * [[AnimWebp]]/[[ImageOps]]). Animated GIF/APNG/WebP classify as
+  * video; their stills as image. TGA is signature-less by design and
+  * can only be reached by declared fmt (see [[Tga]]) — content triage
+  * honestly reports it unknown.
+  *
+  * Never throws: unrecognized or corrupt payloads come back
+  * kind="unknown". */
+object MediaMeta {
+
+  final case class Described(
+      kind: String, // "image" | "video" | "audio" | "unknown"
+      container: String,
+      codec: String, // "" when unknown/not applicable
+      width: Int, height: Int, // -1 when not applicable
+      durationMs: Long, // -1 when not applicable
+      sampleRate: Int, channels: Int) // -1 when not applicable
+
+  private val Unknown = Described("unknown", "unknown", "", -1, -1, -1L, -1, -1)
+
+  private def image(container: String, codec: String, img: BufferedImage): Described =
+    Described("image", container, codec,
+      if (img == null) -1 else img.getWidth,
+      if (img == null) -1 else img.getHeight, -1L, -1, -1)
+
+  private def wavCodec(audioFormat: Int): String = audioFormat match {
+    case 1 => "pcm"
+    case 2 => "ms_adpcm"
+    case 6 => "g711_alaw"
+    case 7 => "g711_ulaw"
+    case 0x11 => "ima_adpcm"
+    case f => s"fmt_$f"
+  }
+
+  private def audio(container: String, codec: String, f: Wav.Features): Described =
+    Described("audio", container, codec, -1, -1,
+      f.durationMs, f.sampleRate, f.channels)
+
+  private def hasPrefix(b: Array[Byte], magic: String, at: Int = 0): Boolean =
+    b.length >= at + magic.length && {
+      var i = 0
+      while (i < magic.length && b(at + i) == magic.charAt(i).toByte) i += 1
+      i == magic.length
+    }
+
+  /** Triage a payload by content. */
+  def describe(bytes: Array[Byte]): Described =
+    try {
+      if (bytes == null || bytes.length < 4) return Unknown
+
+      if (Ogg.isOgg(bytes)) return Ogg.audioMeta(bytes) match {
+        case Some(m) => Described("audio", "ogg", m.codec, -1, -1,
+          m.durationMs, m.sampleRate, m.channels)
+        case None => Unknown
+      }
+
+      if (Mkv.isMkv(bytes)) return Mkv.videoMeta(bytes) match {
+        case Some(m) if m.videoCodec.nonEmpty => Described("video", m.docType,
+          m.videoCodec, m.width, m.height, m.durationMs, m.sampleRate, m.channels)
+        case Some(m) => Described("audio", m.docType, m.audioCodec, -1, -1,
+          m.durationMs, m.sampleRate, m.channels)
+        case None => Unknown
+      }
+
+      if (Mp4.isMp4(bytes)) return Mp4.videoMeta(bytes) match {
+        case Some(m) => m.video match {
+          case Some(v) => Described("video", "mp4", v.codec, v.width, v.height,
+            m.durationMs, m.audio.map(_.sampleRate).getOrElse(-1),
+            m.audio.map(_.channels).getOrElse(-1))
+          case None => Described("audio", "mp4",
+            m.audio.map(_.codec).getOrElse(""), -1, -1, m.durationMs,
+            m.audio.map(_.sampleRate).getOrElse(-1),
+            m.audio.map(_.channels).getOrElse(-1))
+        }
+        case None => Unknown
+      }
+
+      if (Jpeg.isJpeg(bytes)) return Jpeg.exifMeta(bytes) match {
+        case Some(m) => Described("image", "jpeg", "jpeg", m.width, m.height,
+          -1L, -1, -1)
+        case None => Unknown
+      }
+
+      if (hasPrefix(bytes, "YUV4MPEG2")) {
+        val first = Y4m.decodeFirstFrame(bytes)
+        return Described("video", "y4m", "rawvideo",
+          if (first == null) -1 else first.getWidth,
+          if (first == null) -1 else first.getHeight, -1L, -1, -1)
+      }
+
+      if (Avi.isAvi(bytes)) {
+        val first = Avi.decodeFirstFrame(bytes)
+        return Described("video", "avi", "",
+          if (first == null) -1 else first.getWidth,
+          if (first == null) -1 else first.getHeight, -1L, -1, -1)
+      }
+
+      if (Gif.isGif(bytes)) {
+        val frames = Gif.sampleFramesIndexed(bytes, 2)
+        return if (frames.length > 1)
+          Described("video", "gif", "gif", frames.head._2.getWidth,
+            frames.head._2.getHeight, -1L, -1, -1)
+        else image("gif", "gif", Gif.decodeFirstFrame(bytes))
+      }
+
+      if (Apng.isPng(bytes)) {
+        if (Apng.isApng(bytes)) {
+          val frames = Apng.sampleFramesIndexed(bytes, 1)
+          return Described("video", "apng", "png",
+            frames.headOption.map(_._2.getWidth).getOrElse(-1),
+            frames.headOption.map(_._2.getHeight).getOrElse(-1), -1L, -1, -1)
+        }
+        return image("png", "png", ImageOps.decode(bytes))
+      }
+
+      if (hasPrefix(bytes, "RIFF") && hasPrefix(bytes, "WEBP", 8)) {
+        if (AnimWebp.isAnimWebp(bytes)) {
+          val frames = AnimWebp.sampleFramesIndexed(bytes, 1)
+          return Described("video", "webp", "vp8l",
+            frames.headOption.map(_._2.getWidth).getOrElse(-1),
+            frames.headOption.map(_._2.getHeight).getOrElse(-1), -1L, -1, -1)
+        }
+        // still WebP: VP8L decodes here; lossy VP8 needs the stubbed codec
+        return image("webp", "vp8l", ImageOps.decode(bytes))
+      }
+
+      if (hasPrefix(bytes, "qoif")) return image("qoi", "qoi", ImageOps.decode(bytes))
+
+      if (bytes.length >= 6 && bytes(0) == 0 && bytes(1) == 0 &&
+          bytes(2) == 1 && bytes(3) == 0)
+        return image("ico", "ico", ImageOps.decode(bytes))
+
+      if (Flac.isFlac(bytes))
+        return Flac.features(bytes).map(audio("flac", "flac", _)).getOrElse(Unknown)
+      if (Aiff.isAiff(bytes))
+        return Aiff.features(bytes)
+          .map(f => audio("aiff", wavCodec(f.audioFormat), f)).getOrElse(Unknown)
+      if (Au.isAu(bytes))
+        return Au.features(bytes)
+          .map(f => audio("au", wavCodec(f.audioFormat), f)).getOrElse(Unknown)
+      if (hasPrefix(bytes, "RIFF") && hasPrefix(bytes, "WAVE", 8))
+        return Wav.features(bytes)
+          .map(f => audio("wav", wavCodec(f.audioFormat), f)).getOrElse(Unknown)
+
+      // MP3 has no magic: the chained-frame walk self-validates (ID3v2
+      // or a syncing header that CHAINS), so it goes last
+      Mpeg.audioMeta(bytes) match {
+        case Some(m) => Described("audio", "mpeg", s"mp${m.layer}", -1, -1,
+          m.durationMs, m.sampleRate, m.channels)
+        case None => Unknown
+      }
+    } catch { case scala.util.control.NonFatal(_) => Unknown }
+}

@@ -333,6 +333,23 @@ object Smoke {
         ($"doc_id" % 2 === 0 && $"doc_type" =!= "webm"))
       assert(badMkv.isEmpty, "q56 mkv metadata diverges from closed form")
       println(s"SMOKE mkvmeta: q56_rows=${q56.count()} matches closed form")
+      // Media triage (q57): content-sniffed dispatch across all 12
+      // container families — kind routing is the new surface; TGA
+      // (fam 11) must be honestly unknown, single-frame GIFs image
+      val q57 = graft.SparkEntry.queries("q57_media_triage")(spark, "/root/testdata/sf0.001")
+      val badTriage = q57.where(
+        ($"doc_id" % 12 === 11 && $"kind" =!= "unknown") ||
+        ($"doc_id" % 12 === 0 && $"kind" =!= "image") ||
+        ($"doc_id" % 12 === 3 && ($"kind" =!= "audio" || $"container" =!= "ogg")) ||
+        ($"doc_id" % 12 === 6 && ($"kind" =!= "video" || $"w" =!= 8)) ||
+        ($"doc_id" % 12 === 7 &&
+          $"kind" =!= when(expr("(doc_id div 12) % 3") === 0, "image").otherwise("video")))
+      assert(badTriage.isEmpty, "q57 triage diverges from closed form")
+      val kinds = q57.groupBy("kind").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(Set("image", "video", "audio", "unknown").subsetOf(kinds.keySet),
+        s"q57 kinds incomplete: $kinds")
+      println(s"SMOKE triage: q57_rows=${q57.count()} kinds=$kinds")
       // RLE8/AVI (q43): the INTER-FRAME delta codec through the same
       // distributed dispatch — bg_gray is only right if compositing
       // retained the keyframe canvas under the delta frames' skips
