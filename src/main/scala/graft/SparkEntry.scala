@@ -1081,6 +1081,28 @@ object SparkEntry {
           col("m._6").as("duration_ms"), col("m._7").as("sample_rate"),
           col("m._8").as("channels"))
         .orderBy("doc_id")
+    }),
+    "q58_image_heif" -> ((s, d) => {
+      // X1 — HEIF/AVIF still-image metadata ([[graft.functions.Heif]]):
+      // brand, primary-item codec, ispe dims resolved through the ipma
+      // item-to-property associations, irot rotation, item census, and
+      // the has_exif PII-scrub flag — the modern-photo half of the image
+      // story (every iPhone still, every AV1 image). ISO-BMFF like q53
+      // but an ITEM grammar, not a movie: no tracks, no duration. Still
+      // decode (av01/hvc1) needs codecs and stays honestly stubbed.
+      val metaUdf = udf((docId: Long) => {
+        graft.functions.Heif.imageMeta(graft.fixtures.FixtureGen.heifBytes(docId)) match {
+          case Some(m) => (m.brand, m.codec, m.width.toLong, m.height.toLong,
+            m.rotationDeg.toLong, m.nItems.toLong, m.hasExif)
+          case None => ("", "", -1L, -1L, -1L, -1L, false)
+        }
+      })
+      docs(s, d).select(col("doc_id"), metaUdf(col("doc_id")).as("m"))
+        .select(col("doc_id"), col("m._1").as("brand"), col("m._2").as("codec"),
+          col("m._3").as("w"), col("m._4").as("h"),
+          col("m._5").as("rotation"), col("m._6").as("n_items"),
+          col("m._7").as("has_exif"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1865,6 +1887,19 @@ object SparkEntry {
            CAST(CASE fam WHEN 1 THEN 1 + q % 2 WHEN 2 THEN 1 + q % 2
                 WHEN 3 THEN 1 + (q % 6) // 3 WHEN 4 THEN 1
                 WHEN 5 THEN 1 + q % 2 ELSE -1 END AS BIGINT) AS channels
-         FROM p ORDER BY doc_id"""
+         FROM p ORDER BY doc_id""",
+    // q58: the HEIF item walk reads headers only — every field is the
+    // fixture's doc_id closed form; the pitm/ipma wire variants
+    // (32-bit pitm, 15-bit indices) must not move any output
+    "q58_image_heif" ->
+      """SELECT doc_id,
+                CASE doc_id % 2 WHEN 0 THEN 'avif' ELSE 'heic' END AS brand,
+                CASE doc_id % 2 WHEN 0 THEN 'av01' ELSE 'hvc1' END AS codec,
+                CAST(64 + 4 * (doc_id % 50) AS BIGINT) AS w,
+                CAST(48 + 2 * (doc_id % 60) AS BIGINT) AS h,
+                CAST(90 * (doc_id % 4) AS BIGINT) AS rotation,
+                CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_items,
+                doc_id % 3 = 0 AS has_exif
+         FROM documents ORDER BY doc_id"""
   )
 }

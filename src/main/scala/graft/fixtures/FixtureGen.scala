@@ -861,6 +861,27 @@ object FixtureGen {
       wideDuration = docId % 3 == 0)
   }
 
+  /** q58 fixture: a deterministic HEIF/AVIF still per doc — brand/codec
+    * avif+av01 (even) / heic+hvc1 (odd), `64+4(d%50)`×`48+2(d%60)` via
+    * ispe, rotation `90·(d%4)` via irot (index 3 in ipco — a free decoy
+    * sits at 2), an Exif item on every third doc (has_exif, the
+    * PII-scrub signal). Wire variants that must not move any output:
+    * 32-bit pitm (d%5=0), 15-bit ipma indices (d%7=0). Item payloads
+    * are zeroed — still DECODE (av01/hvc1) is exactly what
+    * [[graft.functions.Heif]] honestly does NOT do. */
+  def heifBytes(docId: Long): Array[Byte] = {
+    import graft.functions.Heif
+    Heif.encode(
+      brand = if (docId % 2 == 0) "avif" else "heic",
+      codec = if (docId % 2 == 0) "av01" else "hvc1",
+      w = (64 + 4 * (docId % 50)).toInt,
+      h = (48 + 2 * (docId % 60)).toInt,
+      rotationQuarter = (docId % 4).toInt,
+      withExif = docId % 3 == 0,
+      v1Pitm = docId % 5 == 0,
+      wideIpma = docId % 7 == 0)
+  }
+
   final case class PageRow(
       url: String, host: String, status: Int, contentType: String,
       content: String, links: Seq[String], navLinks: Seq[String],

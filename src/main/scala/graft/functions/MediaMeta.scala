@@ -73,6 +73,15 @@ object MediaMeta {
         case None => Unknown
       }
 
+      // AVIF/HEIC are ISO-BMFF files that are IMAGES — split by brand
+      // BEFORE the movie walk or every modern still photo classifies as
+      // a broken video
+      if (Heif.isHeif(bytes)) return Heif.imageMeta(bytes) match {
+        case Some(m) => Described("image", m.brand, m.codec,
+          m.width, m.height, -1L, -1, -1)
+        case None => Unknown
+      }
+
       if (Mp4.isMp4(bytes)) return Mp4.videoMeta(bytes) match {
         case Some(m) => m.video match {
           case Some(v) => Described("video", "mp4", v.codec, v.width, v.height,

@@ -57,7 +57,7 @@ object Mp4 {
     b != null && b.length >= 12 &&
       b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
 
-  private final class Walker(val b: Array[Byte]) {
+  private[functions] final class Walker(val b: Array[Byte]) {
     var budget: Int = MaxBoxes
     def u16(p: Long): Int = {
       val i = p.toInt

@@ -350,6 +350,17 @@ object Smoke {
       assert(Set("image", "video", "audio", "unknown").subsetOf(kinds.keySet),
         s"q57 kinds incomplete: $kinds")
       println(s"SMOKE triage: q57_rows=${q57.count()} kinds=$kinds")
+      // HEIF/AVIF metadata (q58): the ISO-BMFF ITEM grammar — dims must
+      // resolve through ipma associations, brand must split from movie MP4
+      val q58 = graft.SparkEntry.queries("q58_image_heif")(spark, "/root/testdata/sf0.001")
+      val badHeif = q58.where(
+        $"w" =!= lit(64) + lit(4) * ($"doc_id" % 50) ||
+        $"h" =!= lit(48) + lit(2) * ($"doc_id" % 60) ||
+        $"rotation" =!= lit(90) * ($"doc_id" % 4) ||
+        $"has_exif" =!= ($"doc_id" % 3 === 0) ||
+        ($"doc_id" % 2 === 0 && $"brand" =!= "avif"))
+      assert(badHeif.isEmpty, "q58 heif metadata diverges from closed form")
+      println(s"SMOKE heif: q58_rows=${q58.count()} matches closed form")
       // RLE8/AVI (q43): the INTER-FRAME delta codec through the same
       // distributed dispatch — bg_gray is only right if compositing
       // retained the keyframe canvas under the delta frames' skips
