@@ -1103,6 +1103,26 @@ object SparkEntry {
           col("m._5").as("rotation"), col("m._6").as("n_items"),
           col("m._7").as("has_exif"))
         .orderBy("doc_id")
+    }),
+    "q59_image_svg" -> ((s, d) => {
+      // X1 — SVG metadata ([[graft.functions.Svg]]): resolved pixel dims
+      // (CSS absolute units at 96 dpi, viewBox fallback), element census,
+      // and the two republish-scrub signals — has_script (SVG carries
+      // executable script: the stored-XSS vector in uploaded avatars)
+      // and has_external_ref (rendering phones home: tracking pixels).
+      // XXE posture matches the sitemap parser: entities reject outright.
+      val metaUdf = udf((docId: Long) => {
+        graft.functions.Svg.imageMeta(graft.fixtures.FixtureGen.svgBytes(docId)) match {
+          case Some(m) => (m.width.toLong, m.height.toLong,
+            m.nElements.toLong, m.hasScript, m.hasExternalRef)
+          case None => (-1L, -1L, -1L, false, false)
+        }
+      })
+      docs(s, d).select(col("doc_id"), metaUdf(col("doc_id")).as("m"))
+        .select(col("doc_id"), col("m._1").as("w"), col("m._2").as("h"),
+          col("m._3").as("n_elements"), col("m._4").as("has_script"),
+          col("m._5").as("has_external_ref"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1900,6 +1920,21 @@ object SparkEntry {
                 CAST(90 * (doc_id % 4) AS BIGINT) AS rotation,
                 CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_items,
                 doc_id % 3 = 0 AS has_exif
+         FROM documents ORDER BY doc_id""",
+    // q59: the SVG walk resolves the fixture's closed forms — the pt
+    // case is exact (3k pt = 4k px at 96 dpi), the viewBox-only case
+    // falls back, element census counts svg + rects + script + image
+    "q59_image_svg" ->
+      """SELECT doc_id,
+                CAST(CASE WHEN doc_id % 4 = 3 THEN 4 * (25 + doc_id % 60)
+                     ELSE 100 + doc_id % 200 END AS BIGINT) AS w,
+                CAST(CASE WHEN doc_id % 4 = 3 THEN 4 * (15 + doc_id % 40)
+                     ELSE 50 + doc_id % 150 END AS BIGINT) AS h,
+                CAST(2 + doc_id % 4
+                     + (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+                     + (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_elements,
+                (doc_id % 3 = 0 OR doc_id % 7 = 0) AS has_script,
+                doc_id % 5 = 0 AS has_external_ref
          FROM documents ORDER BY doc_id"""
   )
 }

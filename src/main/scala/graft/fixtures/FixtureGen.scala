@@ -882,6 +882,39 @@ object FixtureGen {
       wideIpma = docId % 7 == 0)
   }
 
+  /** q59 fixture: a deterministic SVG per doc. Sizing source cycles by
+    * d%4 — viewBox-only (0), bare numbers (1), `px` (2), `pt` at exact
+    * 4/3 multiples (3: `3k pt` = `4k px`); `1+d%4` rect elements; a
+    * `<script>` element on every third doc and an `onclick` attribute
+    * on every seventh (has_script — the stored-XSS scrub signal); an
+    * external `<image href>` on every fifth (has_external_ref — the
+    * tracking-pixel shape). All closed-form for the DuckDB oracle. */
+  def svgBytes(docId: Long): Array[Byte] = {
+    val w = 100 + (docId % 200)
+    val h = 50 + (docId % 150)
+    val dims = (docId % 4) match {
+      case 0 => ""
+      case 1 => s""" width="$w" height="$h""""
+      case 2 => s""" width="${w}px" height="${h}px""""
+      case _ => s""" width="${3 * (25 + docId % 60)}pt" height="${3 * (15 + docId % 40)}pt""""
+    }
+    val rects = (0 until (1 + docId % 4).toInt).map { k =>
+      val on = if (k == 0 && docId % 7 == 0) """ onclick="poke()"""" else ""
+      s"""  <rect x="${k * 4}" y="1" width="3" height="3"$on/>"""
+    }.mkString("\n")
+    val script = if (docId % 3 == 0) "\n  <script>poke()</script>" else ""
+    val ext =
+      if (docId % 5 == 0)
+        s"""\n  <image href="https://cdn.site-${docId % 7}.test/px.png" width="1" height="1"/>"""
+      else ""
+    (s"""<?xml version="1.0" encoding="UTF-8"?>
+        |<!-- doc $docId -->
+        |<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 $w $h"$dims>
+        |$rects$script$ext
+        |</svg>
+        |""".stripMargin).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
   final case class PageRow(
       url: String, host: String, status: Int, contentType: String,
       content: String, links: Seq[String], navLinks: Seq[String],

@@ -150,6 +150,21 @@ object MediaMeta {
           bytes(2) == 1 && bytes(3) == 0)
         return image("ico", "ico", ImageOps.decode(bytes))
 
+      // BMP/TIFF: the JDK ships both readers; triage just needs the sniff
+      if (hasPrefix(bytes, "BM"))
+        return image("bmp", "bmp", ImageOps.decode(bytes))
+      if (bytes.length >= 4 &&
+          ((bytes(0) == 'I' && bytes(1) == 'I' && bytes(2) == 42 && bytes(3) == 0) ||
+           (bytes(0) == 'M' && bytes(1) == 'M' && bytes(2) == 0 && bytes(3) == 42)))
+        return image("tiff", "tiff", ImageOps.decode(bytes))
+
+      // SVG: text, not magic — sniff the first element's local name
+      if (Svg.isSvg(bytes)) return Svg.imageMeta(bytes) match {
+        case Some(m) => Described("image", "svg", "svg", m.width, m.height,
+          -1L, -1, -1)
+        case None => Unknown
+      }
+
       if (Flac.isFlac(bytes))
         return Flac.features(bytes).map(audio("flac", "flac", _)).getOrElse(Unknown)
       if (Aiff.isAiff(bytes))

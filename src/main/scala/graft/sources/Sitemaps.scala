@@ -53,7 +53,15 @@ object Sitemaps {
       dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
       dbf.setXIncludeAware(false)
       dbf.setExpandEntityReferences(false)
-      val doc = dbf.newDocumentBuilder().parse(new ByteArrayInputStream(raw))
+      val builder = dbf.newDocumentBuilder()
+      // the JDK default handler PRINTS fatal errors to stderr — per-URL
+      // noise a crawl cannot afford; malformed sitemaps just classify
+      builder.setErrorHandler(new org.xml.sax.ErrorHandler {
+        def warning(e: org.xml.sax.SAXParseException): Unit = ()
+        def error(e: org.xml.sax.SAXParseException): Unit = ()
+        def fatalError(e: org.xml.sax.SAXParseException): Unit = throw e
+      })
+      val doc = builder.parse(new ByteArrayInputStream(raw))
       def locs(parent: String): Seq[String] = {
         val nodes = doc.getElementsByTagNameNS(SitemapNs, parent)
         (0 until nodes.getLength).flatMap { i =>

@@ -361,6 +361,15 @@ object Smoke {
         ($"doc_id" % 2 === 0 && $"brand" =!= "avif"))
       assert(badHeif.isEmpty, "q58 heif metadata diverges from closed form")
       println(s"SMOKE heif: q58_rows=${q58.count()} matches closed form")
+      // SVG metadata (q59): dims via CSS units/viewBox + the scrub signals
+      val q59 = graft.SparkEntry.queries("q59_image_svg")(spark, "/root/testdata/sf0.001")
+      val badSvg = q59.where(
+        $"has_script" =!= ($"doc_id" % 3 === 0 || $"doc_id" % 7 === 0) ||
+        $"has_external_ref" =!= ($"doc_id" % 5 === 0) ||
+        ($"doc_id" % 4 === 3 && $"w" =!= lit(4) * (lit(25) + $"doc_id" % 60)) ||
+        ($"doc_id" % 4 =!= 3 && $"w" =!= lit(100) + $"doc_id" % 200))
+      assert(badSvg.isEmpty, "q59 svg metadata diverges from closed form")
+      println(s"SMOKE svg: q59_rows=${q59.count()} matches closed form")
       // RLE8/AVI (q43): the INTER-FRAME delta codec through the same
       // distributed dispatch — bg_gray is only right if compositing
       // retained the keyframe canvas under the delta frames' skips

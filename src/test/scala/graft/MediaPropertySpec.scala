@@ -75,7 +75,8 @@ class MediaPropertySpec extends AnyFunSuite {
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.jpegExifBytes),
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.oggBytes),
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.mkvBytes),
-      Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.heifBytes))
+      Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.heifBytes),
+      Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.svgBytes))
     val mutation: Gen[(Array[Byte]) => Array[Byte]] = Gen.oneOf(
       Gen.choose(0, 1000).map(c => (b: Array[Byte]) => b.dropRight(c)),
       Gen.choose(0, 60).map(c => (b: Array[Byte]) => b.drop(c)),
@@ -105,6 +106,7 @@ class MediaPropertySpec extends AnyFunSuite {
         graft.functions.Ogg.audioMeta(mutated)
         graft.functions.Mkv.videoMeta(mutated)
         graft.functions.Heif.imageMeta(mutated)
+        graft.functions.Svg.imageMeta(mutated)
         graft.functions.MediaMeta.describe(mutated) // the whole triage
         graft.functions.VideoContainers.sampleFramesIndexed(mutated, 4)
         true
