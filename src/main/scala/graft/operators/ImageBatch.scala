@@ -59,6 +59,38 @@ object ImageBatch {
     }(enc)
   }
 
+  val triageSchema: StructType = StructType(Seq(
+    StructField("media_id", StringType),
+    StructField("kind", StringType),
+    StructField("container", StringType),
+    StructField("codec", StringType),
+    StructField("w", IntegerType),
+    StructField("h", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType)))
+
+  /** Distributed single-pass media triage: classify every payload from
+    * CONTENT ([[graft.functions.MediaMeta.describe]] — crawled
+    * Content-Type lies) into one typed row of (kind, container, codec,
+    * dims, duration, rate, channels). This is the first operator a
+    * 100 TB pipeline runs on raw fetched bytes — route images to the
+    * thumbnail/phash stage, video to frame sampling, audio to feature
+    * extraction, unknown to quarantine — and it is a NARROW map: no
+    * shuffle, no driver action, corrupt payloads classify as
+    * kind="unknown" rather than aborting the stage. Input df must carry
+    * (media_id, bytes). */
+  def triage(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(triageSchema)
+    media.select("media_id", "bytes").mapPartitions { it =>
+      it.map { row =>
+        val m = graft.functions.MediaMeta.describe(row.getAs[Array[Byte]](1))
+        Row(row.getString(0), m.kind, m.container, m.codec,
+          m.width, m.height, m.durationMs, m.sampleRate, m.channels)
+      }
+    }(enc)
+  }
+
   /** Decode → box-resize to (tw×th) → re-encode png → phash, batched per
     * partition. Input df must carry (image_id, bytes, fmt). */
   def thumbnails(images: DataFrame, tw: Int, th: Int, batchSize: Int = 64): DataFrame = {

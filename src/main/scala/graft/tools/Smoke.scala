@@ -370,6 +370,23 @@ object Smoke {
         ($"doc_id" % 4 =!= 3 && $"w" =!= lit(100) + $"doc_id" % 200))
       assert(badSvg.isEmpty, "q59 svg metadata diverges from closed form")
       println(s"SMOKE svg: q59_rows=${q59.count()} matches closed form")
+      // Distributed triage operator: binary column in, typed rows out,
+      // shuffle-free — the first stage a pipeline runs on fetched bytes
+      val mediaDf = spark.range(36).select(
+        concat(lit("m"), $"id").as("media_id"),
+        udf((d: Long) => (d % 3) match {
+          case 0 => graft.fixtures.FixtureGen.jpegExifBytes(d)
+          case 1 => graft.fixtures.FixtureGen.oggBytes(d)
+          case _ => graft.fixtures.FixtureGen.mkvBytes(d)
+        }).apply($"id").as("bytes"))
+      val triaged = graft.operators.ImageBatch.triage(mediaDf)
+      assert(!triaged.queryExecution.executedPlan.toString.contains("Exchange"),
+        "triage must stay a narrow map")
+      val triageKinds = triaged.groupBy("kind").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(triageKinds == Map("image" -> 12L, "audio" -> 12L, "video" -> 12L),
+        s"triage kinds off: $triageKinds")
+      println(s"SMOKE triage-op: kinds=$triageKinds shuffle-free")
       // RLE8/AVI (q43): the INTER-FRAME delta codec through the same
       // distributed dispatch — bg_gray is only right if compositing
       // retained the keyframe canvas under the delta frames' skips

@@ -116,6 +116,54 @@ class EntrySpec extends SparkSpec {
     assert(mixed.count(r => !r.isNullAt(4)) == 24) // good rows unaffected
   }
 
+  test("batched media triage: content-routed typed rows, shuffle-free plan") {
+    import org.apache.spark.sql.functions.{col, udf}
+    // one payload per container family, keyed by content — no fmt column
+    val gens: Map[String, Long => Array[Byte]] = Map(
+      "jpeg" -> FixtureGen.jpegExifBytes, "mp4" -> FixtureGen.mp4Bytes,
+      "ogg" -> FixtureGen.oggBytes, "wav" -> FixtureGen.wavBytes,
+      "y4m" -> FixtureGen.y4mBytes, "gif" -> FixtureGen.gifBytes,
+      "webp" -> FixtureGen.webpBytes, "heif" -> FixtureGen.heifBytes,
+      "svg" -> FixtureGen.svgBytes, "tga" -> FixtureGen.tgaBytes)
+    val mk = udf((name: String, i: Long) => gens(name)(i))
+    val media = spark.createDataset(gens.keys.toSeq.sorted.flatMap(n =>
+      (0L until 6L).map(i => (s"$n-$i", n, i))))
+      .toDF("media_id", "family", "i")
+      .select(col("media_id"), mk(col("family"), col("i")).as("bytes"))
+    val out = graft.operators.ImageBatch.triage(media)
+    assert(out.schema == ImageBatch.triageSchema)
+    // a triage is a NARROW map — any Exchange here is a plan regression
+    val planned = out.queryExecution.executedPlan.toString
+    assert(!planned.contains("Exchange"), planned)
+    val byId = out.collect().map(r => r.getString(0) -> r).toMap
+    assert(byId.size == 60)
+    def kindOf(prefix: String): Set[String] =
+      byId.collect { case (id, r) if id.startsWith(prefix + "-") => r.getString(1) }.toSet
+    assert(kindOf("jpeg") == Set("image") && kindOf("svg") == Set("image"))
+    assert(kindOf("heif") == Set("image") && kindOf("webp") == Set("image"))
+    assert(kindOf("mp4") == Set("video") && kindOf("y4m") == Set("video"))
+    assert(kindOf("ogg") == Set("audio") && kindOf("wav") == Set("audio"))
+    assert(kindOf("gif") == Set("image", "video")) // frame count splits it
+    assert(kindOf("tga") == Set("unknown")) // signature-less: content-honest
+    // spot fields: the wav row carries audio facts, the heif row image dims
+    val wav0 = byId("wav-0")
+    assert(wav0.getString(2) == "wav" && wav0.getInt(7) == 8000 && wav0.getInt(8) == 1)
+    val heif0 = byId("heif-0")
+    assert(heif0.getInt(4) == 64 && heif0.getInt(5) == 48 && heif0.getLong(6) == -1L)
+    // corrupt + null bytes classify as unknown rows, never a stage abort
+    val junk = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row("junk", Array.fill[Byte](64)(7)),
+        org.apache.spark.sql.Row("nul", null)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("bytes",
+          org.apache.spark.sql.types.BinaryType))))
+    val j = graft.operators.ImageBatch.triage(junk).collect()
+    assert(j.length == 2 && j.forall(_.getString(1) == "unknown"))
+  }
+
   test("source hygiene: no raw control bytes in src/ (text tools must never skip a file as binary)") {
     // A literal NUL once hid CrawlEngine.scala from every grep-based
     // leak/copy scan. Tab/CR/LF are fine; anything else below 0x20 is not.
