@@ -1123,6 +1123,30 @@ object SparkEntry {
           col("m._3").as("n_elements"), col("m._4").as("has_script"),
           col("m._5").as("has_external_ref"))
         .orderBy("doc_id")
+    }),
+    "q60_doc_pdf" -> ((s, d) => {
+      // X1 — PDF document metadata ([[graft.functions.Pdf]]): version,
+      // page count, the encryption flag, and the has_js /
+      // has_attachments republish-scrub signals, via the REAL xref
+      // machinery of ISO 32000-1 — classic tables, incremental /Prev
+      // chains (newest entry wins), cross-reference streams
+      // (FlateDecode + PNG predictors), and compressed-object streams.
+      // Content decode (text/fonts/images) needs a renderer and stays
+      // honestly out of scope. xref_kind/incremental prove WHICH
+      // parser path ran per doc.
+      val metaUdf = udf((docId: Long) => {
+        graft.functions.Pdf.docMeta(graft.fixtures.FixtureGen.pdfBytes(docId)) match {
+          case Some(m) => (m.version, m.nPages, m.encrypted, m.hasJs,
+            m.hasAttachments, m.xrefKind, m.incremental)
+          case None => ("", -1L, false, false, false, "", false)
+        }
+      })
+      docs(s, d).select(col("doc_id"), metaUdf(col("doc_id")).as("m"))
+        .select(col("doc_id"), col("m._1").as("version"),
+          col("m._2").as("n_pages"), col("m._3").as("encrypted"),
+          col("m._4").as("has_js"), col("m._5").as("has_attachments"),
+          col("m._6").as("xref_kind"), col("m._7").as("incremental"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1935,6 +1959,20 @@ object SparkEntry {
                      + (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_elements,
                 (doc_id % 3 = 0 OR doc_id % 7 = 0) AS has_script,
                 doc_id % 5 = 0 AS has_external_ref
+         FROM documents ORDER BY doc_id""",
+    // q60: every field is the PDF fixture's closed form; xref_kind and
+    // incremental prove the table/stream/Prev parser paths each ran,
+    // and has_js includes the d%3=2 term because the INCREMENTAL
+    // update's newer catalog adds OpenAction JS (newest-entry-wins)
+    "q60_doc_pdf" ->
+      """SELECT doc_id,
+                '1.' || CAST(4 + doc_id % 4 AS VARCHAR) AS version,
+                CAST(1 + doc_id % 9 AS BIGINT) AS n_pages,
+                doc_id % 5 = 0 AS encrypted,
+                (doc_id % 7 = 0 OR doc_id % 11 = 0 OR doc_id % 3 = 2) AS has_js,
+                doc_id % 13 = 0 AS has_attachments,
+                CASE WHEN doc_id % 3 = 0 THEN 'stream' ELSE 'table' END AS xref_kind,
+                doc_id % 3 = 2 AS incremental
          FROM documents ORDER BY doc_id"""
   )
 }

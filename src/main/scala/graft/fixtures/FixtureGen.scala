@@ -882,6 +882,31 @@ object FixtureGen {
       wideIpma = docId % 7 == 0)
   }
 
+  /** q60 fixture: a deterministic real PDF per doc. Pages `1+d%9`;
+    * version `1.(4+d%4)`; xref form cycles by d%3 — cross-reference
+    * STREAM (0; packed into a compressed ObjStm with an indirect
+    * /Length on d%6=0, PNG Up predictor on even d), classic TABLE (1),
+    * table + INCREMENTAL update whose newer catalog adds OpenAction JS
+    * (2 — newest-entry-wins is observable). Scrub signals: /Encrypt on
+    * d%5=0, OpenAction JS on d%7=0, name-tree JS on d%11=0, embedded
+    * files on d%13=0 — so has_js = (d%7=0 | d%11=0 | d%3=2). Content
+    * decode (text/fonts/images) is exactly what
+    * [[graft.functions.Pdf]] honestly does NOT do. */
+  def pdfBytes(docId: Long): Array[Byte] =
+    graft.functions.Pdf.encode(graft.functions.Pdf.EncodeSpec(
+      versionMinor = (4 + docId % 4).toInt,
+      nPages = (1 + docId % 9).toInt,
+      encrypted = docId % 5 == 0,
+      jsOpenAction = docId % 7 == 0,
+      jsNames = docId % 11 == 0,
+      attachments = docId % 13 == 0,
+      form = (docId % 3) match {
+        case 0 => if (docId % 6 == 0) "objstm" else "stream"
+        case 1 => "table"
+        case _ => "incremental"
+      },
+      predictor = docId % 2 == 0))
+
   /** q59 fixture: a deterministic SVG per doc. Sizing source cycles by
     * d%4 — viewBox-only (0), bare numbers (1), `px` (2), `pt` at exact
     * 4/3 multiples (3: `3k pt` = `4k px`); `1+d%4` rect elements; a

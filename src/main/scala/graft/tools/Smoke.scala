@@ -404,6 +404,17 @@ object Smoke {
           .otherwise(lit(20) + ($"doc_id" * 43 + $"frame_idx" * 19) % 225))
       assert(badRle.isEmpty, "q43 inter-frame RLE8 decode diverges from closed form")
       println(s"SMOKE rle8: frames=$rleFrames q43_rows=${q43.count()} match closed form")
+      // PDF metadata (q60): the xref walk end-to-end over all four wire
+      // forms — page count, scrub signals, and the parser-path proof cols
+      val q60 = graft.SparkEntry.queries("q60_doc_pdf")(spark, "/root/testdata/sf0.001")
+      val badPdf = q60.where(
+        $"n_pages" =!= lit(1) + $"doc_id" % 9 ||
+        $"version" =!= concat(lit("1."), (lit(4) + $"doc_id" % 4).cast("string")) ||
+        $"has_js" =!= ($"doc_id" % 7 === 0 || $"doc_id" % 11 === 0 || $"doc_id" % 3 === 2) ||
+        $"xref_kind" =!= when($"doc_id" % 3 === 0, "stream").otherwise("table") ||
+        $"incremental" =!= ($"doc_id" % 3 === 2))
+      assert(badPdf.isEmpty, "q60 pdf metadata diverges from closed form")
+      println(s"SMOKE pdf: q60_rows=${q60.count()} match closed form")
     }
 
     // full engine drive: crawl the synthetic web end-to-end

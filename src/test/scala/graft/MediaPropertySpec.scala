@@ -51,7 +51,7 @@ class MediaPropertySpec extends AnyFunSuite {
     })
   }
 
-  test("y4m/wav/g711/adpcm/flac/gif/apng/avi/rle8/webp/animwebp/ico/tga/mp3/mp4/exif/ogg/mkv/heif + the whole triage: random mutation never throws — corrupt payloads classify") {
+  test("y4m/wav/g711/adpcm/flac/gif/apng/avi/rle8/webp/animwebp/ico/tga/mp3/mp4/exif/ogg/mkv/heif/pdf + the whole triage: random mutation never throws — corrupt payloads classify") {
     val base: Gen[Array[Byte]] = Gen.oneOf(
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.y4mBytes),
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.wavBytes),
@@ -76,7 +76,8 @@ class MediaPropertySpec extends AnyFunSuite {
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.oggBytes),
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.mkvBytes),
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.heifBytes),
-      Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.svgBytes))
+      Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.svgBytes),
+      Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.pdfBytes))
     val mutation: Gen[(Array[Byte]) => Array[Byte]] = Gen.oneOf(
       Gen.choose(0, 1000).map(c => (b: Array[Byte]) => b.dropRight(c)),
       Gen.choose(0, 60).map(c => (b: Array[Byte]) => b.drop(c)),
@@ -107,6 +108,7 @@ class MediaPropertySpec extends AnyFunSuite {
         graft.functions.Mkv.videoMeta(mutated)
         graft.functions.Heif.imageMeta(mutated)
         graft.functions.Svg.imageMeta(mutated)
+        graft.functions.Pdf.docMeta(mutated)
         graft.functions.MediaMeta.describe(mutated) // the whole triage
         graft.functions.VideoContainers.sampleFramesIndexed(mutated, 4)
         true
