@@ -1147,6 +1147,59 @@ object SparkEntry {
           col("m._4").as("has_js"), col("m._5").as("has_attachments"),
           col("m._6").as("xref_kind"), col("m._7").as("incremental"))
         .orderBy("doc_id")
+    }),
+    "q61_archive_warc" -> ((s, d) => {
+      // X1/S10 — WARC (ISO 28500) archive walk ([[graft.functions.Warc]]):
+      // the wire format a web-scale crawl ingests and emits (Common
+      // Crawl). Full record grammar (version line, folded named fields,
+      // Content-Length blocks, CRLF CRLF terminators), per-record gzip
+      // members split + CRC-verified by hand (GZIPInputStream hides the
+      // boundaries), HTTP response blocks, and WARC-Payload-Digest
+      // sha1/base32 verification — digest_ok=false on the fixture's
+      // corrupted-digest docs proves the check runs, not just parses.
+      val metaUdf = udf((docId: Long) => {
+        graft.functions.Warc.archiveMeta(
+            graft.fixtures.FixtureGen.warcBytes(docId)) match {
+          case Some(m) => (m.version, m.gzipped, m.nRecords.toLong,
+            m.httpStatus.toLong, m.contentType, m.payloadLen,
+            m.digestOk, m.hasRevisit)
+          case None => ("", false, -1L, -1L, "", -1L, false, false)
+        }
+      })
+      docs(s, d).select(col("doc_id"), metaUdf(col("doc_id")).as("m"))
+        .select(col("doc_id"), col("m._1").as("version"),
+          col("m._2").as("gzipped"), col("m._3").as("n_records"),
+          col("m._4").as("http_status"), col("m._5").as("content_type"),
+          col("m._6").as("payload_len"), col("m._7").as("digest_ok"),
+          col("m._8").as("has_revisit"))
+        .orderBy("doc_id")
+    }),
+    "q62_doc_docx" -> ((s, d) => {
+      // X1 — DOCX/OOXML document walk ([[graft.functions.Zip]]): the real
+      // ZIP machinery (EOCD scan, central directory, local-header
+      // indirection, STORED + DEFLATE with per-entry CRC32, ZIP64
+      // EOCD64/locator/0x0001-extra shapes), then WordprocessingML
+      // metadata a training pipeline needs pre-ingest: paragraph/word
+      // counts from w:p/w:t, title/creator from docProps/core.xml, and
+      // the has_macros (vbaProject.bin) / has_external_ref
+      // (TargetMode="External": remote-template injection) scrub
+      // signals. doc_method + zip64 prove WHICH container paths ran.
+      val metaUdf = udf((docId: Long) => {
+        graft.functions.Zip.docxMeta(
+            graft.fixtures.FixtureGen.docxBytes(docId)) match {
+          case Some(m) => (m.nEntries.toLong, m.nParagraphs.toLong,
+            m.nWords.toLong, m.title, m.creator, m.hasMacros,
+            m.hasExternalRef, m.docMethod, m.zip64)
+          case None => (-1L, -1L, -1L, "", "", false, false, "", false)
+        }
+      })
+      docs(s, d).select(col("doc_id"), metaUdf(col("doc_id")).as("m"))
+        .select(col("doc_id"), col("m._1").as("n_entries"),
+          col("m._2").as("n_paragraphs"), col("m._3").as("n_words"),
+          col("m._4").as("title"), col("m._5").as("creator"),
+          col("m._6").as("has_macros"), col("m._7").as("has_external_ref"),
+          col("m._8").as("doc_method"), col("m._9").as("zip64"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1973,6 +2026,44 @@ object SparkEntry {
                 doc_id % 13 = 0 AS has_attachments,
                 CASE WHEN doc_id % 3 = 0 THEN 'stream' ELSE 'table' END AS xref_kind,
                 doc_id % 3 = 2 AS incremental
+         FROM documents ORDER BY doc_id""",
+    // q61: every field is the WARC fixture's closed form; digest_ok
+    // carries the d%17=0 corrupted-digest docs (the sha1/base32 check
+    // must FAIL there), n_records the metadata/revisit presence terms
+    "q61_archive_warc" ->
+      """SELECT doc_id,
+                CASE WHEN doc_id % 2 = 0 THEN '1.1' ELSE '1.0' END AS version,
+                doc_id % 3 = 0 AS gzipped,
+                CAST(3 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+                       + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END
+                     AS BIGINT) AS n_records,
+                CAST(CASE WHEN doc_id % 13 = 0 THEN 404 ELSE 200 END
+                     AS BIGINT) AS http_status,
+                CASE CAST(doc_id % 4 AS INTEGER)
+                     WHEN 0 THEN 'text/html'
+                     WHEN 1 THEN 'image/png'
+                     WHEN 2 THEN 'application/json'
+                     ELSE 'text/plain' END AS content_type,
+                CAST(10 + doc_id % 90 AS BIGINT) AS payload_len,
+                doc_id % 17 <> 0 AS digest_ok,
+                doc_id % 7 = 0 AS has_revisit
+         FROM documents ORDER BY doc_id""",
+    // q62: every field is the DOCX fixture's closed form; n_words is the
+    // paragraph-count × words-per-paragraph product, doc_method the
+    // stored/deflate cycle, zip64 the EOCD64 docs
+    "q62_doc_docx" ->
+      """SELECT doc_id,
+                CAST(6 + CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END
+                     AS BIGINT) AS n_entries,
+                CAST(1 + doc_id % 6 AS BIGINT) AS n_paragraphs,
+                CAST((1 + doc_id % 6) * (2 + doc_id % 5) AS BIGINT) AS n_words,
+                'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+                'author-' || CAST(doc_id % 9 AS VARCHAR) AS creator,
+                doc_id % 11 = 0 AS has_macros,
+                doc_id % 7 = 0 AS has_external_ref,
+                CASE WHEN doc_id % 2 = 0 THEN 'stored' ELSE 'deflate' END
+                  AS doc_method,
+                doc_id % 13 = 0 AS zip64
          FROM documents ORDER BY doc_id"""
   )
 }

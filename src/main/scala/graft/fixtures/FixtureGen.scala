@@ -907,6 +907,83 @@ object FixtureGen {
       },
       predictor = docId % 2 == 0))
 
+  /** q61 fixture: a deterministic WARC archive per doc. Version cycles
+    * `1.1`/`1.0` by d%2 (the 1.0 form also exercises the `<>`-wrapped
+    * Target-URI); per-record-gzip-member compression on d%3=0; records
+    * are warcinfo + request + response, plus metadata on d%5=0 and a
+    * revisit on d%7=0 → n_records = 3 + those two. The response is a
+    * real HTTP/1.1 message: status 404 on d%13=0 else 200, Content-Type
+    * cycles 4 families by d%4, payload `10+d%90` bytes. Every response
+    * carries a WARC-Payload-Digest; on d%17=0 it is CORRUPTED (one
+    * base32 char flipped) so digest_ok=false proves the sha1/base32
+    * verification actually runs. All closed-form for the oracle. */
+  def warcBytes(docId: Long): Array[Byte] = {
+    import graft.functions.Warc
+    val d = docId
+    val version = if (d % 2 == 0) "1.1" else "1.0"
+    val uri = s"https://host-${d % 9}.test/page/$d"
+    val payload = Array.fill((10 + d % 90).toInt)('x'.toByte)
+    val status = if (d % 13 == 0) 404 else 200
+    val ctype = (d % 4) match {
+      case 0 => "text/html"
+      case 1 => "image/png"
+      case 2 => "application/json"
+      case _ => "text/plain"
+    }
+    val goodDigest = Warc.sha1Digest(payload)
+    val digest =
+      if (d % 17 == 0) {
+        // flip the first base32 char to a different one: wrong, same shape
+        val tail = goodDigest.substring(5)
+        val flipped = if (tail.head == 'A') 'B' else 'A'
+        "sha1:" + flipped + tail.substring(1)
+      } else goodDigest
+    def rid(i: Int) = s"urn:uuid:00000000-0000-4000-8000-${"%08d".format(d)}$i"
+    val date = f"2026-08-19T00:00:${d % 60}%02dZ"
+    val recs = Vector.newBuilder[(Warc.RecordSpec, String, String)]
+    recs += ((Warc.RecordSpec("warcinfo", None,
+      "software: graft\r\nformat: WARC file version ".getBytes("US-ASCII") ++
+        version.getBytes("US-ASCII"),
+      "application/warc-fields"), rid(0), date))
+    recs += ((Warc.RecordSpec("request", Some(uri),
+      Warc.httpRequestBlock(s"/page/$d", s"host-${d % 9}.test"),
+      "application/http;msgtype=request"), rid(1), date))
+    recs += ((Warc.RecordSpec("response", Some(uri),
+      Warc.httpResponseBlock(status, ctype, payload),
+      "application/http;msgtype=response",
+      Vector("WARC-Payload-Digest" -> digest)), rid(2), date))
+    if (d % 5 == 0)
+      recs += ((Warc.RecordSpec("metadata", Some(uri),
+        "fetchTimeMs: 5\r\n".getBytes("US-ASCII"),
+        "application/warc-fields"), rid(3), date))
+    if (d % 7 == 0)
+      recs += ((Warc.RecordSpec("revisit", Some(uri), Array.emptyByteArray,
+        "message/http",
+        Vector("WARC-Profile" ->
+          "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest")),
+        rid(4), date))
+    Warc.encode(version, recs.result(), gzipPerRecord = d % 3 == 0)
+  }
+
+  /** q62 fixture: a deterministic DOCX per doc. `1+d%6` paragraphs of
+    * `2+d%5` words; title `Doc d`, creator `author-(d%9)`;
+    * `word/document.xml` STORED on even d, DEFLATE on odd (both unzip
+    * paths run); ZIP64 structures (EOCD64 + locator + saturated central
+    * fields) on d%13=0 — the streamed-writer shape; scrub signals:
+    * `word/vbaProject.bin` on d%11=0 (has_macros) and a
+    * TargetMode="External" attachedTemplate relationship on d%7=0
+    * (has_external_ref). n_entries = 6 + macros. All closed-form. */
+  def docxBytes(docId: Long): Array[Byte] =
+    graft.functions.Zip.encodeDocx(graft.functions.Zip.DocxSpec(
+      nParagraphs = (1 + docId % 6).toInt,
+      wordsPerPara = (2 + docId % 5).toInt,
+      title = s"Doc $docId",
+      creator = s"author-${docId % 9}",
+      macros = docId % 11 == 0,
+      externalRef = docId % 7 == 0,
+      storedDocument = docId % 2 == 0,
+      zip64 = docId % 13 == 0))
+
   /** q59 fixture: a deterministic SVG per doc. Sizing source cycles by
     * d%4 — viewBox-only (0), bare numbers (1), `px` (2), `pt` at exact
     * 4/3 multiples (3: `3k pt` = `4k px`); `1+d%4` rect elements; a

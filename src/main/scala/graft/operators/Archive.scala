@@ -1,0 +1,122 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.types._
+
+import graft.functions.Warc
+
+/** WARC archival I/O as distributed operators — the seam between this
+  * engine and the rest of the web-archive world (Common Crawl in,
+  * replayable crawl output out).
+  *
+  * `records` is the INGEST shape: a binary column of whole WARC files
+  * (one crawl's worth of fetches each) exploded into typed per-record
+  * rows by a narrow `mapPartitions` — no shuffle, no driver action, and a
+  * corrupt archive classifies as one quarantine row instead of vanishing
+  * or killing the stage. At 100 TB the archives arrive pre-split (one
+  * file per task from the object store), so per-file parallelism IS the
+  * scan parallelism.
+  *
+  * `sink` is the EGRESS shape: fetched pages written as spec-compliant
+  * WARC response records, one `.warc.gz` file per partition, one gzip
+  * member per record (ISO 28500's seekable layout — verified by the spec
+  * with a raw member walk). Record IDs are deterministic (sha1 of the
+  * URL) so re-running a partition rewrites byte-identical records —
+  * the idempotence a retried task needs.
+  */
+object Archive {
+
+  val recordSchema: StructType = StructType(Seq(
+    StructField("archive_id", StringType),
+    StructField("rec_index", IntegerType),
+    StructField("warc_type", StringType),
+    StructField("target_uri", StringType),
+    StructField("http_status", IntegerType),
+    StructField("content_type", StringType),
+    StructField("payload_len", LongType),
+    StructField("digest_ok", BooleanType)))
+
+  /** Explode (archive_id, bytes) into one row per WARC record. Corrupt or
+    * non-WARC payloads yield a single rec_index=-1 / warc_type="corrupt"
+    * quarantine row — routine input at scale, never a silent drop. */
+  def records(archives: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(recordSchema)
+    archives.select("archive_id", "bytes").mapPartitions { it =>
+      it.flatMap { row =>
+        val id = row.getString(0)
+        val bytes = row.getAs[Array[Byte]](1)
+        Warc.parseAll(bytes) match {
+          case Some(recs) =>
+            recs.iterator.zipWithIndex.map { case (r, i) =>
+              val (status, ctype, plen, digOk) =
+                if (r.warcType == "response") {
+                  Warc.httpResponse(r.block) match {
+                    case Some(msg) =>
+                      val ct = msg.header("Content-Type")
+                        .map(_.split(";")(0).trim.toLowerCase).getOrElse("")
+                      val ok = r.header("WARC-Payload-Digest")
+                        .forall(_ == Warc.sha1Digest(msg.body))
+                      (msg.status, ct, msg.body.length.toLong, ok)
+                    case None => (-1, "", -1L, false)
+                  }
+                } else (-1, "", r.block.length.toLong, true)
+              Row(id, i, r.warcType, r.targetUri, status, ctype, plen, digOk)
+            }
+          case None =>
+            Iterator.single(Row(id, -1, "corrupt", "", -1, "", -1L, false))
+        }
+      }
+    }(enc)
+  }
+
+  val sinkSchema: StructType = StructType(Seq(
+    StructField("path", StringType),
+    StructField("n_records", LongType),
+    StructField("n_bytes", LongType)))
+
+  /** Write fetched pages as WARC/1.1 response records, one
+    * `part-NNNNN.warc.gz` per partition under `dir` (local/NFS path in
+    * this sandbox; the same mapPartitions shape targets an object store
+    * on a cluster). Input df must carry (url, status, content_type,
+    * body, fetched_at) with fetched_at already ISO-8601 — the caller
+    * owns time, this operator is deterministic. Returns one manifest row
+    * per non-empty partition. */
+  def sink(pages: DataFrame, dir: String): DataFrame = {
+    val enc = RowEncoder.encoderFor(sinkSchema)
+    Files.createDirectories(Paths.get(dir))
+    pages.select("url", "status", "content_type", "body", "fetched_at")
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val recs = Vector.newBuilder[(Warc.RecordSpec, String, String)]
+          var n = 0L
+          it.foreach { row =>
+            val url = row.getString(0)
+            val status = row.getInt(1)
+            val ctype = row.getString(2)
+            val body = row.getAs[Array[Byte]](3)
+            val date = row.getString(4)
+            val payload = if (body == null) Array.emptyByteArray else body
+            // deterministic id: retries rewrite identical records
+            val rid = "urn:graft:sha1:" +
+              Warc.sha1Digest(url.getBytes("UTF-8")).substring(5)
+            recs += ((Warc.RecordSpec("response", Some(url),
+              Warc.httpResponseBlock(status, ctype, payload),
+              "application/http;msgtype=response",
+              Vector("WARC-Payload-Digest" -> Warc.sha1Digest(payload))),
+              rid, date))
+            n += 1
+          }
+          val bytes = Warc.encode("1.1", recs.result(), gzipPerRecord = true)
+          val pid = TaskContext.getPartitionId()
+          val path = Paths.get(dir, f"part-$pid%05d.warc.gz")
+          Files.write(path, bytes)
+          Iterator.single(Row(path.toString, n, bytes.length.toLong))
+        }
+      }(enc)
+  }
+}

@@ -415,6 +415,47 @@ object Smoke {
         $"incremental" =!= ($"doc_id" % 3 === 2))
       assert(badPdf.isEmpty, "q60 pdf metadata diverges from closed form")
       println(s"SMOKE pdf: q60_rows=${q60.count()} match closed form")
+      // WARC archives (q61): the record grammar + gzip members + digest
+      // verification, plus the records/sink operators end to end
+      val q61 = graft.SparkEntry.queries("q61_archive_warc")(spark, "/root/testdata/sf0.001")
+      val badWarc = q61.where(
+        $"n_records" =!= lit(3) +
+          when($"doc_id" % 5 === 0, 1).otherwise(0) +
+          when($"doc_id" % 7 === 0, 1).otherwise(0) ||
+        $"http_status" =!= when($"doc_id" % 13 === 0, 404).otherwise(200) ||
+        $"digest_ok" =!= ($"doc_id" % 17 =!= 0))
+      assert(badWarc.isEmpty, "q61 warc metadata diverges from closed form")
+      val sinkDir = graft.util.TempDirs.create("smoke-warc").toString
+      val pages = spark.range(20).select(
+        concat(lit("https://smoke.test/p/"), $"id").as("url"),
+        lit(200).as("status"), lit("text/html").as("content_type"),
+        $"id".cast("string").cast("binary").as("body"),
+        lit("2026-08-19T00:00:00Z").as("fetched_at")).repartition(2)
+      val manifest = graft.operators.Archive.sink(pages, sinkDir).collect()
+      assert(manifest.map(_.getLong(1)).sum == 20, "warc sink lost records")
+      val archives = spark.createDataset(manifest.toSeq.map(m =>
+        (m.getString(0), java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(m.getString(0))))))(
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.BINARY))
+        .toDF("archive_id", "bytes")
+      val backRows = graft.operators.Archive.records(archives)
+      assert(backRows.count() == 20 &&
+        backRows.where(!$"digest_ok").isEmpty,
+        "warc sink→records round-trip diverges")
+      println(s"SMOKE warc: q61_rows=${q61.count()} sink_roundtrip=20 ok")
+      // DOCX documents (q62): ZIP central-directory walk (incl. zip64)
+      // + WordprocessingML counts and scrub signals
+      val q62 = graft.SparkEntry.queries("q62_doc_docx")(spark, "/root/testdata/sf0.001")
+      val badDocx = q62.where(
+        $"n_words" =!= (lit(1) + $"doc_id" % 6) * (lit(2) + $"doc_id" % 5) ||
+        $"has_macros" =!= ($"doc_id" % 11 === 0) ||
+        $"has_external_ref" =!= ($"doc_id" % 7 === 0) ||
+        $"doc_method" =!= when($"doc_id" % 2 === 0, "stored").otherwise("deflate") ||
+        $"zip64" =!= ($"doc_id" % 13 === 0))
+      assert(badDocx.isEmpty, "q62 docx metadata diverges from closed form")
+      println(s"SMOKE docx: q62_rows=${q62.count()} match closed form")
     }
 
     // full engine drive: crawl the synthetic web end-to-end

@@ -77,7 +77,9 @@ class MediaPropertySpec extends AnyFunSuite {
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.mkvBytes),
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.heifBytes),
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.svgBytes),
-      Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.pdfBytes))
+      Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.pdfBytes),
+      Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.warcBytes),
+      Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.docxBytes))
     val mutation: Gen[(Array[Byte]) => Array[Byte]] = Gen.oneOf(
       Gen.choose(0, 1000).map(c => (b: Array[Byte]) => b.dropRight(c)),
       Gen.choose(0, 60).map(c => (b: Array[Byte]) => b.drop(c)),
@@ -109,6 +111,9 @@ class MediaPropertySpec extends AnyFunSuite {
         graft.functions.Heif.imageMeta(mutated)
         graft.functions.Svg.imageMeta(mutated)
         graft.functions.Pdf.docMeta(mutated)
+        graft.functions.Warc.archiveMeta(mutated)
+        graft.functions.Warc.gzipMemberSizes(mutated)
+        graft.functions.Zip.docxMeta(mutated)
         graft.functions.MediaMeta.describe(mutated) // the whole triage
         graft.functions.VideoContainers.sampleFramesIndexed(mutated, 4)
         true

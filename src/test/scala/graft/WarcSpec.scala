@@ -1,0 +1,180 @@
+package graft
+
+import java.nio.charset.StandardCharsets.{US_ASCII, UTF_8}
+
+import org.apache.spark.sql.functions.{col, udf}
+
+import graft.fixtures.FixtureGen
+import graft.functions.Warc
+
+/** X1/S10 — WARC (ISO 28500) archive read/write: record grammar with
+  * folded fields, per-record gzip members split + CRC-verified by a raw
+  * member walk, HTTP response blocks, sha1/base32 payload-digest
+  * verification, and the two distributed operators (record explode +
+  * per-partition archival sink). Hostile inputs classify. */
+class WarcSpec extends SparkSpec {
+
+  private def threeRecords(version: String) = {
+    val payload = "hello archive".getBytes(US_ASCII)
+    Vector(
+      (Warc.RecordSpec("warcinfo", None,
+        "software: graft\r\n".getBytes(US_ASCII), "application/warc-fields"),
+        "urn:uuid:r0", "2026-08-19T00:00:00Z"),
+      (Warc.RecordSpec("request", Some("https://h.test/a"),
+        Warc.httpRequestBlock("/a", "h.test"),
+        "application/http;msgtype=request"),
+        "urn:uuid:r1", "2026-08-19T00:00:01Z"),
+      (Warc.RecordSpec("response", Some("https://h.test/a"),
+        Warc.httpResponseBlock(200, "text/html", payload),
+        "application/http;msgtype=response",
+        Vector("WARC-Payload-Digest" -> Warc.sha1Digest(payload))),
+        "urn:uuid:r2", "2026-08-19T00:00:02Z"))
+  }
+
+  test("plain round-trip: grammar fields, 1.0 <>-wrapped URI unwraps, http block parses") {
+    for (v <- Seq("1.0", "1.1")) {
+      val bytes = Warc.encode(v, threeRecords(v), gzipPerRecord = false)
+      val recs = Warc.parseAll(bytes).get
+      assert(recs.map(_.warcType) == Vector("warcinfo", "request", "response"))
+      assert(recs.forall(_.version == v))
+      // the 1.0 writer wraps Target-URI in <>; the reader must unwrap BOTH forms
+      assert(recs(2).targetUri == "https://h.test/a", v)
+      val msg = Warc.httpResponse(recs(2).block).get
+      assert(msg.status == 200 &&
+        msg.header("Content-Type").contains("text/html") &&
+        new String(msg.body, US_ASCII) == "hello archive")
+    }
+  }
+
+  test("gzip layout: one member per record, CRC-verified, boundaries a GZIPInputStream cannot show") {
+    val bytes = Warc.encode("1.1", threeRecords("1.1"), gzipPerRecord = true)
+    val sizes = Warc.gzipMemberSizes(bytes).get
+    assert(sizes.length == 3, "spec-compliant seekable layout = 3 members")
+    assert(sizes.sum == bytes.length)
+    assert(Warc.parseAll(bytes).get.size == 3)
+    // corrupting one member's trailer CRC fails the member walk
+    val bad = bytes.clone()
+    bad(sizes(0) - 6) = (bad(sizes(0) - 6) ^ 0xff).toByte
+    assert(Warc.gzipMemberSizes(bad).isEmpty)
+  }
+
+  test("payload digest: verified not just parsed — a flipped base32 char fails") {
+    val good = Warc.encode("1.1", threeRecords("1.1"), gzipPerRecord = false)
+    assert(Warc.archiveMeta(good).get.digestOk)
+    val recs = threeRecords("1.1")
+    val tampered = recs.updated(2, {
+      val (spec, id, date) = recs(2)
+      val d = spec.extraHeaders.head._2
+      val flipped = "sha1:" + (if (d(5) == 'A') 'B' else 'A') + d.substring(6)
+      (spec.copy(extraHeaders = Vector("WARC-Payload-Digest" -> flipped)), id, date)
+    })
+    val bad = Warc.encode("1.1", tampered, gzipPerRecord = false)
+    val m = Warc.archiveMeta(bad).get
+    assert(!m.digestOk && m.nRecords == 3, "values parse; the digest check fails")
+  }
+
+  test("header continuation folding (RFC 5322 SP/HT lines) joins values") {
+    val rec = "WARC/1.1\r\n" +
+      "WARC-Type: metadata\r\n" +
+      "WARC-Record-ID: <urn:uuid:f>\r\n" +
+      "WARC-Date: 2026-08-19T00:00:00Z\r\n" +
+      "WARC-Target-URI: https://h.test/\r\n" +
+      "X-Long: first part\r\n\tsecond part\r\n" +
+      "Content-Length: 2\r\n\r\nok\r\n\r\n"
+    val recs = Warc.parseAll(rec.getBytes(UTF_8)).get
+    assert(recs.head.header("X-Long").contains("first part second part"))
+    assert(new String(recs.head.block, US_ASCII) == "ok")
+  }
+
+  test("hostile inputs classify: truncation, lying lengths, bad grammar, bombs") {
+    val good = Warc.encode("1.1", threeRecords("1.1"), gzipPerRecord = false)
+    assert(Warc.parseAll(null).isEmpty)
+    assert(Warc.parseAll(Array.emptyByteArray).isEmpty)
+    assert(Warc.parseAll("HTTP/1.1 200 OK\r\n\r\n".getBytes(US_ASCII)).isEmpty)
+    // truncated mid-block
+    assert(Warc.parseAll(good.take(good.length / 2)).isEmpty)
+    // Content-Length pointing past the end of the archive
+    val lying = new String(good, UTF_8)
+      .replaceFirst("Content-Length: 17", "Content-Length: 999999")
+    assert(Warc.parseAll(lying.getBytes(UTF_8)).isEmpty)
+    // negative length
+    val neg = new String(good, UTF_8)
+      .replaceFirst("Content-Length: 17", "Content-Length: -1")
+    assert(Warc.parseAll(neg.getBytes(UTF_8)).isEmpty)
+    // missing version line
+    assert(Warc.parseAll("NOTWARC/1.1\r\n\r\n".getBytes(US_ASCII)).isEmpty)
+    // gzip stream that is not a valid member sequence
+    val gz = Warc.encode("1.1", threeRecords("1.1"), gzipPerRecord = true)
+    assert(Warc.parseAll(gz.take(20)).isEmpty)
+  }
+
+  test("fixture closed forms: every oracle column, docIds 0..120") {
+    for (d <- 0L to 120L) {
+      val m = Warc.archiveMeta(FixtureGen.warcBytes(d)).get
+      assert(m.version == (if (d % 2 == 0) "1.1" else "1.0"), s"d=$d")
+      assert(m.gzipped == (d % 3 == 0), s"d=$d")
+      assert(m.nRecords == 3 + (if (d % 5 == 0) 1 else 0) +
+        (if (d % 7 == 0) 1 else 0), s"d=$d")
+      assert(m.nResponses == 1, s"d=$d")
+      assert(m.httpStatus == (if (d % 13 == 0) 404 else 200), s"d=$d")
+      assert(m.contentType == Seq("text/html", "image/png",
+        "application/json", "text/plain")((d % 4).toInt), s"d=$d")
+      assert(m.payloadLen == 10 + d % 90, s"d=$d")
+      assert(m.digestOk == (d % 17 != 0), s"d=$d")
+      assert(m.hasRevisit == (d % 7 == 0), s"d=$d")
+    }
+  }
+
+  test("records operator: typed explode, corrupt quarantine row, NO Exchange") {
+    val mk = udf((i: Long) => FixtureGen.warcBytes(i))
+    import spark.implicits._
+    val good = spark.range(4).toDF("i")
+      .select(col("i").cast("string").as("archive_id"), mk(col("i")).as("bytes"))
+    val corrupt = Seq(("bad", "not a warc".getBytes(UTF_8)))
+      .toDF("archive_id", "bytes")
+    val out = graft.operators.Archive.records(good.unionAll(corrupt))
+    val planned = out.queryExecution.executedPlan.toString
+    assert(!planned.contains("Exchange"), planned)
+    val rows = out.collect()
+    val byArchive = rows.groupBy(_.getString(0))
+    // doc 0: warcinfo+request+response+metadata(d%5)+revisit(d%7) = 5
+    assert(byArchive("0").length == 5 && byArchive("1").length == 3)
+    // doc 0 is BY DESIGN the hostile corner: 404 (d%13) + corrupt digest (d%17)
+    val resp0 = byArchive("0").find(_.getString(2) == "response").get
+    assert(resp0.getInt(4) == 404 && !resp0.getBoolean(7))
+    val resp1 = byArchive("1").find(_.getString(2) == "response").get
+    assert(resp1.getInt(4) == 200 && resp1.getString(5) == "image/png" &&
+      resp1.getLong(6) == 11 && resp1.getBoolean(7))
+    val q = byArchive("bad")
+    assert(q.length == 1 && q.head.getInt(1) == -1 &&
+      q.head.getString(2) == "corrupt")
+  }
+
+  test("sink operator: per-partition .warc.gz, member-per-record, reads back") {
+    import spark.implicits._
+    val dir = graft.util.TempDirs.create("warc-sink").toString
+    val pages = (0 until 10).map { i =>
+      (s"https://h${i % 2}.test/p/$i", 200, "text/html",
+        s"body-$i".getBytes(UTF_8), "2026-08-19T00:00:00Z")
+    }.toDF("url", "status", "content_type", "body", "fetched_at")
+      .repartition(2)
+    val manifest = graft.operators.Archive.sink(pages, dir).collect()
+    assert(manifest.length == 2 && manifest.map(_.getLong(1)).sum == 10)
+    // every written file: spec-layout members, and the records round-trip
+    val back = manifest.flatMap { m =>
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(m.getString(0)))
+      assert(Warc.gzipMemberSizes(bytes).get.length == m.getLong(1),
+        "one gzip member per record")
+      Warc.parseAll(bytes).get
+    }
+    assert(back.length == 10 && back.forall(_.warcType == "response"))
+    assert(back.map(_.targetUri).toSet ==
+      (0 until 10).map(i => s"https://h${i % 2}.test/p/$i").toSet)
+    // digests written by the sink verify on read
+    back.foreach { r =>
+      val msg = Warc.httpResponse(r.block).get
+      assert(r.header("WARC-Payload-Digest").contains(Warc.sha1Digest(msg.body)))
+    }
+  }
+}
