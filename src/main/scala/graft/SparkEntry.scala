@@ -1200,6 +1200,61 @@ object SparkEntry {
           col("m._6").as("has_macros"), col("m._7").as("has_external_ref"),
           col("m._8").as("doc_method"), col("m._9").as("zip64"))
         .orderBy("doc_id")
+    }),
+    "q63_doc_triage" -> ((s, d) => {
+      // X1 — the content-sniffed triage extended to the DOCUMENT family:
+      // ONE describe() call routes pdf/warc/docx payloads as
+      // kind=document by magic, and the wav doc in the same cycle must
+      // still triage as audio — proving the document branches shadow
+      // nothing ([[graft.functions.MediaMeta]]).
+      val metaUdf = udf((docId: Long) => {
+        val bytes = (docId % 4) match {
+          case 0 => graft.fixtures.FixtureGen.pdfBytes(docId)
+          case 1 => graft.fixtures.FixtureGen.warcBytes(docId)
+          case 2 => graft.fixtures.FixtureGen.docxBytes(docId)
+          case _ => graft.fixtures.FixtureGen.wavBytes(docId)
+        }
+        val m = graft.functions.MediaMeta.describe(bytes)
+        (m.kind, m.container)
+      })
+      docs(s, d).select(col("doc_id"), metaUdf(col("doc_id")).as("m"))
+        .select(col("doc_id"), col("m._1").as("kind"),
+          col("m._2").as("container"))
+        .orderBy("doc_id")
+    }),
+    "q64_archive_cdx" -> ((s, d) => {
+      // S12/X1 — CDX indexing over WARC archives
+      // ([[graft.functions.Warc.cdxLines]], [[graft.functions.Surt]]):
+      // the SURT search key and 14-digit timestamp every web archive's
+      // index speaks, plus REPLAYED offsets — replay_ok re-reads each
+      // line's [offset, offset+length) slice (a gzip member for
+      // compressed archives, raw record bytes for plain), re-parses it,
+      // and requires the same response URI back. An index whose offsets
+      // don't replay is worse than none.
+      val metaUdf = udf((docId: Long) => {
+        val bytes = graft.fixtures.FixtureGen.warcBytes(docId)
+        graft.functions.Warc.cdxLines(f"doc-$docId%05d.warc", bytes) match {
+          case Some(lines) if lines.nonEmpty =>
+            val l = lines.head
+            val replayOk = lines.forall { ln =>
+              ln.offset >= 0 && ln.length > 0 &&
+              ln.offset + ln.length <= bytes.length && {
+                val slice = java.util.Arrays.copyOfRange(
+                  bytes, ln.offset.toInt, (ln.offset + ln.length).toInt)
+                graft.functions.Warc.parseAll(slice).exists(_.exists(r =>
+                  r.warcType == "response" && r.targetUri == ln.url))
+              }
+            }
+            (l.surtKey, l.ts, l.mime, l.status.toLong,
+              lines.size.toLong, replayOk)
+          case _ => ("", "", "", -1L, -1L, false)
+        }
+      })
+      docs(s, d).select(col("doc_id"), metaUdf(col("doc_id")).as("m"))
+        .select(col("doc_id"), col("m._1").as("surt"), col("m._2").as("ts"),
+          col("m._3").as("mime"), col("m._4").as("status"),
+          col("m._5").as("n_lines"), col("m._6").as("replay_ok"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2064,6 +2119,38 @@ object SparkEntry {
                 CASE WHEN doc_id % 2 = 0 THEN 'stored' ELSE 'deflate' END
                   AS doc_method,
                 doc_id % 13 = 0 AS zip64
+         FROM documents ORDER BY doc_id""",
+    // q63: the fixture cycle is the closed form — three document
+    // containers routed by magic plus a wav control that must stay audio
+    "q63_doc_triage" ->
+      """SELECT doc_id,
+                CASE WHEN doc_id % 4 = 3 THEN 'audio' ELSE 'document' END
+                  AS kind,
+                CASE CAST(doc_id % 4 AS INTEGER)
+                     WHEN 0 THEN 'pdf'
+                     WHEN 1 THEN 'warc'
+                     WHEN 2 THEN 'docx'
+                     ELSE 'wav' END AS container
+         FROM documents ORDER BY doc_id""",
+    // q64: surt/ts/mime/status are the WARC fixture's closed form
+    // (host-k.test reversed to test,host-k; the WARC-Date second field);
+    // replay_ok=true asserts the Scala-side offset replay round-trip ran
+    // and succeeded for every line of every archive
+    "q64_archive_cdx" ->
+      """SELECT doc_id,
+                'test,host-' || CAST(doc_id % 9 AS VARCHAR) || ')/page/' ||
+                  CAST(doc_id AS VARCHAR) AS surt,
+                '202608190000' ||
+                  lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') AS ts,
+                CASE CAST(doc_id % 4 AS INTEGER)
+                     WHEN 0 THEN 'text/html'
+                     WHEN 1 THEN 'image/png'
+                     WHEN 2 THEN 'application/json'
+                     ELSE 'text/plain' END AS mime,
+                CAST(CASE WHEN doc_id % 13 = 0 THEN 404 ELSE 200 END
+                     AS BIGINT) AS status,
+                CAST(1 AS BIGINT) AS n_lines,
+                true AS replay_ok
          FROM documents ORDER BY doc_id"""
   )
 }

@@ -177,6 +177,27 @@ object MediaMeta {
         return Wav.features(bytes)
           .map(f => audio("wav", wavCodec(f.audioFormat), f)).getOrElse(Unknown)
 
+      // DOCUMENT binaries — distinct magics, so they can sit after the
+      // media families without shadowing anything. codec carries the
+      // per-format discriminator (pdf/warc version; docx vs bare zip).
+      if (hasPrefix(bytes, "%PDF-")) return Pdf.docMeta(bytes) match {
+        case Some(m) => Described("document", "pdf", m.version, -1, -1, -1L, -1, -1)
+        case None => Unknown
+      }
+      if (Warc.isWarc(bytes)) return Warc.archiveMeta(bytes) match {
+        case Some(m) => Described("document", "warc", m.version, -1, -1, -1L, -1, -1)
+        case None => Unknown
+      }
+      if (hasPrefix(bytes, "PK\u0003\u0004")) return Zip.docxMeta(bytes) match {
+        case Some(_) => Described("document", "docx", "wordprocessingml",
+          -1, -1, -1L, -1, -1)
+        case None =>
+          // a real zip that isn't a docx is still a document container
+          if (Zip.entries(bytes).nonEmpty)
+            Described("document", "zip", "", -1, -1, -1L, -1, -1)
+          else Unknown
+      }
+
       // MP3 has no magic: the chained-frame walk self-validates (ID3v2
       // or a syncing header that CHAINS), so it goes last
       Mpeg.audioMeta(bytes) match {

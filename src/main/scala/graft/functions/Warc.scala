@@ -380,6 +380,95 @@ object Warc {
   }
 
   // ------------------------------------------------------------------
+  // CDX indexing — the (offset, length)-addressed index every web
+  // archive builds over its WARC files so replay is a seek, not a scan.
+  // ------------------------------------------------------------------
+
+  /** Every record with the (offset, length) a replayer needs: for a
+    * gzipped archive they address the COMPRESSED file (the gzip member
+    * holding the record — seek, read `length`, gunzip, parse); for a
+    * plain archive they address raw bytes. A multi-record member (legal
+    * but non-seekable layout) gives each contained record the member's
+    * coordinates. None on any malformed member or record — never throws. */
+  def recordsWithOffsets(bytes: Array[Byte]): Option[Vector[(Record, Long, Long)]] =
+    try {
+      if (bytes == null || bytes.length < 5) return None
+      val out = Vector.newBuilder[(Record, Long, Long)]
+      if (isGzip(bytes)) {
+        val sizes = gzipMemberSizes(bytes).getOrElse(return None)
+        var off = 0
+        var total = 0
+        sizes.foreach { len =>
+          val slice = java.util.Arrays.copyOfRange(bytes, off, off + len)
+          val raw = gunzipBounded(slice, MaxArchiveBytes + 1) match {
+            case Some(b) if b.length <= MaxArchiveBytes => b
+            case _ => return None
+          }
+          parseAll(raw) match {
+            case Some(recs) =>
+              total += recs.size
+              if (total > MaxRecords) return None
+              recs.foreach(r => out += ((r, off.toLong, len.toLong)))
+            case None => return None
+          }
+          off += len
+        }
+      } else {
+        var pos = 0
+        var n = 0
+        while (pos < bytes.length) {
+          if (n >= MaxRecords) return None
+          parseRecord(bytes, pos) match {
+            case Some((rec, next)) =>
+              out += ((rec, pos.toLong, (next - pos).toLong))
+              pos = next; n += 1
+              while (pos < bytes.length &&
+                  (bytes(pos) == '\r' || bytes(pos) == '\n')) pos += 1
+            case None => return None
+          }
+        }
+      }
+      val v = out.result()
+      if (v.isEmpty) None else Some(v)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** One CDX(J) index entry: the SURT search key, 14-digit timestamp,
+    * and the replay coordinates. */
+  final case class CdxLine(
+      surtKey: String, ts: String, url: String, mime: String,
+      status: Int, digest: String, offset: Long, length: Long,
+      filename: String) {
+    /** The OpenWayback/pywb CDXJ serialization: `key ts {json}`. */
+    def toCdxj: String = {
+      def esc(s: String) =
+        s.replace("\\", "\\\\").replace("\"", "\\\"")
+      s"""$surtKey $ts {"url": "${esc(url)}", "mime": "${esc(mime)}", """ +
+        s""""status": "$status", "digest": "${esc(digest)}", """ +
+        s""""length": "$length", "offset": "$offset", """ +
+        s""""filename": "${esc(filename)}"}"""
+    }
+  }
+
+  /** Index an archive: one CdxLine per response record, in file order.
+    * None when the archive itself is malformed (quarantine upstream);
+    * an archive with no responses indexes to an empty vector. */
+  def cdxLines(filename: String, bytes: Array[Byte]): Option[Vector[CdxLine]] =
+    recordsWithOffsets(bytes).map { recs =>
+      recs.collect { case (r, off, len) if r.warcType == "response" =>
+        val (status, mime, digest) = httpResponse(r.block) match {
+          case Some(msg) => (msg.status,
+            msg.header("Content-Type")
+              .map(_.split(";")(0).trim.toLowerCase).getOrElse(""),
+            r.header("WARC-Payload-Digest").getOrElse(sha1Digest(msg.body)))
+          case None => (-1, "", "")
+        }
+        CdxLine(Surt.key(r.targetUri),
+          Surt.ts14(r.header("WARC-Date").getOrElse("")),
+          r.targetUri, mime, status, digest, off, len, filename)
+      }
+    }
+
+  // ------------------------------------------------------------------
   // Writer — the crawl engine's archival sink format. One gzip member
   // per record (ISO 28500 annex D's seekable layout) when gzip=true.
   // ------------------------------------------------------------------

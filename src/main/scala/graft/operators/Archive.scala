@@ -73,6 +73,41 @@ object Archive {
     }(enc)
   }
 
+  val cdxSchema: StructType = StructType(Seq(
+    StructField("surt_key", StringType),
+    StructField("ts", StringType),
+    StructField("url", StringType),
+    StructField("mime", StringType),
+    StructField("status", IntegerType),
+    StructField("digest", StringType),
+    StructField("offset", LongType),
+    StructField("rec_length", LongType),
+    StructField("archive_id", StringType)))
+
+  /** Index (archive_id, bytes) archives into CDX rows — one per response
+    * record, carrying the SURT key and the (offset, length) replay
+    * coordinates into THAT archive. Same narrow shuffle-free shape as
+    * `records`; a malformed archive quarantines as one surt_key="corrupt"
+    * row. Sorting the output by (surt_key, ts) — which Spark does as a
+    * range-partitioned sort at any scale — yields exactly the ordered
+    * CDX index web-archive replay expects. */
+  def cdx(archives: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(cdxSchema)
+    archives.select("archive_id", "bytes").mapPartitions { it =>
+      it.flatMap { row =>
+        val id = row.getString(0)
+        val bytes = row.getAs[Array[Byte]](1)
+        Warc.cdxLines(id, bytes) match {
+          case Some(lines) => lines.iterator.map(l =>
+            Row(l.surtKey, l.ts, l.url, l.mime, l.status, l.digest,
+              l.offset, l.length, id))
+          case None =>
+            Iterator.single(Row("corrupt", "", "", "", -1, "", -1L, -1L, id))
+        }
+      }
+    }(enc)
+  }
+
   val sinkSchema: StructType = StructType(Seq(
     StructField("path", StringType),
     StructField("n_records", LongType),

@@ -456,6 +456,29 @@ object Smoke {
         $"zip64" =!= ($"doc_id" % 13 === 0))
       assert(badDocx.isEmpty, "q62 docx metadata diverges from closed form")
       println(s"SMOKE docx: q62_rows=${q62.count()} match closed form")
+      // document triage (q63): pdf/warc/docx route as kind=document, the
+      // wav control stays audio
+      val q63 = graft.SparkEntry.queries("q63_doc_triage")(spark, "/root/testdata/sf0.001")
+      val badTri = q63.where(
+        $"kind" =!= when($"doc_id" % 4 === 3, "audio").otherwise("document") ||
+        $"container" =!= when($"doc_id" % 4 === 0, "pdf")
+          .when($"doc_id" % 4 === 1, "warc")
+          .when($"doc_id" % 4 === 2, "docx").otherwise("wav"))
+      assert(badTri.isEmpty, "q63 document triage diverges from closed form")
+      println(s"SMOKE doc-triage: q63_rows=${q63.count()} match closed form")
+      // CDX indexing (q64): SURT keys + replayed offsets over the WARC
+      // fixture, plus the distributed cdx operator over sink output
+      val q64 = graft.SparkEntry.queries("q64_archive_cdx")(spark, "/root/testdata/sf0.001")
+      val badCdx = q64.where(
+        $"surt" =!= concat(lit("test,host-"), $"doc_id" % 9,
+          lit(")/page/"), $"doc_id") ||
+        !$"replay_ok" || $"n_lines" =!= 1)
+      assert(badCdx.isEmpty, "q64 cdx index diverges from closed form")
+      val cdxIdx = graft.operators.Archive.cdx(archives)
+        .orderBy("surt_key", "ts").collect()
+      assert(cdxIdx.length == 20 && cdxIdx.forall(_.getLong(6) >= 0),
+        "cdx over sink output must index every written record")
+      println(s"SMOKE cdx: q64_rows=${q64.count()} sink_index=${cdxIdx.length} ok")
     }
 
     // full engine drive: crawl the synthetic web end-to-end

@@ -136,6 +136,27 @@ class MediaMetaSpec extends AnyFunSuite {
     }
   }
 
+  test("document binaries route as kind=document; a bare zip is not a docx") {
+    for (q <- quotients) {
+      val pdf = MediaMeta.describe(FixtureGen.pdfBytes(q))
+      assert(pdf.kind == "document" && pdf.container == "pdf")
+      assert(pdf.codec == "1." + (4 + q % 4))
+
+      val warc = MediaMeta.describe(FixtureGen.warcBytes(q))
+      assert(warc.kind == "document" && warc.container == "warc")
+      assert(warc.codec == (if (q % 2 == 0) "1.1" else "1.0"))
+
+      val docx = MediaMeta.describe(FixtureGen.docxBytes(q))
+      assert(docx.kind == "document" && docx.container == "docx" &&
+        docx.codec == "wordprocessingml")
+    }
+    // a legitimate zip with no WordprocessingML inside is container=zip
+    val bare = graft.functions.Zip.encode(Vector(
+      ("readme.txt", "hi".getBytes("UTF-8"), 0)))
+    val m = MediaMeta.describe(bare)
+    assert(m.kind == "document" && m.container == "zip" && m.codec == "")
+  }
+
   test("junk, null, empty, and truncated payloads classify — never throw") {
     assert(MediaMeta.describe(null).kind == "unknown")
     assert(MediaMeta.describe(Array.emptyByteArray).kind == "unknown")

@@ -113,6 +113,7 @@ class MediaPropertySpec extends AnyFunSuite {
         graft.functions.Pdf.docMeta(mutated)
         graft.functions.Warc.archiveMeta(mutated)
         graft.functions.Warc.gzipMemberSizes(mutated)
+        graft.functions.Warc.cdxLines("fuzz.warc", mutated)
         graft.functions.Zip.docxMeta(mutated)
         graft.functions.MediaMeta.describe(mutated) // the whole triage
         graft.functions.VideoContainers.sampleFramesIndexed(mutated, 4)

@@ -177,4 +177,49 @@ class WarcSpec extends SparkSpec {
       assert(r.header("WARC-Payload-Digest").contains(Warc.sha1Digest(msg.body)))
     }
   }
+
+  test("cdx: offsets replay — seek, slice, re-parse, same record — plain AND gzipped") {
+    for (gz <- Seq(false, true)) {
+      val bytes = Warc.encode("1.1", threeRecords("1.1"), gzipPerRecord = gz)
+      val withOff = Warc.recordsWithOffsets(bytes).get
+      assert(withOff.size == 3)
+      assert(withOff.map(_._2) == withOff.map(_._2).sorted, "offsets in file order")
+      withOff.foreach { case (rec, off, len) =>
+        assert(off >= 0 && len > 0 && off + len <= bytes.length)
+        val slice = java.util.Arrays.copyOfRange(
+          bytes, off.toInt, (off + len).toInt)
+        val replayed = Warc.parseAll(slice).get
+        assert(replayed.size == 1, "member-per-record layout replays one record")
+        assert(replayed.head.warcType == rec.warcType &&
+          replayed.head.targetUri == rec.targetUri, s"gz=$gz")
+      }
+      // lines: only the response indexes; key + ts are the CDX forms
+      val lines = Warc.cdxLines("f.warc", bytes).get
+      assert(lines.size == 1)
+      val l = lines.head
+      assert(l.surtKey == "test,h)/a")
+      assert(l.ts == "20260819000002")
+      assert(l.status == 200 && l.mime == "text/html" && l.filename == "f.warc")
+      assert(l.digest == Warc.sha1Digest("hello archive".getBytes(US_ASCII)))
+      // CDXJ serialization is the pywb/OpenWayback line shape
+      assert(l.toCdxj.startsWith("test,h)/a 20260819000002 {\"url\": "))
+      assert(l.toCdxj.contains(s""""offset": "${l.offset}""""))
+    }
+  }
+
+  test("cdx operator: distributed index rows, sorted output is the archive index") {
+    import spark.implicits._
+    val good = Warc.encode("1.1", threeRecords("1.1"), gzipPerRecord = true)
+    val df = Seq(("a1.warc.gz", good), ("bad", Array[Byte](1, 2, 3)))
+      .toDF("archive_id", "bytes")
+    val idx = graft.operators.Archive.cdx(df)
+    val rows = idx.orderBy("surt_key", "ts").collect()
+    assert(rows.length == 2)
+    assert(rows.exists(r => r.getString(0) == "corrupt" && r.getInt(4) == -1),
+      "malformed archive quarantines as a row, never a silent drop")
+    val ok = rows.find(_.getString(0) == "test,h)/a").get
+    assert(ok.getString(8) == "a1.warc.gz" && ok.getLong(6) >= 0)
+    // narrow plan: indexing shuffles nothing
+    assert(!idx.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
 }
