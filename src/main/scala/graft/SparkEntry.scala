@@ -1255,6 +1255,43 @@ object SparkEntry {
           col("m._3").as("mime"), col("m._4").as("status"),
           col("m._5").as("n_lines"), col("m._6").as("replay_ok"))
         .orderBy("doc_id")
+    }),
+    "q65_archive_wet" -> ((s, d) => {
+      // X1/S10 — WET round-trip over the REAL documents text: each
+      // row's text is serialized as a WARC `conversion` record (gzipped
+      // member-per-record on even ids, plain on odd — both read paths),
+      // then extracted back through [[graft.functions.Warc.wetTexts]],
+      // the Common Crawl text-corpus ingest path. text_len crosses
+      // engines (DuckDB len() over the same parquet text must equal the
+      // length Spark measured AFTER the WARC round-trip), and
+      // roundtrip_ok requires byte-exact text recovery — Content-Length
+      // is bytes, the text is characters, and the grammar walk must
+      // never lose or gain either.
+      val wetUdf = udf((docId: Long, text: String) => {
+        import java.nio.charset.StandardCharsets.{US_ASCII, UTF_8}
+        val t = if (text == null) "" else text
+        val uri = s"https://wet.test/doc/$docId"
+        val date = f"2026-08-19T00:00:${docId % 60}%02dZ"
+        val bytes = graft.functions.Warc.encode("1.1", Vector(
+          (graft.functions.Warc.RecordSpec("warcinfo", None,
+            "software: graft\r\n".getBytes(US_ASCII),
+            "application/warc-fields"), s"urn:uuid:w$docId", date),
+          (graft.functions.Warc.RecordSpec("conversion", Some(uri),
+            t.getBytes(UTF_8), "text/plain"), s"urn:uuid:c$docId", date)),
+          gzipPerRecord = docId % 2 == 0)
+        graft.functions.Warc.wetTexts(bytes) match {
+          case Some(ts) if ts.size == 1 =>
+            val out = ts.head._2
+            // codepoints, not UTF-16 units: DuckDB len() semantics
+            (ts.head._1, out.codePointCount(0, out.length).toLong, out == t)
+          case _ => ("", -1L, false)
+        }
+      })
+      docs(s, d).select(col("doc_id"),
+          wetUdf(col("doc_id"), col("text")).as("m"))
+        .select(col("doc_id"), col("m._1").as("uri"),
+          col("m._2").as("text_len"), col("m._3").as("roundtrip_ok"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2151,6 +2188,16 @@ object SparkEntry {
                      AS BIGINT) AS status,
                 CAST(1 AS BIGINT) AS n_lines,
                 true AS replay_ok
+         FROM documents ORDER BY doc_id""",
+    // q65: text_len is a genuine cross-engine comparison — DuckDB
+    // measures the parquet text directly, Spark measures it AFTER a
+    // WARC conversion-record round-trip; any grammar/byte-count bug in
+    // the WET path shows as a length or roundtrip_ok divergence
+    "q65_archive_wet" ->
+      """SELECT doc_id,
+                'https://wet.test/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+                CAST(len(text) AS BIGINT) AS text_len,
+                true AS roundtrip_ok
          FROM documents ORDER BY doc_id"""
   )
 }

@@ -469,6 +469,22 @@ object Warc {
     }
 
   // ------------------------------------------------------------------
+  // WET — the text-extraction sibling format (WARC `conversion`
+  // records, UTF-8 plain text): THE ingest format for LLM text
+  // corpora (Common Crawl publishes every snapshot as WET).
+  // ------------------------------------------------------------------
+
+  /** Every conversion record's (target URI, UTF-8 text), in file order.
+    * None when the archive is malformed; an archive without conversion
+    * records extracts to an empty vector. */
+  def wetTexts(bytes: Array[Byte]): Option[Vector[(String, String)]] =
+    parseAll(bytes).map { recs =>
+      recs.collect { case r if r.warcType == "conversion" =>
+        (r.targetUri, new String(r.block, UTF_8))
+      }
+    }
+
+  // ------------------------------------------------------------------
   // Writer — the crawl engine's archival sink format. One gzip member
   // per record (ISO 28500 annex D's seekable layout) when gzip=true.
   // ------------------------------------------------------------------

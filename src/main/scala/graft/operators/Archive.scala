@@ -108,6 +108,31 @@ object Archive {
     }(enc)
   }
 
+  val wetSchema: StructType = StructType(Seq(
+    StructField("archive_id", StringType),
+    StructField("uri", StringType),
+    StructField("text", StringType)))
+
+  /** Extract (uri, text) from WET archives — the WARC `conversion`
+    * sibling format LLM text corpora ingest (Common Crawl ships every
+    * snapshot as WET). Narrow and shuffle-free like `records`; the
+    * output column is ready for the text-analysis / dedup / chunking
+    * family downstream. A malformed archive quarantines as one
+    * uri="corrupt" row. */
+  def wet(archives: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(wetSchema)
+    archives.select("archive_id", "bytes").mapPartitions { it =>
+      it.flatMap { row =>
+        val id = row.getString(0)
+        val bytes = row.getAs[Array[Byte]](1)
+        Warc.wetTexts(bytes) match {
+          case Some(ts) => ts.iterator.map { case (u, t) => Row(id, u, t) }
+          case None => Iterator.single(Row(id, "corrupt", null))
+        }
+      }
+    }(enc)
+  }
+
   val sinkSchema: StructType = StructType(Seq(
     StructField("path", StringType),
     StructField("n_records", LongType),
@@ -153,5 +178,25 @@ object Archive {
           Iterator.single(Row(path.toString, n, bytes.length.toLong))
         }
       }(enc)
+  }
+
+  /** Archive the crawl engine's `fetched` table (image_id, bytes, fmt,
+    * url, …) as WARC — the seam that makes a finished crawl replayable
+    * by any web-archive tool. Each image row becomes one response
+    * record whose target URI is the page URL disambiguated by a
+    * `graft_image` query parameter (images share their page's URL in
+    * the fetched table; CDX keys must be unique per resource, and a
+    * query param keeps the key SURT-sortable next to its page).
+    * `fetchedAt` is caller-supplied — the operator stays deterministic. */
+  def fromFetched(fetched: DataFrame, dir: String, fetchedAt: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    sink(fetched.select(
+      concat(col("url"),
+        when(col("url").contains("?"), "&").otherwise("?"),
+        lit("graft_image="), col("image_id")).as("url"),
+      lit(200).as("status"),
+      concat(lit("image/"), col("fmt")).as("content_type"),
+      col("bytes").as("body"),
+      lit(fetchedAt).as("fetched_at")), dir)
   }
 }

@@ -479,6 +479,12 @@ object Smoke {
       assert(cdxIdx.length == 20 && cdxIdx.forall(_.getLong(6) >= 0),
         "cdx over sink output must index every written record")
       println(s"SMOKE cdx: q64_rows=${q64.count()} sink_index=${cdxIdx.length} ok")
+      // WET round-trip (q65): the documents text through conversion
+      // records and back, byte-exact
+      val q65 = graft.SparkEntry.queries("q65_archive_wet")(spark, "/root/testdata/sf0.001")
+      val badWet = q65.where(!$"roundtrip_ok" || $"text_len" < 0)
+      assert(badWet.isEmpty, "q65 wet round-trip diverges")
+      println(s"SMOKE wet: q65_rows=${q65.count()} round-trip exact")
     }
 
     // full engine drive: crawl the synthetic web end-to-end
@@ -495,6 +501,26 @@ object Smoke {
     println(s"SMOKE engine: seen=${engine.seen.count()} order=${engine.orderLog.count()} " +
       s"fetched=${engine.fetched.count()} counters=${io.lastCounters}")
     engine.orderLog.orderBy($"host", $"priority").show(8, truncate = false)
+
+    // the crawl's fetched table → replayable WARC + CDX index (the
+    // archival seam a finished crawl hands to any web-archive tool)
+    val warcOut = graft.util.TempDirs.create("smoke-engine-warc").toString
+    val fm = graft.operators.Archive.fromFetched(
+      engine.fetched, warcOut, "2026-08-19T00:00:00Z").collect()
+    val fetchedN = engine.fetched.count()
+    assert(fm.map(_.getLong(1)).sum == fetchedN, "archival lost fetched rows")
+    val engArch = spark.createDataset(fm.toSeq.map(m =>
+      (m.getString(0), java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(m.getString(0))))))(
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.BINARY))
+      .toDF("archive_id", "bytes")
+    val engIdx = graft.operators.Archive.cdx(engArch)
+    assert(engIdx.count() == fetchedN &&
+      engIdx.where($"surt_key" === "corrupt").isEmpty,
+      "engine archive must index completely")
+    println(s"SMOKE archive: fetched=$fetchedN -> warc_files=${fm.length} cdx_rows=$fetchedN")
 
     val n = canon.where($"canon".startsWith("https://site-")).count()
     println(s"SMOKE_OK canonicalized=$n of ${urls.count()}")

@@ -207,6 +207,72 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("wet: conversion records round-trip arbitrary text, byte-exact, gz and plain") {
+    val texts = Vector(
+      "plain ascii",
+      "embedded\r\n\r\nterminator lookalikes\nand bare LFs",
+      "unicode: café 日本語 😀", // incl. non-BMP
+      "", // empty text is a legal conversion record
+      "x" * 10000)
+    for (gz <- Seq(false, true)) {
+      val recs = texts.zipWithIndex.map { case (t, i) =>
+        (Warc.RecordSpec("conversion", Some(s"https://w.test/$i"),
+          t.getBytes(UTF_8), "text/plain"),
+          s"urn:uuid:c$i", "2026-08-19T00:00:00Z")
+      }
+      val bytes = Warc.encode("1.1", recs, gzipPerRecord = gz)
+      val back = Warc.wetTexts(bytes).get
+      assert(back.map(_._2) == texts, s"gz=$gz")
+      assert(back.map(_._1) == texts.indices.map(i => s"https://w.test/$i"))
+    }
+    // response records are NOT text: they never leak into the WET view
+    val mixed = Warc.encode("1.1", threeRecords("1.1"), gzipPerRecord = false)
+    assert(Warc.wetTexts(mixed).get.isEmpty)
+  }
+
+  test("wet operator: distributed text extraction, corrupt quarantine") {
+    import spark.implicits._
+    val good = Warc.encode("1.1", Vector(
+      (Warc.RecordSpec("conversion", Some("https://w.test/a"),
+        "hello corpus".getBytes(UTF_8), "text/plain"),
+        "urn:uuid:c0", "2026-08-19T00:00:00Z")), gzipPerRecord = true)
+    val df = Seq(("w1.warc.wet.gz", good), ("bad", Array[Byte](9, 9)))
+      .toDF("archive_id", "bytes")
+    val rows = graft.operators.Archive.wet(df).collect()
+    assert(rows.length == 2)
+    assert(rows.exists(r => r.getString(1) == "https://w.test/a" &&
+      r.getString(2) == "hello corpus"))
+    assert(rows.exists(r => r.getString(1) == "corrupt" && r.isNullAt(2)))
+  }
+
+  test("fromFetched: the engine's image table archives as replayable WARC + CDX") {
+    import spark.implicits._
+    val dir = graft.util.TempDirs.create("warc-fetched").toString
+    val fetched = Seq(
+      ("img-1", Array[Byte](1, 2, 3), "png", "https://h.test/page"),
+      ("img-2", Array[Byte](4, 5), "jpg", "https://h.test/page"),
+      ("img-3", Array[Byte](6), "png", "https://h.test/other?x=1"))
+      .toDF("image_id", "bytes", "fmt", "url").repartition(1)
+    val manifest = graft.operators.Archive.fromFetched(
+      fetched, dir, "2026-08-19T00:00:00Z").collect()
+    assert(manifest.map(_.getLong(1)).sum == 3)
+    val archives = manifest.toSeq.map(m => (m.getString(0),
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(m.getString(0)))))
+      .toDF("archive_id", "bytes")
+    val idx = graft.operators.Archive.cdx(archives)
+      .orderBy("surt_key").collect()
+    assert(idx.length == 3)
+    // page-URL-plus-query keys: unique per image, SURT-sorted by page
+    assert(idx.map(_.getString(0)).toSet == Set(
+      "test,h)/page?graft_image=img-1",
+      "test,h)/page?graft_image=img-2",
+      "test,h)/other?graft_image=img-3&x=1"))
+    assert(idx.forall(_.getString(3) == "image/png") == false) // jpg present too
+    // and the records replay with their payload bytes intact
+    val back = graft.operators.Archive.records(archives).collect()
+    assert(back.length == 3 && back.forall(_.getBoolean(7)), "digests verify")
+  }
+
   test("cdx operator: distributed index rows, sorted output is the archive index") {
     import spark.implicits._
     val good = Warc.encode("1.1", threeRecords("1.1"), gzipPerRecord = true)
