@@ -1292,6 +1292,40 @@ object SparkEntry {
         .select(col("doc_id"), col("m._1").as("uri"),
           col("m._2").as("text_len"), col("m._3").as("roundtrip_ok"))
         .orderBy("doc_id")
+    }),
+    "q66_webdataset" -> ((s, d) => {
+      // X1/S10 — WebDataset tar shards ([[graft.functions.Tar]],
+      // [[graft.operators.Webdataset]]): the hand-off format between a
+      // crawl's image+caption output and a training loader. The walk is
+      // the real ustar grammar — verified checksums, 512-block data,
+      // prefix/longname paths (odd docs put every key under a >100-char
+      // directory so the GNU `L` records are load-bearing, not
+      // decorative) — then the published key convention (basename up to
+      // the first dot) groups entries into samples. keys_ok requires
+      // the exact expected key sequence IN ORDER; the byte totals are
+      // the fixture's closed forms.
+      val metaUdf = udf((docId: Long) => {
+        val bytes = graft.fixtures.FixtureGen.wdsBytes(docId)
+        graft.operators.Webdataset.decode(bytes) match {
+          case Some(ss) if ss.nonEmpty =>
+            val n = (1 + docId % 4).toInt
+            val dir = if (docId % 2 == 1) "deep/" + ("p" * 120) else "shard"
+            val wantKeys = (0 until n).map(i => f"$dir/s$i%05d")
+            val keysOk = ss.map(_.key) == wantKeys &&
+              ss.forall(s => s.image != null && s.caption != null &&
+                s.imageExt == "png" && s.nParts == 2)
+            (ss.size.toLong,
+              ss.map(_.caption.length.toLong).sum,
+              ss.map(_.image.length.toLong).sum,
+              keysOk)
+          case _ => (-1L, -1L, -1L, false)
+        }
+      })
+      docs(s, d).select(col("doc_id"), metaUdf(col("doc_id")).as("m"))
+        .select(col("doc_id"), col("m._1").as("n_samples"),
+          col("m._2").as("caption_chars"), col("m._3").as("image_bytes"),
+          col("m._4").as("keys_ok"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2198,6 +2232,18 @@ object SparkEntry {
                 'https://wet.test/doc/' || CAST(doc_id AS VARCHAR) AS uri,
                 CAST(len(text) AS BIGINT) AS text_len,
                 true AS roundtrip_ok
+         FROM documents ORDER BY doc_id""",
+    // q66: sample count and byte totals are the shard fixture's closed
+    // forms; keys_ok carries the Scala-side exact key-sequence check
+    // (incl. the odd-doc GNU-longname keys the oracle can't express)
+    "q66_webdataset" ->
+      """SELECT doc_id,
+                CAST(1 + doc_id % 4 AS BIGINT) AS n_samples,
+                CAST((1 + doc_id % 4) * (3 + doc_id % 6) AS BIGINT)
+                  AS caption_chars,
+                CAST((1 + doc_id % 4) * (10 + doc_id % 30) AS BIGINT)
+                  AS image_bytes,
+                true AS keys_ok
          FROM documents ORDER BY doc_id"""
   )
 }

@@ -984,6 +984,27 @@ object FixtureGen {
       storedDocument = docId % 2 == 0,
       zip64 = docId % 13 == 0))
 
+  /** q66 fixture: a deterministic WebDataset tar shard per doc.
+    * `1+d%4` samples, each `{key}.png` (`10+d%30` bytes) + `{key}.txt`
+    * (`3+d%6` chars); on odd d the keys live under a >100-char
+    * directory so every entry exercises the GNU longname path. All
+    * closed-form for the oracle. */
+  def wdsBytes(docId: Long): Array[Byte] = {
+    val d = docId
+    val n = (1 + d % 4).toInt
+    val dir = if (d % 2 == 1) "deep/" + ("p" * 120) else "shard"
+    val items = Vector.newBuilder[(String, Array[Byte])]
+    for (i <- 0 until n) {
+      val key = f"$dir/s$i%05d"
+      val img = Array.tabulate((10 + d % 30).toInt)(j =>
+        ((d + i * 7 + j) % 256).toByte)
+      items += ((key + ".png", img))
+      items += ((key + ".txt",
+        ("c" * (3 + d % 6).toInt).getBytes("UTF-8")))
+    }
+    graft.functions.Tar.encode(items.result())
+  }
+
   /** q59 fixture: a deterministic SVG per doc. Sizing source cycles by
     * d%4 — viewBox-only (0), bare numbers (1), `px` (2), `pt` at exact
     * 4/3 multiples (3: `3k pt` = `4k px`); `1+d%4` rect elements; a

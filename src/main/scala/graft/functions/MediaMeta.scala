@@ -198,6 +198,9 @@ object MediaMeta {
           else Unknown
       }
 
+      if (Tar.isTar(bytes) && Tar.entries(bytes).isDefined)
+        return Described("document", "tar", "", -1, -1, -1L, -1, -1)
+
       // MP3 has no magic: the chained-frame walk self-validates (ID3v2
       // or a syncing header that CHAINS), so it goes last
       Mpeg.audioMeta(bytes) match {

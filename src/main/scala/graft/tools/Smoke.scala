@@ -485,6 +485,14 @@ object Smoke {
       val badWet = q65.where(!$"roundtrip_ok" || $"text_len" < 0)
       assert(badWet.isEmpty, "q65 wet round-trip diverges")
       println(s"SMOKE wet: q65_rows=${q65.count()} round-trip exact")
+      // WebDataset shards (q66): ustar walk + first-dot sample grouping
+      val q66 = graft.SparkEntry.queries("q66_webdataset")(spark, "/root/testdata/sf0.001")
+      val badWds = q66.where(
+        $"n_samples" =!= lit(1) + $"doc_id" % 4 ||
+        $"caption_chars" =!= (lit(1) + $"doc_id" % 4) * (lit(3) + $"doc_id" % 6) ||
+        !$"keys_ok")
+      assert(badWds.isEmpty, "q66 webdataset diverges from closed form")
+      println(s"SMOKE wds: q66_rows=${q66.count()} match closed form")
     }
 
     // full engine drive: crawl the synthetic web end-to-end
@@ -521,6 +529,24 @@ object Smoke {
       engIdx.where($"surt_key" === "corrupt").isEmpty,
       "engine archive must index completely")
     println(s"SMOKE archive: fetched=$fetchedN -> warc_files=${fm.length} cdx_rows=$fetchedN")
+
+    // the same fetched table → WebDataset training shards (the terminal
+    // hand-off to a training loader), read back sample-exact
+    val wdsOut = graft.util.TempDirs.create("smoke-engine-wds").toString
+    val wm = graft.operators.Webdataset.fromFetched(engine.fetched, wdsOut).collect()
+    assert(wm.map(_.getLong(1)).sum == fetchedN, "wds shards lost samples")
+    val shards = spark.createDataset(wm.toSeq.map(m =>
+      (m.getString(0), java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(m.getString(0))))))(
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.BINARY))
+      .toDF("shard_id", "bytes")
+    val samplesBack = graft.operators.Webdataset.samples(shards)
+    assert(samplesBack.count() == fetchedN &&
+      samplesBack.where($"caption".isNull || $"image".isNull).isEmpty,
+      "every shipped sample must carry image AND caption")
+    println(s"SMOKE wds-ship: fetched=$fetchedN -> shards=${wm.length} samples=$fetchedN")
 
     val n = canon.where($"canon".startsWith("https://site-")).count()
     println(s"SMOKE_OK canonicalized=$n of ${urls.count()}")

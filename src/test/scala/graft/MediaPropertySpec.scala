@@ -79,7 +79,8 @@ class MediaPropertySpec extends AnyFunSuite {
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.svgBytes),
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.pdfBytes),
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.warcBytes),
-      Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.docxBytes))
+      Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.docxBytes),
+      Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.wdsBytes))
     val mutation: Gen[(Array[Byte]) => Array[Byte]] = Gen.oneOf(
       Gen.choose(0, 1000).map(c => (b: Array[Byte]) => b.dropRight(c)),
       Gen.choose(0, 60).map(c => (b: Array[Byte]) => b.drop(c)),
@@ -115,6 +116,7 @@ class MediaPropertySpec extends AnyFunSuite {
         graft.functions.Warc.gzipMemberSizes(mutated)
         graft.functions.Warc.cdxLines("fuzz.warc", mutated)
         graft.functions.Zip.docxMeta(mutated)
+        graft.operators.Webdataset.decode(mutated)
         graft.functions.MediaMeta.describe(mutated) // the whole triage
         graft.functions.VideoContainers.sampleFramesIndexed(mutated, 4)
         true
