@@ -20,6 +20,15 @@ import graft.operators.{Dedup, Frontier, Robots, Seen, Similarity, TextAnalysis,
 object SparkEntry {
 
   private def docs(s: SparkSession, dir: String) = s.read.parquet(s"$dir/documents.parquet")
+  /** The documents scan is ONE small parquet file = one input task; the
+    * per-row decode-UDF queries (q35+) repartition by doc_id FIRST so
+    * their ~ms/doc fixture+decode chains run cluster-wide instead of
+    * serialized on a single core. Explicit partition count — the q32
+    * lesson: AQE would coalesce a few-MB by-column repartition back to
+    * one partition, re-serializing the UDF stage. Row-wise maps + the
+    * final orderBy make this a pure plan change, never a result change. */
+  private def docsSpread(s: SparkSession, dir: String) =
+    docs(s, dir).repartition(s.sparkContext.defaultParallelism, col("doc_id"))
   private def embs(s: SparkSession, dir: String) = s.read.parquet(s"$dir/embeddings.parquet")
   private def li(s: SparkSession, dir: String) = s.read.parquet(s"$dir/lineitem.parquet")
   private def ords(s: SparkSession, dir: String) = s.read.parquet(s"$dir/orders.parquet")
@@ -439,7 +448,7 @@ object SparkEntry {
           (k.toLong, if (uniform) r0.toLong else -1L)
         }
       })
-      docs(s, d).select(col("doc_id"), explode(framesUdf(col("doc_id"))).as("f"))
+      docsSpread(s, d).select(col("doc_id"), explode(framesUdf(col("doc_id"))).as("f"))
         .select(col("doc_id"), col("f._1").as("frame_idx"), col("f._2").as("gray"))
         .orderBy("doc_id", "frame_idx")
     }),
@@ -456,7 +465,7 @@ object SparkEntry {
         (f.sampleRate.toLong, f.nFrames.toLong, f.peak.toLong,
           math.round(f.rms), f.durationMs)
       })
-      docs(s, d).select(col("doc_id"), featUdf(col("doc_id")).as("f"))
+      docsSpread(s, d).select(col("doc_id"), featUdf(col("doc_id")).as("f"))
         .select(col("doc_id"), col("f._1").as("sr"), col("f._2").as("n_frames"),
           col("f._3").as("peak"), col("f._4").as("rms"), col("f._5").as("dur_ms"))
         .orderBy("doc_id")
@@ -475,7 +484,7 @@ object SparkEntry {
         (f.audioFormat.toLong, f.nFrames.toLong, f.peak.toLong,
           math.round(f.rms), f.durationMs)
       })
-      docs(s, d).select(col("doc_id"), featUdf(col("doc_id")).as("f"))
+      docsSpread(s, d).select(col("doc_id"), featUdf(col("doc_id")).as("f"))
         .select(col("doc_id"), col("f._1").as("codec"), col("f._2").as("n_frames"),
           col("f._3").as("peak"), col("f._4").as("rms"), col("f._5").as("dur_ms"))
         .orderBy("doc_id")
@@ -508,7 +517,7 @@ object SparkEntry {
           }
         }
       })
-      docs(s, d).select(col("doc_id"), explode(framesUdf(col("doc_id"))).as("f"))
+      docsSpread(s, d).select(col("doc_id"), explode(framesUdf(col("doc_id"))).as("f"))
         .select(col("doc_id"), col("f._1").as("frame_idx"), col("f._2").as("w"),
           col("f._3").as("h"), col("f._4").as("ok"))
         .orderBy("doc_id", "frame_idx")
@@ -532,7 +541,7 @@ object SparkEntry {
           .foldLeft(0L)((a, v) => a + v.toLong * v)
         (f.nFrames.toLong, f.peak.toLong, ss, f.durationMs)
       })
-      docs(s, d).select(col("doc_id"), featUdf(col("doc_id")).as("f"))
+      docsSpread(s, d).select(col("doc_id"), featUdf(col("doc_id")).as("f"))
         .select(col("doc_id"), col("f._1").as("n_frames"), col("f._2").as("peak"),
           col("f._3").as("sumsq"), col("f._4").as("dur_ms"))
         .orderBy("doc_id")
@@ -558,7 +567,7 @@ object SparkEntry {
         (f.channels.toLong, f.sampleRate.toLong, f.nFrames.toLong,
           f.peak.toLong, ss)
       })
-      docs(s, d).select(col("doc_id"), featUdf(col("doc_id")).as("f"))
+      docsSpread(s, d).select(col("doc_id"), featUdf(col("doc_id")).as("f"))
         .select(col("doc_id"), col("f._1").as("ch"), col("f._2").as("sr"),
           col("f._3").as("n_frames"), col("f._4").as("peak"),
           col("f._5").as("sumsq"))
@@ -586,7 +595,7 @@ object SparkEntry {
               if (uniform) r0.toLong else -1L)
           }
       })
-      docs(s, d).select(col("doc_id"), explode(framesUdf(col("doc_id"))).as("f"))
+      docsSpread(s, d).select(col("doc_id"), explode(framesUdf(col("doc_id"))).as("f"))
         .select(col("doc_id"), col("f._1").as("frame_idx"), col("f._2").as("w"),
           col("f._3").as("h"), col("f._4").as("gray"))
         .orderBy("doc_id", "frame_idx")
@@ -613,7 +622,7 @@ object SparkEntry {
               if (uniform) r0.toLong else -1L)
           }
       })
-      docs(s, d).select(col("doc_id"), explode(framesUdf(col("doc_id"))).as("f"))
+      docsSpread(s, d).select(col("doc_id"), explode(framesUdf(col("doc_id"))).as("f"))
         .select(col("doc_id"), col("f._1").as("frame_idx"), col("f._2").as("w"),
           col("f._3").as("h"), col("f._4").as("gray"))
         .orderBy("doc_id", "frame_idx")
@@ -648,7 +657,7 @@ object SparkEntry {
               if (ok) bg.toLong else -1L, if (ok) pg.toLong else -1L)
           }
       })
-      docs(s, d).select(col("doc_id"), explode(framesUdf(col("doc_id"))).as("f"))
+      docsSpread(s, d).select(col("doc_id"), explode(framesUdf(col("doc_id"))).as("f"))
         .select(col("doc_id"), col("f._1").as("frame_idx"), col("f._2").as("w"),
           col("f._3").as("h"), col("f._4").as("bg_gray"), col("f._5").as("patch_gray"))
         .orderBy("doc_id", "frame_idx")
@@ -674,7 +683,7 @@ object SparkEntry {
           .foldLeft(0L)((a, v) => a + v.toLong * v)
         (f.channels.toLong, f.nFrames.toLong, f.peak.toLong, ss, f.durationMs)
       })
-      docs(s, d).select(col("doc_id"), featUdf(col("doc_id")).as("f"))
+      docsSpread(s, d).select(col("doc_id"), featUdf(col("doc_id")).as("f"))
         .select(col("doc_id"), col("f._1").as("ch"), col("f._2").as("n_frames"),
           col("f._3").as("peak"), col("f._4").as("sumsq"), col("f._5").as("dur_ms"))
         .orderBy("doc_id")
@@ -708,7 +717,7 @@ object SparkEntry {
           if (gray) (w.toLong, h.toLong, checksum, peak) else (-1L, -1L, -1L, -1L)
         }
       })
-      docs(s, d).select(col("doc_id"), featUdf(col("doc_id")).as("f"))
+      docsSpread(s, d).select(col("doc_id"), featUdf(col("doc_id")).as("f"))
         .select(col("doc_id"), col("f._1").as("w"), col("f._2").as("h"),
           col("f._3").as("checksum"), col("f._4").as("peak"))
         .orderBy("doc_id")
@@ -731,7 +740,7 @@ object SparkEntry {
         (f.audioFormat.toLong, f.sampleRate.toLong, f.nFrames.toLong,
           f.peak.toLong, ss, f.durationMs)
       })
-      docs(s, d).select(col("doc_id"), featUdf(col("doc_id")).as("f"))
+      docsSpread(s, d).select(col("doc_id"), featUdf(col("doc_id")).as("f"))
         .select(col("doc_id"), col("f._1").as("codec"), col("f._2").as("sr"),
           col("f._3").as("n_frames"), col("f._4").as("peak"),
           col("f._5").as("sumsq"), col("f._6").as("dur_ms"))
@@ -766,7 +775,7 @@ object SparkEntry {
             else (k.toLong, -1L, -1L, -1L, -1L)
           }
       })
-      docs(s, d).select(col("doc_id"), explode(framesUdf(col("doc_id"))).as("f"))
+      docsSpread(s, d).select(col("doc_id"), explode(framesUdf(col("doc_id"))).as("f"))
         .select(col("doc_id"), col("f._1").as("frame_idx"), col("f._2").as("w"),
           col("f._3").as("h"), col("f._4").as("checksum"), col("f._5").as("peak"))
         .orderBy("doc_id", "frame_idx")
@@ -805,7 +814,7 @@ object SparkEntry {
           if (gray) (w.toLong, h.toLong, checksum, peak) else (-1L, -1L, -1L, -1L)
         }
       })
-      docs(s, d).select(col("doc_id"), featUdf(col("doc_id")).as("f"))
+      docsSpread(s, d).select(col("doc_id"), featUdf(col("doc_id")).as("f"))
         .select(col("doc_id"), col("f._1").as("w"), col("f._2").as("h"),
           col("f._3").as("checksum"), col("f._4").as("peak"))
         .orderBy("doc_id")
@@ -845,7 +854,7 @@ object SparkEntry {
             else (k.toLong, w.toLong, h.toLong, -1L, -1L)
           }
       })
-      docs(s, d).select(col("doc_id"), explode(framesUdf(col("doc_id"))).as("f"))
+      docsSpread(s, d).select(col("doc_id"), explode(framesUdf(col("doc_id"))).as("f"))
         .select(col("doc_id"), col("f._1").as("frame_idx"), col("f._2").as("w"),
           col("f._3").as("h"), col("f._4").as("bg_gray"), col("f._5").as("patch_gray"))
         .orderBy("doc_id", "frame_idx")
@@ -885,7 +894,7 @@ object SparkEntry {
           else (-1L, -1L, -1L, -1L, n)
         }
       })
-      docs(s, d).select(col("doc_id"), featUdf(col("doc_id")).as("f"))
+      docsSpread(s, d).select(col("doc_id"), featUdf(col("doc_id")).as("f"))
         .select(col("doc_id"), col("f._1").as("w"), col("f._2").as("h"),
           col("f._3").as("checksum"), col("f._4").as("peak"),
           col("f._5").as("n_members"))
@@ -922,7 +931,7 @@ object SparkEntry {
           if (gray) (w.toLong, h.toLong, checksum, peak) else (-1L, -1L, -1L, -1L)
         }
       })
-      docs(s, d).select(col("doc_id"), featUdf(col("doc_id")).as("f"))
+      docsSpread(s, d).select(col("doc_id"), featUdf(col("doc_id")).as("f"))
         .select(col("doc_id"), col("f._1").as("w"), col("f._2").as("h"),
           col("f._3").as("checksum"), col("f._4").as("peak"))
         .orderBy("doc_id")
@@ -944,7 +953,7 @@ object SparkEntry {
           case None => (-1L, -1L, -1L, -1L, -1L)
         }
       })
-      docs(s, d).select(col("doc_id"), metaUdf(col("doc_id")).as("m"))
+      docsSpread(s, d).select(col("doc_id"), metaUdf(col("doc_id")).as("m"))
         .select(col("doc_id"), col("m._1").as("sample_rate"),
           col("m._2").as("channels"), col("m._3").as("n_frames"),
           col("m._4").as("bitrate_kbps"), col("m._5").as("duration_ms"))
@@ -970,7 +979,7 @@ object SparkEntry {
           case None => ("", -1L, "", -1L, -1L, -1L, "", -1L, -1L)
         }
       })
-      docs(s, d).select(col("doc_id"), metaUdf(col("doc_id")).as("m"))
+      docsSpread(s, d).select(col("doc_id"), metaUdf(col("doc_id")).as("m"))
         .select(col("doc_id"), col("m._1").as("brand"),
           col("m._2").as("duration_ms"), col("m._3").as("video_codec"),
           col("m._4").as("w"), col("m._5").as("h"),
@@ -992,7 +1001,7 @@ object SparkEntry {
           case None => (-1L, -1L, -1L, "", "", "", -1L, -1L, -1L, false)
         }
       })
-      docs(s, d).select(col("doc_id"), metaUdf(col("doc_id")).as("m"))
+      docsSpread(s, d).select(col("doc_id"), metaUdf(col("doc_id")).as("m"))
         .select(col("doc_id"), col("m._1").as("w"), col("m._2").as("h"),
           col("m._3").as("orientation"), col("m._4").as("make"),
           col("m._5").as("model"), col("m._6").as("taken_at"),
@@ -1014,7 +1023,7 @@ object SparkEntry {
           case None => ("", -1L, -1L, -1L, -1L, -1L)
         }
       })
-      docs(s, d).select(col("doc_id"), metaUdf(col("doc_id")).as("m"))
+      docsSpread(s, d).select(col("doc_id"), metaUdf(col("doc_id")).as("m"))
         .select(col("doc_id"), col("m._1").as("codec"),
           col("m._2").as("channels"), col("m._3").as("sample_rate"),
           col("m._4").as("pre_skip"), col("m._5").as("duration_ms"),
@@ -1036,7 +1045,7 @@ object SparkEntry {
           case None => ("", -1L, "", -1L, -1L, "", -1L, -1L)
         }
       })
-      docs(s, d).select(col("doc_id"), metaUdf(col("doc_id")).as("m"))
+      docsSpread(s, d).select(col("doc_id"), metaUdf(col("doc_id")).as("m"))
         .select(col("doc_id"), col("m._1").as("doc_type"),
           col("m._2").as("duration_ms"), col("m._3").as("video_codec"),
           col("m._4").as("w"), col("m._5").as("h"),
@@ -1074,7 +1083,7 @@ object SparkEntry {
         (m.kind, m.container, m.codec, m.width.toLong, m.height.toLong,
           m.durationMs, m.sampleRate.toLong, m.channels.toLong)
       })
-      docs(s, d).select(col("doc_id"), triageUdf(col("doc_id")).as("m"))
+      docsSpread(s, d).select(col("doc_id"), triageUdf(col("doc_id")).as("m"))
         .select(col("doc_id"), col("m._1").as("kind"),
           col("m._2").as("container"), col("m._3").as("codec"),
           col("m._4").as("w"), col("m._5").as("h"),
@@ -1097,7 +1106,7 @@ object SparkEntry {
           case None => ("", "", -1L, -1L, -1L, -1L, false)
         }
       })
-      docs(s, d).select(col("doc_id"), metaUdf(col("doc_id")).as("m"))
+      docsSpread(s, d).select(col("doc_id"), metaUdf(col("doc_id")).as("m"))
         .select(col("doc_id"), col("m._1").as("brand"), col("m._2").as("codec"),
           col("m._3").as("w"), col("m._4").as("h"),
           col("m._5").as("rotation"), col("m._6").as("n_items"),
@@ -1118,7 +1127,7 @@ object SparkEntry {
           case None => (-1L, -1L, -1L, false, false)
         }
       })
-      docs(s, d).select(col("doc_id"), metaUdf(col("doc_id")).as("m"))
+      docsSpread(s, d).select(col("doc_id"), metaUdf(col("doc_id")).as("m"))
         .select(col("doc_id"), col("m._1").as("w"), col("m._2").as("h"),
           col("m._3").as("n_elements"), col("m._4").as("has_script"),
           col("m._5").as("has_external_ref"))
@@ -1141,7 +1150,7 @@ object SparkEntry {
           case None => ("", -1L, false, false, false, "", false)
         }
       })
-      docs(s, d).select(col("doc_id"), metaUdf(col("doc_id")).as("m"))
+      docsSpread(s, d).select(col("doc_id"), metaUdf(col("doc_id")).as("m"))
         .select(col("doc_id"), col("m._1").as("version"),
           col("m._2").as("n_pages"), col("m._3").as("encrypted"),
           col("m._4").as("has_js"), col("m._5").as("has_attachments"),
@@ -1166,7 +1175,7 @@ object SparkEntry {
           case None => ("", false, -1L, -1L, "", -1L, false, false)
         }
       })
-      docs(s, d).select(col("doc_id"), metaUdf(col("doc_id")).as("m"))
+      docsSpread(s, d).select(col("doc_id"), metaUdf(col("doc_id")).as("m"))
         .select(col("doc_id"), col("m._1").as("version"),
           col("m._2").as("gzipped"), col("m._3").as("n_records"),
           col("m._4").as("http_status"), col("m._5").as("content_type"),
@@ -1193,7 +1202,7 @@ object SparkEntry {
           case None => (-1L, -1L, -1L, "", "", false, false, "", false)
         }
       })
-      docs(s, d).select(col("doc_id"), metaUdf(col("doc_id")).as("m"))
+      docsSpread(s, d).select(col("doc_id"), metaUdf(col("doc_id")).as("m"))
         .select(col("doc_id"), col("m._1").as("n_entries"),
           col("m._2").as("n_paragraphs"), col("m._3").as("n_words"),
           col("m._4").as("title"), col("m._5").as("creator"),
@@ -1217,7 +1226,7 @@ object SparkEntry {
         val m = graft.functions.MediaMeta.describe(bytes)
         (m.kind, m.container)
       })
-      docs(s, d).select(col("doc_id"), metaUdf(col("doc_id")).as("m"))
+      docsSpread(s, d).select(col("doc_id"), metaUdf(col("doc_id")).as("m"))
         .select(col("doc_id"), col("m._1").as("kind"),
           col("m._2").as("container"))
         .orderBy("doc_id")
@@ -1250,7 +1259,7 @@ object SparkEntry {
           case _ => ("", "", "", -1L, -1L, false)
         }
       })
-      docs(s, d).select(col("doc_id"), metaUdf(col("doc_id")).as("m"))
+      docsSpread(s, d).select(col("doc_id"), metaUdf(col("doc_id")).as("m"))
         .select(col("doc_id"), col("m._1").as("surt"), col("m._2").as("ts"),
           col("m._3").as("mime"), col("m._4").as("status"),
           col("m._5").as("n_lines"), col("m._6").as("replay_ok"))
@@ -1321,7 +1330,7 @@ object SparkEntry {
           case _ => (-1L, -1L, -1L, false)
         }
       })
-      docs(s, d).select(col("doc_id"), metaUdf(col("doc_id")).as("m"))
+      docsSpread(s, d).select(col("doc_id"), metaUdf(col("doc_id")).as("m"))
         .select(col("doc_id"), col("m._1").as("n_samples"),
           col("m._2").as("caption_chars"), col("m._3").as("image_bytes"),
           col("m._4").as("keys_ok"))
