@@ -1335,6 +1335,73 @@ object SparkEntry {
           col("m._2").as("caption_chars"), col("m._3").as("image_bytes"),
           col("m._4").as("keys_ok"))
         .orderBy("doc_id")
+    }),
+    "q67_audio_aacmeta" -> ((s, d) => {
+      // X1 — ADTS/AAC metadata ([[graft.functions.Aac]]): the web's
+      // dominant audio codec, triaged at the frame-header level without
+      // sample decode (honestly scoped like MP3/q52). The chain walk
+      // self-validates: each frame's 13-bit length must land exactly on
+      // the next syncword, and profile/rate/channels may never flip
+      // mid-stream.
+      val metaUdf = udf((docId: Long) => {
+        graft.functions.Aac.audioMeta(
+            graft.fixtures.FixtureGen.aacBytes(docId)) match {
+          case Some(m) => (m.profile, m.sampleRate.toLong, m.channels.toLong,
+            m.nFrames.toLong, m.durationMs, m.crcProtected)
+          case None => ("", -1L, -1L, -1L, -1L, false)
+        }
+      })
+      docsSpread(s, d).select(col("doc_id"), metaUdf(col("doc_id")).as("m"))
+        .select(col("doc_id"), col("m._1").as("profile"),
+          col("m._2").as("sample_rate"), col("m._3").as("channels"),
+          col("m._4").as("n_frames"), col("m._5").as("duration_ms"),
+          col("m._6").as("crc"))
+        .orderBy("doc_id")
+    }),
+    "q68_video_h264" -> ((s, d) => {
+      // X1 — H.264 SPS metadata ([[graft.functions.H264]]): the web's
+      // dominant video codec at the bitstream level — Annex-B NAL scan
+      // (skipping the fixture's leading AUD), RBSP emulation-prevention
+      // un-escape, exp-Golomb, and the frame-cropping arithmetic that
+      // turns macroblock counts into true display dims. Sample decode
+      // stays behind the honest stub; the grammar is exact.
+      val metaUdf = udf((docId: Long) => {
+        graft.functions.H264.spsMeta(
+            graft.fixtures.FixtureGen.h264Bytes(docId)) match {
+          case Some(m) => (m.width.toLong, m.height.toLong,
+            m.profileIdc.toLong, m.levelIdc.toLong, m.cropped,
+            m.frameMbsOnly)
+          case None => (-1L, -1L, -1L, -1L, false, false)
+        }
+      })
+      docsSpread(s, d).select(col("doc_id"), metaUdf(col("doc_id")).as("m"))
+        .select(col("doc_id"), col("m._1").as("width"),
+          col("m._2").as("height"), col("m._3").as("profile"),
+          col("m._4").as("level"), col("m._5").as("cropped"),
+          col("m._6").as("frame_mbs_only"))
+        .orderBy("doc_id")
+    }),
+    "q69_video_ivf" -> ((s, d) => {
+      // X1 — IVF container metadata ([[graft.functions.Ivf]]): the
+      // VP8/VP9/AV1 exchange container. The walked frame chain is the
+      // truth — the fixture's declared count LIES on d%6=0 and
+      // counts_agree must go false there, proving the walk counts
+      // frames instead of trusting the header.
+      val metaUdf = udf((docId: Long) => {
+        graft.functions.Ivf.videoMeta(
+            graft.fixtures.FixtureGen.ivfBytes(docId)) match {
+          case Some(m) => (m.codec, m.width.toLong, m.height.toLong,
+            m.nFrames.toLong, m.declaredFrames.toLong, m.durationMs,
+            m.countsAgree)
+          case None => ("", -1L, -1L, -1L, -1L, -1L, false)
+        }
+      })
+      docsSpread(s, d).select(col("doc_id"), metaUdf(col("doc_id")).as("m"))
+        .select(col("doc_id"), col("m._1").as("codec"),
+          col("m._2").as("width"), col("m._3").as("height"),
+          col("m._4").as("n_frames"), col("m._5").as("declared"),
+          col("m._6").as("duration_ms"), col("m._7").as("counts_agree"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2253,6 +2320,56 @@ object SparkEntry {
                 CAST((1 + doc_id % 4) * (10 + doc_id % 30) AS BIGINT)
                   AS image_bytes,
                 true AS keys_ok
+         FROM documents ORDER BY doc_id""",
+    // q67: the ADTS fixture's closed forms; duration is the exact
+    // integer math the walk does (frames * 1024 samples / rate, floor)
+    "q67_audio_aacmeta" ->
+      """SELECT doc_id,
+                CASE CAST(doc_id % 4 AS INTEGER)
+                     WHEN 0 THEN 'main' WHEN 1 THEN 'lc'
+                     WHEN 2 THEN 'ssr' ELSE 'ltp' END AS profile,
+                CAST(CASE CAST(doc_id % 9 AS INTEGER)
+                     WHEN 0 THEN 96000 WHEN 1 THEN 88200 WHEN 2 THEN 64000
+                     WHEN 3 THEN 48000 WHEN 4 THEN 44100 WHEN 5 THEN 32000
+                     WHEN 6 THEN 24000 WHEN 7 THEN 22050 ELSE 16000 END
+                     AS BIGINT) AS sample_rate,
+                CAST(1 + doc_id % 5 AS BIGINT) AS channels,
+                CAST(3 + doc_id % 6 AS BIGINT) AS n_frames,
+                CAST((3 + doc_id % 6) * 1024 * 1000 //
+                     CASE CAST(doc_id % 9 AS INTEGER)
+                     WHEN 0 THEN 96000 WHEN 1 THEN 88200 WHEN 2 THEN 64000
+                     WHEN 3 THEN 48000 WHEN 4 THEN 44100 WHEN 5 THEN 32000
+                     WHEN 6 THEN 24000 WHEN 7 THEN 22050 ELSE 16000 END
+                     AS BIGINT) AS duration_ms,
+                doc_id % 5 = 0 AS crc
+         FROM documents ORDER BY doc_id""",
+    // q68: dims are the fixture's closed forms and are NOT
+    // macroblock-aligned in general — a parser without the crop math
+    // would report the 16-rounded dims and red here
+    "q68_video_h264" ->
+      """SELECT doc_id,
+                CAST(160 + 2 * (doc_id % 120) AS BIGINT) AS width,
+                CAST(180 + 2 * (doc_id % 100) AS BIGINT) AS height,
+                CAST(66 AS BIGINT) AS profile,
+                CAST(30 + doc_id % 21 AS BIGINT) AS level,
+                ((160 + 2 * (doc_id % 120)) % 16 <> 0 OR
+                 (180 + 2 * (doc_id % 100)) % 16 <> 0) AS cropped,
+                true AS frame_mbs_only
+         FROM documents ORDER BY doc_id""",
+    // q69: the walked chain is the truth; declared lies on d%6=0
+    "q69_video_ivf" ->
+      """SELECT doc_id,
+                CASE CAST(doc_id % 3 AS INTEGER)
+                     WHEN 0 THEN 'vp80' WHEN 1 THEN 'vp90'
+                     ELSE 'av01' END AS codec,
+                CAST(320 + 2 * (doc_id % 200) AS BIGINT) AS width,
+                CAST(180 + 2 * (doc_id % 150) AS BIGINT) AS height,
+                CAST(2 + doc_id % 7 AS BIGINT) AS n_frames,
+                CAST(2 + doc_id % 7 +
+                     CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END
+                     AS BIGINT) AS declared,
+                CAST((2 + doc_id % 7) * 1000 // 30 AS BIGINT) AS duration_ms,
+                doc_id % 6 <> 0 AS counts_agree
          FROM documents ORDER BY doc_id"""
   )
 }

@@ -1005,6 +1005,56 @@ object FixtureGen {
     graft.functions.Tar.encode(items.result())
   }
 
+  /** q67 fixture: a deterministic ADTS/AAC chain per doc. Profile
+    * cycles all four (d%4), sample-rate index d%9 (96k..16k), channel
+    * config `1+d%5`, `3+d%6` frames of varying payload size (the chain
+    * walk must follow per-frame lengths), CRC header shape on d%5=0.
+    * All closed-form for the oracle. */
+  def aacBytes(docId: Long): Array[Byte] = {
+    val d = docId
+    val n = (3 + d % 6).toInt
+    graft.functions.Aac.encode(
+      profile = (d % 4).toInt,
+      srIdx = (d % 9).toInt,
+      channels = (1 + d % 5).toInt,
+      payloadLens = Vector.tabulate(n)(i => (20 + (d + i * 3) % 50).toInt),
+      withCrc = d % 5 == 0)
+  }
+
+  /** q68 fixture: an Annex-B H.264 stream per doc — an AUD NAL then the
+    * SPS (the scan must skip non-SPS NALs). Even display dims so the
+    * 4:2:0 crop units divide: width `160+2*(d%120)`, height
+    * `180+2*(d%100)` — most are NOT macroblock-aligned, so the
+    * frame-cropping arithmetic is load-bearing. Level `30+d%21`. */
+  def h264Bytes(docId: Long): Array[Byte] = {
+    val d = docId
+    val aud = Array[Byte](0, 0, 0, 1, 0x09, 0xf0.toByte)
+    aud ++ graft.functions.H264.encodeSps(
+      width = (160 + 2 * (d % 120)).toInt,
+      height = (180 + 2 * (d % 100)).toInt,
+      levelIdc = (30 + d % 21).toInt)
+  }
+
+  /** q69 fixture: an IVF container per doc. Codec fourcc cycles
+    * vp80/vp90/av01 by d%3; `2+d%7` frames at pts 0..n-1, timebase
+    * 1/30; on d%6=0 the DECLARED frame count lies (n+1) — the walked
+    * chain is the truth and counts_agree must be false there. */
+  def ivfBytes(docId: Long): Array[Byte] = {
+    val d = docId
+    val n = (2 + d % 7).toInt
+    val fourcc = (d % 3) match {
+      case 0 => "VP80"
+      case 1 => "VP90"
+      case _ => "AV01"
+    }
+    graft.functions.Ivf.encode(fourcc,
+      width = (320 + 2 * (d % 200)).toInt,
+      height = (180 + 2 * (d % 150)).toInt,
+      den = 30, num = 1,
+      frameSizes = Vector.tabulate(n)(i => (5 + (d + i) % 40).toInt),
+      declared = if (d % 6 == 0) n + 1 else n)
+  }
+
   /** q59 fixture: a deterministic SVG per doc. Sizing source cycles by
     * d%4 — viewBox-only (0), bare numbers (1), `px` (2), `pt` at exact
     * 4/3 multiples (3: `3k pt` = `4k px`); `1+d%4` rect elements; a

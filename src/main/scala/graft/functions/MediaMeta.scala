@@ -201,6 +201,32 @@ object MediaMeta {
       if (Tar.isTar(bytes) && Tar.entries(bytes).isDefined)
         return Described("document", "tar", "", -1, -1, -1L, -1, -1)
 
+      if (Ivf.isIvf(bytes)) return Ivf.videoMeta(bytes) match {
+        case Some(m) => Described("video", "ivf", m.codec, m.width, m.height,
+          m.durationMs, -1, -1)
+        case None => Unknown
+      }
+
+      // raw Annex-B H.264: the 4-byte start code (the 3-byte form alone
+      // would shadow ICO's 00 00 01 00 magic, so require the long form)
+      if (bytes.length >= 5 && bytes(0) == 0 && bytes(1) == 0 &&
+          bytes(2) == 0 && bytes(3) == 1 && (bytes(4) & 0x80) == 0) {
+        H264.spsMeta(bytes) match {
+          case Some(m) => return Described("video", "h264", "avc",
+            m.width, m.height, -1L, -1, -1)
+          case None => // fall through: not a parseable AVC stream
+        }
+      }
+
+      // ADTS/AAC before MP3: both are magic-less 0xFFF sync chains, but
+      // ADTS carries layer bits 00 where MPEG audio never does, so the
+      // two walks are mutually exclusive by construction
+      Aac.audioMeta(bytes) match {
+        case Some(m) => return Described("audio", "adts", "aac_" + m.profile,
+          -1, -1, m.durationMs, m.sampleRate, m.channels)
+        case None =>
+      }
+
       // MP3 has no magic: the chained-frame walk self-validates (ID3v2
       // or a syncing header that CHAINS), so it goes last
       Mpeg.audioMeta(bytes) match {

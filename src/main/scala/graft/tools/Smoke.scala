@@ -493,6 +493,20 @@ object Smoke {
         !$"keys_ok")
       assert(badWds.isEmpty, "q66 webdataset diverges from closed form")
       println(s"SMOKE wds: q66_rows=${q66.count()} match closed form")
+      // modern-codec stream metadata (q67-q69): ADTS chains, H.264 SPS
+      // with crop math, IVF walked-not-trusted frame counts
+      val q67 = graft.SparkEntry.queries("q67_audio_aacmeta")(spark, "/root/testdata/sf0.001")
+      assert(q67.where($"n_frames" =!= lit(3) + $"doc_id" % 6 ||
+        $"channels" =!= lit(1) + $"doc_id" % 5).isEmpty,
+        "q67 adts diverges from closed form")
+      val q68 = graft.SparkEntry.queries("q68_video_h264")(spark, "/root/testdata/sf0.001")
+      assert(q68.where($"width" =!= lit(160) + lit(2) * ($"doc_id" % 120) ||
+        $"height" =!= lit(180) + lit(2) * ($"doc_id" % 100)).isEmpty,
+        "q68 h264 sps dims diverge (crop math)")
+      val q69 = graft.SparkEntry.queries("q69_video_ivf")(spark, "/root/testdata/sf0.001")
+      assert(q69.where($"counts_agree" =!= ($"doc_id" % 6 =!= 0)).isEmpty,
+        "q69 ivf walked-count truth diverges")
+      println(s"SMOKE codec-meta: q67=${q67.count()} q68=${q68.count()} q69=${q69.count()} match closed form")
     }
 
     // full engine drive: crawl the synthetic web end-to-end

@@ -80,7 +80,10 @@ class MediaPropertySpec extends AnyFunSuite {
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.pdfBytes),
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.warcBytes),
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.docxBytes),
-      Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.wdsBytes))
+      Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.wdsBytes),
+      Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.aacBytes),
+      Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.h264Bytes),
+      Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.ivfBytes))
     val mutation: Gen[(Array[Byte]) => Array[Byte]] = Gen.oneOf(
       Gen.choose(0, 1000).map(c => (b: Array[Byte]) => b.dropRight(c)),
       Gen.choose(0, 60).map(c => (b: Array[Byte]) => b.drop(c)),
@@ -117,6 +120,9 @@ class MediaPropertySpec extends AnyFunSuite {
         graft.functions.Warc.cdxLines("fuzz.warc", mutated)
         graft.functions.Zip.docxMeta(mutated)
         graft.operators.Webdataset.decode(mutated)
+        graft.functions.Aac.audioMeta(mutated)
+        graft.functions.H264.spsMeta(mutated)
+        graft.functions.Ivf.videoMeta(mutated)
         graft.functions.MediaMeta.describe(mutated) // the whole triage
         graft.functions.VideoContainers.sampleFramesIndexed(mutated, 4)
         true
