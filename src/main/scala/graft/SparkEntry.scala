@@ -1402,6 +1402,29 @@ object SparkEntry {
           col("m._4").as("n_frames"), col("m._5").as("declared"),
           col("m._6").as("duration_ms"), col("m._7").as("counts_agree"))
         .orderBy("doc_id")
+    }),
+    "q70_video_vp9" -> ((s, d) => {
+      // X1 — VP9 keyframe header ([[graft.functions.Vp9]]): the dims a
+      // stream ACTUALLY decodes to, read from the bitstream's fixed
+      // keyframe layout (marker, profile, sync code, color config,
+      // 16-bit dims) instead of trusted from the container. The fixture
+      // container LIES about width on d%5=0 — container_agrees must go
+      // false there and the bitstream dims must still be right.
+      val metaUdf = udf((docId: Long) => {
+        graft.functions.Vp9.fromIvf(
+            graft.fixtures.FixtureGen.ivfVp9Bytes(docId)) match {
+          case Some((m, agrees)) => (m.width.toLong, m.height.toLong,
+            m.profile.toLong, m.bitDepth.toLong, m.colorSpace.toLong,
+            agrees)
+          case None => (-1L, -1L, -1L, -1L, -1L, false)
+        }
+      })
+      docsSpread(s, d).select(col("doc_id"), metaUdf(col("doc_id")).as("m"))
+        .select(col("doc_id"), col("m._1").as("width"),
+          col("m._2").as("height"), col("m._3").as("profile"),
+          col("m._4").as("bit_depth"), col("m._5").as("color_space"),
+          col("m._6").as("container_agrees"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2370,6 +2393,17 @@ object SparkEntry {
                      AS BIGINT) AS declared,
                 CAST((2 + doc_id % 7) * 1000 // 30 AS BIGINT) AS duration_ms,
                 doc_id % 6 <> 0 AS counts_agree
+         FROM documents ORDER BY doc_id""",
+    // q70: dims are the BITSTREAM's closed form (the container lies on
+    // d%5=0 and must be flagged, not believed)
+    "q70_video_vp9" ->
+      """SELECT doc_id,
+                CAST(176 + 2 * (doc_id % 160) AS BIGINT) AS width,
+                CAST(144 + 2 * (doc_id % 120) AS BIGINT) AS height,
+                CAST(0 AS BIGINT) AS profile,
+                CAST(8 AS BIGINT) AS bit_depth,
+                CAST(1 + doc_id % 5 AS BIGINT) AS color_space,
+                doc_id % 5 <> 0 AS container_agrees
          FROM documents ORDER BY doc_id"""
   )
 }

@@ -1055,6 +1055,36 @@ object FixtureGen {
       declared = if (d % 6 == 0) n + 1 else n)
   }
 
+  /** q70 fixture: an IVF-wrapped VP9 stream per doc whose FIRST frame
+    * carries a real profile-0 keyframe header (sync code, color config,
+    * 16-bit dims). On d%5=0 the CONTAINER header LIES about width
+    * (+16) — container_agrees must go false and the bitstream dims win.
+    * Color space cycles 1..5 (never RGB=7, which profile 0 forbids). */
+  def ivfVp9Bytes(docId: Long): Array[Byte] = {
+    val d = docId
+    val w = (176 + 2 * (d % 160)).toInt
+    val h = (144 + 2 * (d % 120)).toInt
+    val lieW = if (d % 5 == 0) w + 16 else w
+    val header = graft.functions.Ivf.encode("VP90", lieW, h, 30, 1,
+      Vector(), declared = 2)
+    val kf = graft.functions.Vp9.encodeKeyframeHeader(w, h,
+      colorSpace = (1 + d % 5).toInt) ++
+      Array.fill((10 + d % 20).toInt)(0x55.toByte) // compressed-data tail
+    val inter = Array.fill(8)((1 + d % 250).toByte)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(header)
+    for ((payload, pts) <- Seq((kf, 0), (inter, 1))) {
+      val fh = new Array[Byte](12)
+      fh(0) = (payload.length & 0xff).toByte
+      fh(1) = ((payload.length >> 8) & 0xff).toByte
+      fh(2) = ((payload.length >> 16) & 0xff).toByte
+      fh(4) = (pts & 0xff).toByte
+      out.write(fh)
+      out.write(payload)
+    }
+    out.toByteArray
+  }
+
   /** q59 fixture: a deterministic SVG per doc. Sizing source cycles by
     * d%4 — viewBox-only (0), bare numbers (1), `px` (2), `pt` at exact
     * 4/3 multiples (3: `3k pt` = `4k px`); `1+d%4` rect elements; a

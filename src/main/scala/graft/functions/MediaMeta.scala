@@ -202,8 +202,14 @@ object MediaMeta {
         return Described("document", "tar", "", -1, -1, -1L, -1, -1)
 
       if (Ivf.isIvf(bytes)) return Ivf.videoMeta(bytes) match {
-        case Some(m) => Described("video", "ivf", m.codec, m.width, m.height,
-          m.durationMs, -1, -1)
+        case Some(m) =>
+          // for VP9 the bitstream's keyframe dims are the truth when the
+          // container disagrees (post-transcode headers lie in the wild)
+          val (w, h) = Vp9.fromIvf(bytes) match {
+            case Some((kf, _)) => (kf.width, kf.height)
+            case None => (m.width, m.height)
+          }
+          Described("video", "ivf", m.codec, w, h, m.durationMs, -1, -1)
         case None => Unknown
       }
 

@@ -506,7 +506,11 @@ object Smoke {
       val q69 = graft.SparkEntry.queries("q69_video_ivf")(spark, "/root/testdata/sf0.001")
       assert(q69.where($"counts_agree" =!= ($"doc_id" % 6 =!= 0)).isEmpty,
         "q69 ivf walked-count truth diverges")
-      println(s"SMOKE codec-meta: q67=${q67.count()} q68=${q68.count()} q69=${q69.count()} match closed form")
+      val q70 = graft.SparkEntry.queries("q70_video_vp9")(spark, "/root/testdata/sf0.001")
+      assert(q70.where($"width" =!= lit(176) + lit(2) * ($"doc_id" % 160) ||
+        $"container_agrees" =!= ($"doc_id" % 5 =!= 0)).isEmpty,
+        "q70 vp9 bitstream-truth diverges")
+      println(s"SMOKE codec-meta: q67=${q67.count()} q68=${q68.count()} q69=${q69.count()} q70=${q70.count()} match closed form")
     }
 
     // full engine drive: crawl the synthetic web end-to-end

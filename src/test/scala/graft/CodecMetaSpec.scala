@@ -130,6 +130,28 @@ class CodecMetaSpec extends AnyFunSuite {
     assert(Ivf.videoMeta(honest.take(31)).isEmpty)
   }
 
+  // ---------------- VP9 keyframe header ----------------
+
+  test("vp9: keyframe header round-trip; bitstream dims beat a lying container") {
+    val hdr = graft.functions.Vp9.encodeKeyframeHeader(1920, 1080, colorSpace = 2)
+    val m = graft.functions.Vp9.keyframeMeta(hdr).get
+    assert(m.width == 1920 && m.height == 1080 && m.profile == 0)
+    assert(m.bitDepth == 8 && m.colorSpace == 2 &&
+      m.subsamplingX == 1 && m.subsamplingY == 1)
+    // wrong sync code classifies
+    val bad = hdr.clone(); bad(2) = (bad(2) ^ 0x10).toByte
+    assert(graft.functions.Vp9.keyframeMeta(bad).isEmpty)
+    // lying container: bitstream wins, the lie is flagged
+    val lying = FixtureGen.ivfVp9Bytes(10L) // d%5==0 -> container width lies
+    val (kf, agrees) = graft.functions.Vp9.fromIvf(lying).get
+    assert(!agrees && kf.width == 176 + 2 * (10 % 160))
+    val honest = FixtureGen.ivfVp9Bytes(11L)
+    assert(graft.functions.Vp9.fromIvf(honest).get._2)
+    // triage reports the BITSTREAM dims for the lying container
+    val tri = MediaMeta.describe(lying)
+    assert(tri.container == "ivf" && tri.width == 176 + 2 * (10 % 160))
+  }
+
   // ---------------- fixture closed forms + triage ----------------
 
   test("fixture closed forms: every oracle column, docIds 0..120") {
@@ -148,6 +170,10 @@ class CodecMetaSpec extends AnyFunSuite {
       val v = Ivf.videoMeta(FixtureGen.ivfBytes(d)).get
       assert(v.nFrames == 2 + d % 7 && v.countsAgree == (d % 6 != 0))
       assert(v.width == 320 + 2 * (d % 200) && v.height == 180 + 2 * (d % 150))
+
+      val (kf, agrees) = graft.functions.Vp9.fromIvf(FixtureGen.ivfVp9Bytes(d)).get
+      assert(kf.width == 176 + 2 * (d % 160) && kf.height == 144 + 2 * (d % 120))
+      assert(kf.colorSpace == 1 + d % 5 && agrees == (d % 5 != 0))
     }
   }
 

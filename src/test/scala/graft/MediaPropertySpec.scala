@@ -83,7 +83,8 @@ class MediaPropertySpec extends AnyFunSuite {
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.wdsBytes),
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.aacBytes),
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.h264Bytes),
-      Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.ivfBytes))
+      Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.ivfBytes),
+      Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.ivfVp9Bytes))
     val mutation: Gen[(Array[Byte]) => Array[Byte]] = Gen.oneOf(
       Gen.choose(0, 1000).map(c => (b: Array[Byte]) => b.dropRight(c)),
       Gen.choose(0, 60).map(c => (b: Array[Byte]) => b.drop(c)),
@@ -123,6 +124,7 @@ class MediaPropertySpec extends AnyFunSuite {
         graft.functions.Aac.audioMeta(mutated)
         graft.functions.H264.spsMeta(mutated)
         graft.functions.Ivf.videoMeta(mutated)
+        graft.functions.Vp9.fromIvf(mutated)
         graft.functions.MediaMeta.describe(mutated) // the whole triage
         graft.functions.VideoContainers.sampleFramesIndexed(mutated, 4)
         true
