@@ -1425,6 +1425,29 @@ object SparkEntry {
           col("m._4").as("bit_depth"), col("m._5").as("color_space"),
           col("m._6").as("container_agrees"))
         .orderBy("doc_id")
+    }),
+    "q71_video_av1" -> ((s, d) => {
+      // X1 — AV1 sequence-header metadata ([[graft.functions.Av1]]):
+      // the OBU grammar (leb128 sizes, temporal-delimiter skip), BOTH
+      // header shapes (reduced still-picture / full with operating
+      // points), and the variable-bit-width dim fields
+      // (frame_width_bits decides how many bits the dims occupy — a
+      // fixed-width reader gets every stream wrong). The container
+      // lies about height on d%7=0; the bitstream wins.
+      val metaUdf = udf((docId: Long) => {
+        graft.functions.Av1.fromIvf(
+            graft.fixtures.FixtureGen.ivfAv1Bytes(docId)) match {
+          case Some((m, agrees)) => (m.width.toLong, m.height.toLong,
+            m.profile.toLong, m.levelIdx.toLong, m.reducedHeader, agrees)
+          case None => (-1L, -1L, -1L, -1L, false, false)
+        }
+      })
+      docsSpread(s, d).select(col("doc_id"), metaUdf(col("doc_id")).as("m"))
+        .select(col("doc_id"), col("m._1").as("width"),
+          col("m._2").as("height"), col("m._3").as("profile"),
+          col("m._4").as("level"), col("m._5").as("reduced_header"),
+          col("m._6").as("container_agrees"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2404,6 +2427,17 @@ object SparkEntry {
                 CAST(8 AS BIGINT) AS bit_depth,
                 CAST(1 + doc_id % 5 AS BIGINT) AS color_space,
                 doc_id % 5 <> 0 AS container_agrees
+         FROM documents ORDER BY doc_id""",
+    // q71: the AV1 fixture's closed forms; the container lies about
+    // height on d%7=0 and must be flagged, not believed
+    "q71_video_av1" ->
+      """SELECT doc_id,
+                CAST(128 + 2 * (doc_id % 180) AS BIGINT) AS width,
+                CAST(96 + 2 * (doc_id % 140) AS BIGINT) AS height,
+                CAST(doc_id % 3 AS BIGINT) AS profile,
+                CAST(doc_id % 24 AS BIGINT) AS level,
+                doc_id % 2 = 0 AS reduced_header,
+                doc_id % 7 <> 0 AS container_agrees
          FROM documents ORDER BY doc_id"""
   )
 }

@@ -1085,6 +1085,32 @@ object FixtureGen {
     out.toByteArray
   }
 
+  /** q71 fixture: an IVF-wrapped AV1 stream per doc whose first frame
+    * is a temporal delimiter + sequence-header OBU. Header shape
+    * alternates by d%2 (reduced still-picture vs full with one
+    * operating point); dims `128+2*(d%180)` × `96+2*(d%140)` (their
+    * variable bit-widths exercise frame_width_bits); level `d%24`;
+    * the container lies about height on d%7=0. */
+  def ivfAv1Bytes(docId: Long): Array[Byte] = {
+    val d = docId
+    val w = (128 + 2 * (d % 180)).toInt
+    val h = (96 + 2 * (d % 140)).toInt
+    val lieH = if (d % 7 == 0) h + 32 else h
+    val header = graft.functions.Ivf.encode("AV01", w, lieH, 30, 1,
+      Vector(), declared = 1)
+    val seq = graft.functions.Av1.encodeSeqObu(
+      profile = (d % 3).toInt, levelIdx = (d % 24).toInt,
+      width = w, height = h, reduced = d % 2 == 0)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(header)
+    val fh = new Array[Byte](12)
+    fh(0) = (seq.length & 0xff).toByte
+    fh(1) = ((seq.length >> 8) & 0xff).toByte
+    out.write(fh)
+    out.write(seq)
+    out.toByteArray
+  }
+
   /** q59 fixture: a deterministic SVG per doc. Sizing source cycles by
     * d%4 — viewBox-only (0), bare numbers (1), `px` (2), `pt` at exact
     * 4/3 multiples (3: `3k pt` = `4k px`); `1+d%4` rect elements; a

@@ -203,12 +203,11 @@ object MediaMeta {
 
       if (Ivf.isIvf(bytes)) return Ivf.videoMeta(bytes) match {
         case Some(m) =>
-          // for VP9 the bitstream's keyframe dims are the truth when the
-          // container disagrees (post-transcode headers lie in the wild)
-          val (w, h) = Vp9.fromIvf(bytes) match {
-            case Some((kf, _)) => (kf.width, kf.height)
-            case None => (m.width, m.height)
-          }
+          // bitstream dims are the truth when the container disagrees
+          // (post-transcode headers lie in the wild)
+          val (w, h) = Vp9.fromIvf(bytes).map(v => (v._1.width, v._1.height))
+            .orElse(Av1.fromIvf(bytes).map(a => (a._1.width, a._1.height)))
+            .getOrElse((m.width, m.height))
           Described("video", "ivf", m.codec, w, h, m.durationMs, -1, -1)
         case None => Unknown
       }

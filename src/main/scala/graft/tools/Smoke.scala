@@ -510,7 +510,11 @@ object Smoke {
       assert(q70.where($"width" =!= lit(176) + lit(2) * ($"doc_id" % 160) ||
         $"container_agrees" =!= ($"doc_id" % 5 =!= 0)).isEmpty,
         "q70 vp9 bitstream-truth diverges")
-      println(s"SMOKE codec-meta: q67=${q67.count()} q68=${q68.count()} q69=${q69.count()} q70=${q70.count()} match closed form")
+      val q71 = graft.SparkEntry.queries("q71_video_av1")(spark, "/root/testdata/sf0.001")
+      assert(q71.where($"height" =!= lit(96) + lit(2) * ($"doc_id" % 140) ||
+        $"container_agrees" =!= ($"doc_id" % 7 =!= 0)).isEmpty,
+        "q71 av1 bitstream-truth diverges")
+      println(s"SMOKE codec-meta: q67=${q67.count()} q68=${q68.count()} q69=${q69.count()} q70=${q70.count()} q71=${q71.count()} match closed form")
     }
 
     // full engine drive: crawl the synthetic web end-to-end

@@ -152,6 +152,29 @@ class CodecMetaSpec extends AnyFunSuite {
     assert(tri.container == "ivf" && tri.width == 176 + 2 * (10 % 160))
   }
 
+  // ---------------- AV1 sequence header ----------------
+
+  test("av1: both header shapes round-trip; variable-width dims; lying container") {
+    for (reduced <- Seq(true, false); (w, h) <- Seq((1920, 1080), (17, 3000))) {
+      val obu = graft.functions.Av1.encodeSeqObu(0, 13, w, h, reduced)
+      val m = graft.functions.Av1.seqMeta(obu).get
+      assert((m.width, m.height) == ((w, h)), s"reduced=$reduced ${w}x$h")
+      assert(m.levelIdx == 13 && m.reducedHeader == reduced)
+    }
+    // the temporal delimiter is skipped by the OBU walk, and a corrupt
+    // leb128 size classifies
+    val obu = graft.functions.Av1.encodeSeqObu(2, 5, 640, 360, reduced = false)
+    assert(obu(0) == 0x12, "fixture leads with a temporal delimiter")
+    val bad = obu.clone(); bad(3) = 0x7f // sequence OBU size now lies
+    assert(graft.functions.Av1.seqMeta(bad).isEmpty)
+    // lying container flagged; bitstream wins incl. in the triage
+    val lying = FixtureGen.ivfAv1Bytes(14L) // d%7==0 -> container height lies
+    val (sm, agrees) = graft.functions.Av1.fromIvf(lying).get
+    assert(!agrees && sm.height == 96 + 2 * (14 % 140))
+    assert(MediaMeta.describe(lying).height == 96 + 2 * (14 % 140))
+    assert(graft.functions.Av1.fromIvf(FixtureGen.ivfAv1Bytes(15L)).get._2)
+  }
+
   // ---------------- fixture closed forms + triage ----------------
 
   test("fixture closed forms: every oracle column, docIds 0..120") {
@@ -174,6 +197,11 @@ class CodecMetaSpec extends AnyFunSuite {
       val (kf, agrees) = graft.functions.Vp9.fromIvf(FixtureGen.ivfVp9Bytes(d)).get
       assert(kf.width == 176 + 2 * (d % 160) && kf.height == 144 + 2 * (d % 120))
       assert(kf.colorSpace == 1 + d % 5 && agrees == (d % 5 != 0))
+
+      val (av, aok) = graft.functions.Av1.fromIvf(FixtureGen.ivfAv1Bytes(d)).get
+      assert(av.width == 128 + 2 * (d % 180) && av.height == 96 + 2 * (d % 140))
+      assert(av.profile == d % 3 && av.levelIdx == d % 24 &&
+        av.reducedHeader == (d % 2 == 0) && aok == (d % 7 != 0))
     }
   }
 

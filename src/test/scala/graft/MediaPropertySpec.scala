@@ -84,7 +84,8 @@ class MediaPropertySpec extends AnyFunSuite {
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.aacBytes),
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.h264Bytes),
       Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.ivfBytes),
-      Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.ivfVp9Bytes))
+      Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.ivfVp9Bytes),
+      Gen.choose(0L, 99L).map(graft.fixtures.FixtureGen.ivfAv1Bytes))
     val mutation: Gen[(Array[Byte]) => Array[Byte]] = Gen.oneOf(
       Gen.choose(0, 1000).map(c => (b: Array[Byte]) => b.dropRight(c)),
       Gen.choose(0, 60).map(c => (b: Array[Byte]) => b.drop(c)),
@@ -125,6 +126,8 @@ class MediaPropertySpec extends AnyFunSuite {
         graft.functions.H264.spsMeta(mutated)
         graft.functions.Ivf.videoMeta(mutated)
         graft.functions.Vp9.fromIvf(mutated)
+        graft.functions.Av1.fromIvf(mutated)
+        graft.functions.Av1.seqMeta(mutated)
         graft.functions.MediaMeta.describe(mutated) // the whole triage
         graft.functions.VideoContainers.sampleFramesIndexed(mutated, 4)
         true
