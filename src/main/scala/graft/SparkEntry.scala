@@ -1448,6 +1448,40 @@ object SparkEntry {
           col("m._4").as("level"), col("m._5").as("reduced_header"),
           col("m._6").as("container_agrees"))
         .orderBy("doc_id")
+    }),
+    "q72_wet_pipeline" -> ((s, d) => {
+      // S10/C8/A6 composition — the Common Crawl ingest pipeline end to
+      // end: each documents row's text is serialized as a WET
+      // conversion record, extracted back through the archive layer
+      // ([[graft.functions.Warc.wetTexts]]), and the text-analysis
+      // family (language ID, quality score, whitespace tokens) runs on
+      // the EXTRACTED text. The oracle computes the same three answers
+      // over the ORIGINAL parquet text in DuckDB — any text corruption
+      // anywhere in the encode→parse→analyze chain diverges.
+      import java.nio.charset.StandardCharsets.{US_ASCII, UTF_8}
+      val wetUdf = udf((docId: Long, text: String) => {
+        val t = if (text == null) "" else text
+        val bytes = graft.functions.Warc.encode("1.1", Vector(
+          (graft.functions.Warc.RecordSpec("warcinfo", None,
+            "software: graft\r\n".getBytes(US_ASCII),
+            "application/warc-fields"), s"urn:uuid:w$docId",
+            "2026-08-19T00:00:00Z"),
+          (graft.functions.Warc.RecordSpec("conversion",
+            Some(s"https://wet.test/doc/$docId"), t.getBytes(UTF_8),
+            "text/plain"), s"urn:uuid:c$docId", "2026-08-19T00:00:00Z")),
+          gzipPerRecord = docId % 2 == 0)
+        graft.functions.Warc.wetTexts(bytes) match {
+          case Some(ts) if ts.size == 1 => ts.head._2
+          case _ => null
+        }
+      })
+      docsSpread(s, d)
+        .select(col("doc_id"), wetUdf(col("doc_id"), col("text")).as("wet"))
+        .select(col("doc_id"),
+          TextAnalysis.langId(col("wet")).as("lang_pred"),
+          TextAnalysis.qualityScore(col("wet")).as("score"),
+          TextAnalysis.tokenCount(col("wet")).as("n_ws"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2438,6 +2472,27 @@ object SparkEntry {
                 CAST(doc_id % 24 AS BIGINT) AS level,
                 doc_id % 2 = 0 AS reduced_header,
                 doc_id % 7 <> 0 AS container_agrees
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    // q72: the q18/q19/q20 answers computed over the ORIGINAL parquet
+    // text — the Spark side computes them over the WET-round-tripped
+    // text, so equality proves the whole archive chain is transparent
+    "q72_wet_pipeline" ->
+      ("SELECT doc_id, " + langOracle + " AS lang_pred," +
+        // plain (non-interpolated) literal below: the \t\x0b escapes
+        // must reach DuckDB verbatim, exactly as in the q19/q20 oracles
+        """
+           CAST(
+             (CASE WHEN len(text) BETWEEN 50 AND 10000 THEN 25 ELSE 0 END) +
+             (CASE WHEN words >= 10 THEN 25 ELSE 0 END) +
+             (CASE WHEN words > 0 AND len(text)/words BETWEEN 3 AND 12 THEN 25 ELSE 0 END) +
+             (CASE WHEN len(text) > 0 AND len(regexp_extract_all(text, '[a-zA-Z0-9 ]'))*100/len(text) >= 70 THEN 25 ELSE 0 END)
+             AS INT) AS score,
+           CASE WHEN len(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) END AS n_ws
+         FROM (SELECT doc_id, text,
+                 CASE WHEN len(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) END AS words
+               FROM documents)
+         ORDER BY doc_id""")
   )
 }

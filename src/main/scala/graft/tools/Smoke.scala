@@ -515,6 +515,14 @@ object Smoke {
         $"container_agrees" =!= ($"doc_id" % 7 =!= 0)).isEmpty,
         "q71 av1 bitstream-truth diverges")
       println(s"SMOKE codec-meta: q67=${q67.count()} q68=${q68.count()} q69=${q69.count()} q70=${q70.count()} q71=${q71.count()} match closed form")
+      // WET→analysis pipeline transparency (q72): lang/quality/tokens
+      // over archive-round-tripped text equal the direct q18/q19/q20
+      val q72 = graft.SparkEntry.queries("q72_wet_pipeline")(spark, "/root/testdata/sf0.001")
+      val q18c = graft.SparkEntry.queries("q18_langid")(spark, "/root/testdata/sf0.001")
+      val joined = q72.alias("p").join(q18c.alias("d"), "doc_id")
+        .where($"p.lang_pred" =!= $"d.lang_pred")
+      assert(joined.isEmpty, "q72 pipeline lang diverges from direct q18")
+      println(s"SMOKE wet-pipeline: q72_rows=${q72.count()} transparent vs direct analysis")
     }
 
     // full engine drive: crawl the synthetic web end-to-end
