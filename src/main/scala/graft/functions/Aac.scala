@@ -69,9 +69,21 @@ object Aac {
     var channels = -1
     var crc = false
     var mpeg2 = false
+    var maxFrameLen = 0
+    // trailing slack after the last full frame — an ID3v1 tag (128-byte
+    // "TAG") or sub-frame junk — is tolerated like the MP3 walk's
+    // maxSize+128 rule; anything larger is a broken chain
+    def slackOk(p: Int): Boolean =
+      nFrames >= MinChainFrames && bytes.length - p <= maxFrameLen + 128
     while (pos + 7 <= bytes.length) {
-      if ((bytes(pos) & 0xff) != 0xff || (bytes(pos + 1) & 0xf6) != 0xf0)
+      if ((bytes(pos) & 0xff) != 0xff || (bytes(pos + 1) & 0xf6) != 0xf0) {
+        if (slackOk(pos)) {
+          val sr0 = SampleRates(srIdx)
+          return Some(Meta(Profiles(profile), sr0, channels, nFrames,
+            blocks * 1024L * 1000L / sr0, crc, mpeg2))
+        }
         return None // chain broken mid-stream
+      }
       val id = (bytes(pos + 1) >> 3) & 1
       val protAbsent = bytes(pos + 1) & 1
       val prof = (bytes(pos + 2) >> 6) & 3
@@ -81,6 +93,16 @@ object Aac {
         ((bytes(pos + 4) & 0xff) << 3) | ((bytes(pos + 5) >> 5) & 7)
       val rawBlocks = (bytes(pos + 6) & 3) + 1
       if (frameLen < 7 || SampleRates(sfi) <= 0 || ch == 0) return None
+      if (pos + frameLen > bytes.length) {
+        // truncated FINAL frame: never counted — like the MP3 walk it
+        // falls into the trailing-slack allowance (or rejects the chain)
+        if (slackOk(pos)) {
+          val sr0 = SampleRates(srIdx)
+          return Some(Meta(Profiles(profile), sr0, channels, nFrames,
+            blocks * 1024L * 1000L / sr0, crc, mpeg2))
+        }
+        return None
+      }
       if (nFrames == 0) {
         profile = prof; srIdx = sfi; channels = ch
         crc = protAbsent == 0; mpeg2 = id == 1
@@ -89,9 +111,11 @@ object Aac {
       blocks += rawBlocks
       nFrames += 1
       if (nFrames > MaxFrames) return None
+      if (frameLen > maxFrameLen) maxFrameLen = frameLen
       pos += frameLen
     }
-    if (pos != bytes.length || nFrames < MinChainFrames) return None
+    if (nFrames < MinChainFrames) return None
+    if (pos != bytes.length && !slackOk(pos)) return None
     val sr = SampleRates(srIdx)
     Some(Meta(Profiles(profile), sr, channels, nFrames,
       blocks * 1024L * 1000L / sr, crc, mpeg2))

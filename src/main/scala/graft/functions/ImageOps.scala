@@ -120,7 +120,15 @@ object ImageOps {
 
   def psnrImages(a: BufferedImage, b: BufferedImage): Double = {
     if (a.getWidth != b.getWidth || a.getHeight != b.getHeight) return 0.0
-    val pa = rgb(a); val pb = rgb(b)
+    psnrPixels(rgb(a), rgb(b))
+  }
+
+  /** PSNR over two equal-length packed-RGB arrays. Only the low 24 bits
+    * (the channels) participate, so a getRGB array (0xFF alpha) and a raw
+    * synthetic pixel array (no alpha bits) compare identically — the hot
+    * validate path scores against the synthetic ints directly instead of
+    * round-tripping them through a truth BufferedImage + getRGB copy. */
+  def psnrPixels(pa: Array[Int], pb: Array[Int]): Double = {
     var se = 0.0
     var i = 0
     while (i < pa.length) {
@@ -152,8 +160,17 @@ object ImageOps {
   def psnrVsSynthetic(bytes: Array[Byte], i: Long, w: Int, h: Int): Double = {
     val img = decode(bytes)
     if (img == null) return -1.0 // undecodable → fails every PSNR gate
-    val truth = toImage(syntheticPixels(i, w, h), w, h)
-    psnrImages(img, truth)
+    psnrVsSyntheticImg(img, i, w, h)
+  }
+
+  /** PSNR of a decoded image vs the synthetic truth WITHOUT materializing
+    * a truth BufferedImage: the synthetic int array is compared directly
+    * (bit-identical — see [[psnrPixels]]). Cuts two array copies + one
+    * image allocation per row off the fetch+verify hot path (round-6
+    * kernel-allocation work, guide §5). */
+  private def psnrVsSyntheticImg(img: BufferedImage, i: Long, w: Int, h: Int): Double = {
+    if (img.getWidth != w || img.getHeight != h) return 0.0 // psnrImages' dim gate
+    psnrPixels(rgb(img), syntheticPixels(i, w, h))
   }
 
   /** [[psnrVsSynthetic]] with fmt-aware decode, so signature-less
@@ -162,8 +179,7 @@ object ImageOps {
   def psnrVsSyntheticFmt(bytes: Array[Byte], fmt: String, i: Long, w: Int, h: Int): Double = {
     val img = decodeFmt(fmt, bytes)
     if (img == null) return -1.0
-    val truth = toImage(syntheticPixels(i, w, h), w, h)
-    psnrImages(img, truth)
+    psnrVsSyntheticImg(img, i, w, h)
   }
 
   /** 64-bit average-hash perceptual hash: box-downsample to 8×8 luma
@@ -174,9 +190,13 @@ object ImageOps {
     if (img == null) 0L else phashImage(img) // undecodable → sentinel hash
   }
 
-  def phashImage(img: BufferedImage): Long = {
-    val w = img.getWidth; val h = img.getHeight
-    val px = rgb(img)
+  def phashImage(img: BufferedImage): Long =
+    phashPixels(rgb(img), img.getWidth, img.getHeight)
+
+  /** [[phashImage]] over an already-extracted packed-RGB array — hot-path
+    * callers that also compute PSNR share one getRGB copy (alpha bits are
+    * never read, so the shared array is equivalent). */
+  def phashPixels(px: Array[Int], w: Int, h: Int): Long = {
     val cells = new Array[Long](64)
     val counts = new Array[Long](64)
     var y = 0
@@ -270,8 +290,15 @@ object ImageOps {
     // undecodable → psnr -1 (the decode contract above): every consumer
     // gates on the psnr (≥40 / ==999), so the row classifies invalid
     if (img == null) return (-1.0, 0L)
-    val truth = toImage(syntheticPixels(i, w, h), w, h)
-    (psnrImages(img, truth), phashImage(img))
+    // one getRGB copy feeds both PSNR and phash; the truth side stays a
+    // bare int array (no BufferedImage round-trip) — bit-identical results,
+    // ~half the per-row allocation traffic of the old two-image path
+    val iw = img.getWidth; val ih = img.getHeight
+    val px = rgb(img)
+    val psnr =
+      if (iw != w || ih != h) 0.0 // psnrImages' dim gate
+      else psnrPixels(px, syntheticPixels(i, w, h))
+    (psnr, phashPixels(px, iw, ih))
   }
 
   val validateUdf: UserDefinedFunction = udf((b: Array[Byte], i: Long, w: Int, h: Int) => {

@@ -190,7 +190,7 @@ object Pdf {
 
   // ============================================== filters / predictors
 
-  private def inflateBounded(data: Array[Byte]): Array[Byte] = {
+  private[graft] def inflateBounded(data: Array[Byte]): Array[Byte] = {
     val inf = new Inflater()
     try {
       inf.setInput(data)
@@ -202,6 +202,11 @@ object Pdf {
         out.write(buf, 0, n)
       }
       if (out.size >= MaxInflate) throw Malformed // decompression bomb
+      // a TRUNCATED deflate stream exits the loop via needsInput() without
+      // finishing — reject at the filter layer instead of handing partial
+      // xref/ObjStm bytes to a parser that could read plausible-but-wrong
+      // entries before a downstream check trips
+      if (!inf.finished()) throw Malformed
       out.toByteArray
     } catch {
       case _: java.util.zip.DataFormatException => throw Malformed

@@ -87,6 +87,10 @@ object Tar {
       var sawAny = false
       var pendingLongName: String = null
       var pendingPaxPath: String = null
+      // pax 'g' (global) keywords apply to ALL subsequent entries until a
+      // later 'g' overrides them (POSIX.1-2001 pax semantics) — unlike the
+      // one-shot per-file 'x' header
+      var globalPaxPath: String = null
       val out = Vector.newBuilder[Entry]
       while (pos + 512 <= bytes.length) {
         if (isZeroBlock(bytes, pos)) {
@@ -109,12 +113,15 @@ object Tar {
         typeflag match {
           case 'L' => // GNU longname: data IS the next entry's name
             pendingLongName = cstr(data, 0, data.length)
-          case 'x' | 'g' => // pax extended header: honor path=, skip the rest
+          case 'x' => // pax per-file header: honor path= for the NEXT entry
             paxPath(data).foreach(p => pendingPaxPath = p)
+          case 'g' => // pax GLOBAL header: path= persists across entries
+            paxPath(data).foreach(p => globalPaxPath = p)
           case c if c == '0' || c.toInt == 0 => // pre-POSIX tar wrote NUL for regular files
-            val name =
+            val name = // per-file overrides beat the persistent global
               if (pendingPaxPath != null) pendingPaxPath
               else if (pendingLongName != null) pendingLongName
+              else if (globalPaxPath != null) globalPaxPath
               else rawName
             if (name.isEmpty) return None
             out += Entry(name, data, '0')
@@ -160,28 +167,40 @@ object Tar {
     * retries). Names >100 chars emit a GNU `L` longname record. */
   def encode(items: Vector[(String, Array[Byte])]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
-    items.foreach { case (name, data) =>
-      val nameB = name.getBytes(UTF_8)
-      if (nameB.length > 100) {
-        // GNU longname: an 'L' record whose data is the NUL-terminated name
-        writeHeader(out, "././@LongLink", nameB.length + 1, 'L')
-        out.write(nameB); out.write(0)
-        pad(out, nameB.length + 1)
-      }
-      writeHeader(out, name, data.length, '0') // >100-byte names truncate here; the L record carries the truth
-      out.write(data)
-      pad(out, data.length)
-    }
-    out.write(new Array[Byte](1024)) // two zero blocks
+    items.foreach { case (name, data) => writeEntryTo(out, name, data) }
+    writeTrailerTo(out)
     out.toByteArray
   }
 
-  private def pad(out: java.io.ByteArrayOutputStream, n: Int): Unit = {
+  /** Stream ONE entry to `out` — the unit [[encode]] loops over, exposed
+    * so the WebDataset sink can write entry-at-a-time to a Hadoop
+    * FSDataOutputStream without buffering a whole partition (guide §5).
+    * Byte-identical to [[encode]] by construction: [[encode]] delegates
+    * here. Callers finish the archive with [[writeTrailerTo]]. */
+  def writeEntryTo(out: java.io.OutputStream, name: String,
+      data: Array[Byte]): Unit = {
+    val nameB = name.getBytes(UTF_8)
+    if (nameB.length > 100) {
+      // GNU longname: an 'L' record whose data is the NUL-terminated name
+      writeHeader(out, "././@LongLink", nameB.length + 1, 'L')
+      out.write(nameB); out.write(0)
+      pad(out, nameB.length + 1)
+    }
+    writeHeader(out, name, data.length, '0') // >100-byte names truncate here; the L record carries the truth
+    out.write(data)
+    pad(out, data.length)
+  }
+
+  /** The two terminating zero blocks every tar ends with. */
+  def writeTrailerTo(out: java.io.OutputStream): Unit =
+    out.write(new Array[Byte](1024))
+
+  private def pad(out: java.io.OutputStream, n: Int): Unit = {
     val rem = n % 512
     if (rem != 0) out.write(new Array[Byte](512 - rem))
   }
 
-  private def writeHeader(out: java.io.ByteArrayOutputStream, name: String,
+  private def writeHeader(out: java.io.OutputStream, name: String,
       size: Int, typeflag: Char): Unit = {
     val h = new Array[Byte](512)
     val nameB = name.getBytes(UTF_8)

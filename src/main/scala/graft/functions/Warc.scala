@@ -520,27 +520,39 @@ object Warc {
       gzipPerRecord: Boolean): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     records.foreach { case (spec, recordId, date) =>
-      val hdr = new StringBuilder
-      hdr.append("WARC/").append(version).append("\r\n")
-      hdr.append("WARC-Type: ").append(spec.warcType).append("\r\n")
-      hdr.append("WARC-Record-ID: <").append(recordId).append(">\r\n")
-      hdr.append("WARC-Date: ").append(date).append("\r\n")
-      spec.targetUri.foreach { u =>
-        // the <>-wrapped 1.0 form vs the bare 1.1 form, both round-trip
-        val v = if (version == "1.0") s"<$u>" else u
-        hdr.append("WARC-Target-URI: ").append(v).append("\r\n")
-      }
-      hdr.append("Content-Type: ").append(spec.contentTypeHdr).append("\r\n")
-      spec.extraHeaders.foreach { case (k, v) =>
-        hdr.append(k).append(": ").append(v).append("\r\n")
-      }
-      hdr.append("Content-Length: ").append(spec.block.length).append("\r\n\r\n")
-      val recBytes = hdr.toString.getBytes(UTF_8) ++ spec.block ++
-        "\r\n\r\n".getBytes(US_ASCII)
-      if (gzipPerRecord) out.write(gzipMember(recBytes))
-      else out.write(recBytes)
+      encodeRecordTo(out, version, spec, recordId, date, gzipPerRecord)
     }
     out.toByteArray
+  }
+
+  /** Serialize ONE record to `out` — the streaming unit [[encode]] loops
+    * over, exposed so the egress sink can write record-at-a-time to an
+    * arbitrary OutputStream (Hadoop FSDataOutputStream on a cluster)
+    * without buffering a whole partition (guide §5: task memory must not
+    * scale with partition size). Byte-identical to [[encode]] by
+    * construction: [[encode]] delegates here. */
+  def encodeRecordTo(out: java.io.OutputStream, version: String,
+      spec: RecordSpec, recordId: String, date: String,
+      gzipPerRecord: Boolean): Unit = {
+    val hdr = new StringBuilder
+    hdr.append("WARC/").append(version).append("\r\n")
+    hdr.append("WARC-Type: ").append(spec.warcType).append("\r\n")
+    hdr.append("WARC-Record-ID: <").append(recordId).append(">\r\n")
+    hdr.append("WARC-Date: ").append(date).append("\r\n")
+    spec.targetUri.foreach { u =>
+      // the <>-wrapped 1.0 form vs the bare 1.1 form, both round-trip
+      val v = if (version == "1.0") s"<$u>" else u
+      hdr.append("WARC-Target-URI: ").append(v).append("\r\n")
+    }
+    hdr.append("Content-Type: ").append(spec.contentTypeHdr).append("\r\n")
+    spec.extraHeaders.foreach { case (k, v) =>
+      hdr.append(k).append(": ").append(v).append("\r\n")
+    }
+    hdr.append("Content-Length: ").append(spec.block.length).append("\r\n\r\n")
+    val recBytes = hdr.toString.getBytes(UTF_8) ++ spec.block ++
+      "\r\n\r\n".getBytes(US_ASCII)
+    if (gzipPerRecord) out.write(gzipMember(recBytes))
+    else out.write(recBytes)
   }
 
   /** One complete RFC 1952 member (header + deflate + CRC32/ISIZE trailer)

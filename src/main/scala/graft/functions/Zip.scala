@@ -117,11 +117,19 @@ object Zip {
             val id = le16(bytes, ep)
             val sz = le16(bytes, ep + 2)
             if (id == 1) {
+              // value reads are bounded by THIS record's declared size, not
+              // the whole extra region: a short 0x0001 record must reject
+              // instead of silently sourcing sizes from adjacent records
+              val recEnd = ep + 4 + sz
+              val needed = 8 * (
+                (if (uncomp == 0xffffffffL) 1 else 0) +
+                (if (comp == 0xffffffffL) 1 else 0) +
+                (if (off == 0xffffffffL) 1 else 0))
+              if (recEnd > eEnd || sz < needed) return None
               var vp = ep + 4
               if (uncomp == 0xffffffffL) { uncomp = le64(bytes, vp); vp += 8 }
               if (comp == 0xffffffffL) { comp = le64(bytes, vp); vp += 8 }
               if (off == 0xffffffffL) { off = le64(bytes, vp); vp += 8 }
-              if (vp > eEnd) return None
               found = true
             } else ep += 4 + sz
           }

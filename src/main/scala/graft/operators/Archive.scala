@@ -1,7 +1,5 @@
 package graft.operators
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
@@ -139,43 +137,53 @@ object Archive {
     StructField("n_bytes", LongType)))
 
   /** Write fetched pages as WARC/1.1 response records, one
-    * `part-NNNNN.warc.gz` per partition under `dir` (local/NFS path in
-    * this sandbox; the same mapPartitions shape targets an object store
-    * on a cluster). Input df must carry (url, status, content_type,
-    * body, fetched_at) with fetched_at already ISO-8601 — the caller
-    * owns time, this operator is deterministic. Returns one manifest row
-    * per non-empty partition. */
+    * `part-NNNNN.warc.gz` per partition under `dir`. Input df must carry
+    * (url, status, content_type, body, fetched_at) with fetched_at
+    * already ISO-8601 — the caller owns time, this operator is
+    * deterministic. Returns one manifest row per non-empty partition.
+    *
+    * Scale shape (round-6 rework, guide §5/§6): each record streams
+    * through [[graft.functions.Warc.encodeRecordTo]] straight to a Hadoop
+    * `FSDataOutputStream` — task memory holds ONE record, never the
+    * partition (the old path buffered every record, then built one
+    * partition-sized array: an executor OOM on image-payload partitions
+    * at 100 TB). The FileSystem comes from the task's Hadoop conf, so
+    * file:/hdfs:/s3a: destinations all work, and the write commits via
+    * task-attempt temp + rename ([[SinkFiles.writeCommitted]]) so
+    * speculative/retried attempts never expose a torn file. */
   def sink(pages: DataFrame, dir: String): DataFrame = {
     val enc = RowEncoder.encoderFor(sinkSchema)
-    Files.createDirectories(Paths.get(dir))
+    val conf = new graft.util.SerializableHadoopConf(
+      pages.sparkSession.sparkContext.hadoopConfiguration)
     pages.select("url", "status", "content_type", "body", "fetched_at")
       .mapPartitions { it =>
         if (!it.hasNext) Iterator.empty
         else {
-          val recs = Vector.newBuilder[(Warc.RecordSpec, String, String)]
+          val tc = TaskContext.get()
+          val pid = tc.partitionId()
           var n = 0L
-          it.foreach { row =>
-            val url = row.getString(0)
-            val status = row.getInt(1)
-            val ctype = row.getString(2)
-            val body = row.getAs[Array[Byte]](3)
-            val date = row.getString(4)
-            val payload = if (body == null) Array.emptyByteArray else body
-            // deterministic id: retries rewrite identical records
-            val rid = "urn:graft:sha1:" +
-              Warc.sha1Digest(url.getBytes("UTF-8")).substring(5)
-            recs += ((Warc.RecordSpec("response", Some(url),
-              Warc.httpResponseBlock(status, ctype, payload),
-              "application/http;msgtype=response",
-              Vector("WARC-Payload-Digest" -> Warc.sha1Digest(payload))),
-              rid, date))
-            n += 1
+          val (path, nBytes) = SinkFiles.writeCommitted(conf.value, dir,
+            f"part-$pid%05d.warc.gz", tc.taskAttemptId()) { out =>
+            it.foreach { row =>
+              val url = row.getString(0)
+              val status = row.getInt(1)
+              val ctype = row.getString(2)
+              val body = row.getAs[Array[Byte]](3)
+              val date = row.getString(4)
+              val payload = if (body == null) Array.emptyByteArray else body
+              // deterministic id: retries rewrite identical records
+              val rid = "urn:graft:sha1:" +
+                Warc.sha1Digest(url.getBytes("UTF-8")).substring(5)
+              Warc.encodeRecordTo(out, "1.1",
+                Warc.RecordSpec("response", Some(url),
+                  Warc.httpResponseBlock(status, ctype, payload),
+                  "application/http;msgtype=response",
+                  Vector("WARC-Payload-Digest" -> Warc.sha1Digest(payload))),
+                rid, date, gzipPerRecord = true)
+              n += 1
+            }
           }
-          val bytes = Warc.encode("1.1", recs.result(), gzipPerRecord = true)
-          val pid = TaskContext.getPartitionId()
-          val path = Paths.get(dir, f"part-$pid%05d.warc.gz")
-          Files.write(path, bytes)
-          Iterator.single(Row(path.toString, n, bytes.length.toLong))
+          Iterator.single(Row(path, n, nBytes))
         }
       }(enc)
   }

@@ -188,12 +188,18 @@ object Dedup {
         .join(labels.select($"id".as("dst"), $"label".as("dlabel")), Seq("dst"))
         .groupBy($"src").agg(min($"dlabel").as("nlabel"))
         .select($"src".as("id"), $"nlabel")
+      // carry the previous label THROUGH the checkpoint: the convergence
+      // test then reads the already-materialized partitions with a narrow
+      // filter+count instead of re-joining next against labels (was one
+      // extra shuffle join + job per iteration — guide §2.4, remove
+      // shuffles outright; the join keyed by id duplicated work the
+      // checkpointed frame already holds)
       val next = labels.join(msgs, Seq("id"), "left")
-        .select($"id", least($"label", coalesce($"nlabel", $"label")).as("label"))
+        .select($"id", least($"label", coalesce($"nlabel", $"label")).as("label"),
+          $"label".as("__old"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .where($"label" =!= $"old").count()
-      labels = next
+      val changed = next.where($"label" =!= $"__old").count()
+      labels = next.select($"id", $"label")
       converged = changed == 0
       iter += 1
     }

@@ -71,6 +71,31 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** [[signBitsRange]] as a plain fold — BIT-IDENTICAL to the column form
+    * (same sequential d-ascending IEEE sum per plane, same >= 0 sign test;
+    * the same equivalence [[Dedup.signBandKeys]] documents and its spec
+    * asserts). The column form unrolls numPlanes × dim try_element_at
+    * terms into the plan — at 64 dims × 12 planes that is a 768-term tree
+    * Catalyst must analyze and Janino must compile PER QUERY, which
+    * dominated q25's wall time (guide §1.2: per-task work AND plan cost).
+    * A null/short vector yields 0L exactly like the column form (null
+    * proj → every when() falls to otherwise(0)); callers filter those
+    * rows out via [[wellFormed]] either way. */
+  private[graft] def signKey(v: Seq[Double], dim: Int, planeStart: Int,
+      planeCount: Int): Long = {
+    if (v == null || v.length < dim) return 0L
+    var key = 0L
+    var p = 0
+    while (p < planeCount) {
+      var s = 0.0
+      var d = 0
+      while (d < dim) { s += v(d) * planeSign(planeStart + p, d); d += 1 }
+      if (s >= 0) key |= (1L << p)
+      p += 1
+    }
+    key
+  }
+
   /** Rows a cosine-space operator can say nothing about: null, wrong
     * length, or zero norm (cosine = 0/0 = NaN, which Spark orders ABOVE
     * every real value — an unguarded zero vector would rank #1 for every
@@ -124,13 +149,16 @@ object Similarity {
         * exceeds broadcast size (verdict: the 100 TB story needs both
         * sides shuffled; same results, different physical plan). */
       broadcastQueries: Boolean = true): DataFrame = {
+    // bucket keys via the UDF fold, not the unrolled column expression:
+    // same bits (see signKey), ~6× less plan/codegen work per query
+    val keyUdf = udf((v: Seq[Double]) => signKey(v, dim, 0, numPlanes))
     val c = corpus.select(col("vec_id").as("id"), col("embedding").as("v"))
       .where(wellFormed(col("v"), dim)) // NaN-cosine / short-vector guard
-      .withColumn("bucket", signBits(col("v"), dim, numPlanes))
+      .withColumn("bucket", keyUdf(col("v").cast("array<double>")))
     val probes = (0 until numPlanes).map(p => lit(1L << p)) :+ lit(0L)
     val q0 = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
       .where(wellFormed(col("qv"), dim)) // degenerate queries rank on NaN
-      .withColumn("qbucket", signBits(col("qv"), dim, numPlanes))
+      .withColumn("qbucket", keyUdf(col("qv").cast("array<double>")))
       .withColumn("probe", explode(array(probes: _*)))
       .withColumn("bucket", col("qbucket").bitwiseXOR(col("probe")))
       .select("qid", "qv", "bucket")

@@ -1,7 +1,6 @@
 package graft.operators
 
 import java.nio.charset.StandardCharsets.UTF_8
-import java.nio.file.{Files, Paths}
 
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Row}
@@ -113,31 +112,43 @@ object Webdataset {
   /** Write (key, image, image_ext, caption) rows as WebDataset shards,
     * one `part-NNNNN.tar` per non-empty partition under `dir`. To size
     * shards for a loader (the usual 100 MB-1 GB), `repartition` the
-    * input first — partition boundaries ARE shard boundaries. */
+    * input first — partition boundaries ARE shard boundaries.
+    *
+    * Scale shape (round-6 rework, guide §5/§6): entries stream through
+    * [[graft.functions.Tar.writeEntryTo]] straight to a Hadoop
+    * `FSDataOutputStream` — task memory holds ONE sample, never the
+    * partition (the old path buffered every entry, then built one
+    * partition-sized tar array). The FileSystem comes from the task's
+    * Hadoop conf (file:/hdfs:/s3a: alike) and the write commits via
+    * task-attempt temp + rename ([[SinkFiles.writeCommitted]]), so
+    * speculative/retried attempts never expose a torn shard. */
   def sink(pairs: DataFrame, dir: String): DataFrame = {
     val enc = RowEncoder.encoderFor(sinkSchema)
-    Files.createDirectories(Paths.get(dir))
+    val conf = new graft.util.SerializableHadoopConf(
+      pairs.sparkSession.sparkContext.hadoopConfiguration)
     pairs.select("key", "image", "image_ext", "caption")
       .mapPartitions { it =>
         if (!it.hasNext) Iterator.empty
         else {
-          val items = Vector.newBuilder[(String, Array[Byte])]
+          val tc = TaskContext.get()
+          val pid = tc.partitionId()
           var n = 0L
-          it.foreach { row =>
-            val key = row.getString(0)
-            val img = row.getAs[Array[Byte]](1)
-            val ext = row.getString(2)
-            val cap = row.getString(3)
-            items += ((s"$key.$ext", if (img == null) Array.emptyByteArray else img))
-            items += ((s"$key.txt",
-              (if (cap == null) "" else cap).getBytes(UTF_8)))
-            n += 1
+          val (path, nBytes) = SinkFiles.writeCommitted(conf.value, dir,
+            f"part-$pid%05d.tar", tc.taskAttemptId()) { out =>
+            it.foreach { row =>
+              val key = row.getString(0)
+              val img = row.getAs[Array[Byte]](1)
+              val ext = row.getString(2)
+              val cap = row.getString(3)
+              Tar.writeEntryTo(out, s"$key.$ext",
+                if (img == null) Array.emptyByteArray else img)
+              Tar.writeEntryTo(out, s"$key.txt",
+                (if (cap == null) "" else cap).getBytes(UTF_8))
+              n += 1
+            }
+            Tar.writeTrailerTo(out)
           }
-          val bytes = Tar.encode(items.result())
-          val pid = TaskContext.getPartitionId()
-          val path = Paths.get(dir, f"part-$pid%05d.tar")
-          Files.write(path, bytes)
-          Iterator.single(Row(path.toString, n, bytes.length.toLong))
+          Iterator.single(Row(path, n, nBytes))
         }
       }(enc)
   }

@@ -52,6 +52,19 @@ class CodecMetaSpec extends AnyFunSuite {
     assert(Aac.audioMeta(prefixed).exists(_.nFrames == 3))
   }
 
+  test("adts: trailing ID3v1 tag / sub-frame junk tolerated like the mp3 walk") {
+    val ok = Aac.encode(1, 3, 2, Vector(50, 50, 50))
+    // a 128-byte ID3v1 tag after the last full frame is routine in the
+    // wild; it must not classify the stream as non-AAC (ADVICE r5)
+    val id3 = new Array[Byte](128)
+    id3(0) = 'T'; id3(1) = 'A'; id3(2) = 'G'
+    assert(Aac.audioMeta(ok ++ id3).exists(_.nFrames == 3))
+    // sub-frame junk under the slack budget also tolerated
+    assert(Aac.audioMeta(ok ++ Array[Byte](1, 2, 3)).exists(_.nFrames == 3))
+    // junk far beyond a frame + 128 bytes is NOT a valid chain
+    assert(Aac.audioMeta(ok ++ new Array[Byte](4096)).isEmpty)
+  }
+
   test("adts vs mp3: layer bits keep the two magic-less walks disjoint") {
     val aac = FixtureGen.aacBytes(7L)
     val mp3 = FixtureGen.mp3Bytes(7L)

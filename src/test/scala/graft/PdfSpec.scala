@@ -57,6 +57,29 @@ class PdfSpec extends AnyFunSuite {
     assert(names.hasJs && !names.hasAttachments && !names.encrypted)
   }
 
+  test("truncated deflate stream rejects at the filter layer (ADVICE r5)") {
+    // a valid-prefix-but-cut deflate stream makes Inflater exit on
+    // needsInput without finishing; the old code returned the PARTIAL
+    // inflate output, letting a truncated xref/ObjStm parse to
+    // plausible-but-wrong entries — it must classify Malformed instead
+    val payload = Array.tabulate[Byte](4096)(i => (i * 31).toByte)
+    val deflated = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(payload); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](1024)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      out.toByteArray
+    }
+    // intact stream inflates fully
+    assert(Pdf.inflateBounded(deflated).toSeq == payload.toSeq)
+    // truncated stream throws (Malformed is a RuntimeException singleton)
+    intercept[RuntimeException] {
+      Pdf.inflateBounded(deflated.take(deflated.length / 2))
+    }
+  }
+
   test("hand-built minimal PDF parses; junk prefix within 1 KiB tolerated") {
     // hand-written, not via the encoder — pins the parser against an
     // independently constructed file (multi-subsection xref, comments)

@@ -271,6 +271,26 @@ class PipelineOpsSpec extends SparkSpec {
       s"empty docs must pair with nothing, got $pairs")
   }
 
+  test("signKey UDF ≡ signBitsRange column form (q25 bucket-key equality witness)") {
+    // lshTopK now derives bucket keys via the signKey fold (round-6: the
+    // unrolled 768-term column tree dominated q25's plan/codegen cost);
+    // this witness pins the bit-identity claim on the real embeddings
+    // PLUS the degenerate shapes (short vector → 0L like the null-proj
+    // column path)
+    val fromCol = embs
+      .select($"vec_id",
+        Similarity.signBits($"embedding", dim = 64, numPlanes = 12).as("key"))
+      .as[(Long, Long)].collect().toMap
+    val vecs = embs
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    vecs.foreach { case (id, v) =>
+      assert(Similarity.signKey(v, 64, 0, 12) == fromCol(id), s"vec $id")
+    }
+    assert(Similarity.signKey(null, 64, 0, 12) == 0L)
+    assert(Similarity.signKey(Seq.fill(32)(0.5), 64, 0, 12) == 0L)
+  }
+
   test("LSH ANN recall vs brute force") {
     val queries = embs.where($"vec_id" < 10)
     val brute = Similarity.bruteForceTopK(embs, queries, 5)

@@ -59,6 +59,35 @@ class TarSpec extends SparkSpec {
     assert(new String(es(0).bytes, UTF_8) == "body")
   }
 
+  test("pax 'g' global header: path= persists across entries; 'x' stays one-shot") {
+    def paxRecord(typeflag: Char, path: String): Array[Byte] = {
+      val rec = s" path=$path\n"
+      val len = rec.length + 2
+      val body = s"$len$rec".getBytes(US_ASCII)
+      val blocks = Tar.encode(Vector(("pax-header", body))).dropRight(1024)
+      blocks(156) = typeflag.toByte
+      java.util.Arrays.fill(blocks, 148, 156, ' '.toByte)
+      var sum = 0L
+      for (i <- 0 until 512) sum += (blocks(i) & 0xffL)
+      val cs = "%06o".format(sum).getBytes(US_ASCII)
+      System.arraycopy(cs, 0, blocks, 148, 6)
+      blocks(154) = 0; blocks(155) = ' '.toByte
+      blocks
+    }
+    // [g path=G] [a] [b]: POSIX applies the global keyword to ALL
+    // subsequent entries (ADVICE r5 — was treated as one-shot)
+    val g = paxRecord('g', "global/name.txt")
+    val ab = mk("a.txt" -> "A", "b.txt" -> "B").dropRight(1024)
+    val es1 = Tar.entries(g ++ ab).get
+    assert(es1.map(_.name) == Vector("global/name.txt", "global/name.txt"))
+    assert(es1.map(e => new String(e.bytes, UTF_8)) == Vector("A", "B"))
+    // [g path=G] [x path=X] [a] [b]: per-file 'x' beats the global for the
+    // NEXT entry only; the global then resumes
+    val x = paxRecord('x', "x/override.txt")
+    val es2 = Tar.entries(g ++ x ++ ab).get
+    assert(es2.map(_.name) == Vector("x/override.txt", "global/name.txt"))
+  }
+
   test("base-256 size extension parses; hostile inputs classify") {
     val bytes = mk("a.txt" -> "12345")
     // rewrite the size field as base-256 (high bit + big-endian)
@@ -122,6 +151,35 @@ class TarSpec extends SparkSpec {
     val junk = Seq(("bad", Array[Byte](1, 2, 3))).toDF("shard_id", "bytes")
     val q = Webdataset.samples(junk).collect()
     assert(q.length == 1 && q.head.getString(1) == "corrupt")
+  }
+
+  test("sink streaming rework: byte-identical to the buffered encoder, " +
+      "re-run overwrite-safe, no orphan temps") {
+    import spark.implicits._
+    val pairs = (0 until 5).map(i =>
+      (f"s$i%03d", Array.fill(6)(i.toByte), "png", s"cap $i"))
+      .toDF("key", "image", "image_ext", "caption").repartition(1)
+    val dir = graft.util.TempDirs.create("wds-stream").toString
+    val m1 = Webdataset.sink(pairs, dir).collect()
+    assert(m1.length == 1)
+    val file = java.nio.file.Paths.get(m1.head.getString(0))
+    val streamed = java.nio.file.Files.readAllBytes(file)
+    // identity witness vs the whole-partition buffered encoder
+    val items = (0 until 5).flatMap(i => Seq(
+      (f"s$i%03d.png", Array.fill(6)(i.toByte)),
+      (f"s$i%03d.txt", s"cap $i".getBytes(UTF_8)))).toVector
+    assert(streamed.toSeq == Tar.encode(items).toSeq)
+    assert(m1.head.getLong(2) == streamed.length, "manifest n_bytes = file size")
+    // retried/speculative-style second run commits onto the existing file
+    val m2 = Webdataset.sink(pairs, dir).collect()
+    assert(m2.head.getString(0) == m1.head.getString(0))
+    assert(java.nio.file.Files.readAllBytes(file).toSeq == streamed.toSeq)
+    val tmpDir = java.nio.file.Paths.get(dir, "_temporary")
+    if (java.nio.file.Files.exists(tmpDir)) {
+      val leftovers = java.nio.file.Files.list(tmpDir)
+      try assert(!leftovers.findAny().isPresent, "no orphan attempt files")
+      finally leftovers.close()
+    }
   }
 
   test("fromFetched: the engine's image table ships as training shards") {

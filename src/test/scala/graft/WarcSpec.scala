@@ -178,6 +178,49 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("sink streaming rework: byte-identical to the buffered encoder, " +
+      "commits via temp+rename, re-run overwrite-safe") {
+    import spark.implicits._
+    val dir = graft.util.TempDirs.create("warc-sink-stream").toString
+    val pages = (0 until 7).map { i =>
+      (s"https://s.test/p/$i", 200, "text/html",
+        s"payload-$i".getBytes(UTF_8), "2026-08-19T00:00:00Z")
+    }.toDF("url", "status", "content_type", "body", "fetched_at")
+      .repartition(1)
+    val m1 = graft.operators.Archive.sink(pages, dir).collect()
+    assert(m1.length == 1)
+    val file = java.nio.file.Paths.get(m1.head.getString(0))
+    val streamed = java.nio.file.Files.readAllBytes(file)
+    // identity witness: the whole-partition buffered encoder over the SAME
+    // records produces the SAME bytes (the streaming rework is a memory
+    // shape change, not a format change)
+    val recs = (0 until 7).map { i =>
+      val url = s"https://s.test/p/$i"
+      val payload = s"payload-$i".getBytes(UTF_8)
+      (Warc.RecordSpec("response", Some(url),
+        Warc.httpResponseBlock(200, "text/html", payload),
+        "application/http;msgtype=response",
+        Vector("WARC-Payload-Digest" -> Warc.sha1Digest(payload))),
+        "urn:graft:sha1:" + Warc.sha1Digest(url.getBytes(UTF_8)).substring(5),
+        "2026-08-19T00:00:00Z")
+    }.toVector
+    assert(streamed.toSeq == Warc.encode("1.1", recs, gzipPerRecord = true).toSeq)
+    assert(m1.head.getLong(2) == streamed.length, "manifest n_bytes = file size")
+    // the final name appeared via rename: no partial/torn file can be
+    // observed under it, and a second (retried/speculative-style) run
+    // committing onto the existing file succeeds with identical bytes
+    val m2 = graft.operators.Archive.sink(pages, dir).collect()
+    assert(m2.head.getString(0) == m1.head.getString(0))
+    assert(java.nio.file.Files.readAllBytes(file).toSeq == streamed.toSeq)
+    // temp area holds no leftover attempt files
+    val tmpDir = java.nio.file.Paths.get(dir, "_temporary")
+    if (java.nio.file.Files.exists(tmpDir)) {
+      val leftovers = java.nio.file.Files.list(tmpDir)
+      try assert(!leftovers.findAny().isPresent, "no orphan attempt files")
+      finally leftovers.close()
+    }
+  }
+
   test("cdx: offsets replay — seek, slice, re-parse, same record — plain AND gzipped") {
     for (gz <- Seq(false, true)) {
       val bytes = Warc.encode("1.1", threeRecords("1.1"), gzipPerRecord = gz)

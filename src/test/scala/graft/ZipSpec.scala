@@ -56,6 +56,32 @@ class ZipSpec extends AnyFunSuite {
     assert(Zip.read(bad, es.find(_.name == "a.txt").get).isDefined)
   }
 
+  test("zip64: a SHORT 0x0001 extra record rejects instead of reading " +
+      "neighbor records' bytes (ADVICE r5)") {
+    val zip = Zip.encode(items, forceZip64 = true)
+    // find a central-directory 0x0001 extra record and shrink its declared
+    // size below what the saturated fields need: the walk must classify,
+    // not source sizes/offsets from whatever bytes follow the record
+    val sigAt = {
+      var p = -1
+      var i = 0
+      while (p < 0 && i + 4 <= zip.length) {
+        if ((zip(i) & 0xff) == 0x50 && (zip(i + 1) & 0xff) == 0x4b &&
+            (zip(i + 2) & 0xff) == 0x01 && (zip(i + 3) & 0xff) == 0x02) p = i
+        i += 1
+      }
+      p
+    }
+    assert(sigAt >= 0, "central directory present")
+    val nameLen = ((zip(sigAt + 28) & 0xff) | ((zip(sigAt + 29) & 0xff) << 8))
+    val extraAt = sigAt + 46 + nameLen
+    assert((zip(extraAt) & 0xff) == 0x01 && (zip(extraAt + 1) & 0xff) == 0x00,
+      "zip64 0x0001 record leads the extra region")
+    val bad = zip.clone()
+    bad(extraAt + 2) = 4; bad(extraAt + 3) = 0 // declared size 4 < needed
+    assert(Zip.entries(bad).isEmpty)
+  }
+
   test("hostile inputs classify: truncation, no EOCD, lying counts/offsets") {
     val zip = Zip.encode(items)
     assert(Zip.entries(null).isEmpty)
