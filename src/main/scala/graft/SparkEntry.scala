@@ -233,7 +233,9 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "q14_content_hash" -> ((s, d) => {
-      docs(s, d).select(col("doc_id"),
+      // docsSpread (round 6): the PyWs regexp_replace chain + md5 + sha2
+      // ran on the one-task scan (~1.8 s serialized); plan-only spread.
+      docsSpread(s, d).select(col("doc_id"),
           Hashing.contentHash(col("text")).as("md5h"),
           Hashing.cacheKey(expr(synthFrontierUrl)).as("cache_key"))
         .orderBy("doc_id")
@@ -271,7 +273,10 @@ object SparkEntry {
 
     // ---- text analysis ----
     "q18_langid" -> ((s, d) => {
-      docs(s, d).select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+      // docsSpread (round 6): five regexp_count sweeps per row ran on the
+      // ONE-task documents scan — ~1 s serialized on a single core. Same
+      // plan-only spread as q32/q35+; orderBy pins the output order.
+      docsSpread(s, d).select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")
     }),
     "q19_quality_score" -> ((s, d) => {
@@ -288,17 +293,25 @@ object SparkEntry {
     // ---- dedup family ----
     "q21_dedup_exact" -> ((s, d) => {
       val base = docs(s, d).select("doc_id", "text")
+      // repartition (round 6): the contentHash normalize+md5 work ran on
+      // the 2-task union of one-task scans (~1.8 s serialized); plan-only
+      // spread before the hash, same idiom as docsSpread.
       val aug = base.unionByName(base.where(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       Dedup.exact(aug, col("doc_id"), col("text"))
         .where(col("dup_count") >= 2)
         .select("keep_id", "dup_count").orderBy("keep_id")
     }),
     "q22_minhash_neardup" -> ((s, d) => {
       val base = docs(s, d).select("doc_id", "text")
+      // repartition (round 6): the single-pass minhash UDF + shingle
+      // sweep ran on the 2-task union (~3.3 s serialized); plan-only
+      // spread before the banding, same idiom as docsSpread.
       val aug = base.unionByName(base.where(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 1000000).as("doc_id"),
           concat(lit("mutate "), expr("substring(text, 8)")).as("text")))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       // 24 bands (not the default 16): the oracle is EXACT jaccard ≥ 0.5,
       // so banding recall must be a near-certainty down to j = 0.5 even
       // for the shortest fixture docs (~44 chars → j ≈ 0.57 for the head
@@ -352,15 +365,20 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_idx")
     }),
     "q33_cleanup_classify" -> ((s, d) => {
-      // O3/O4 — 3-tier skip/cleanup/heavy classification as a column
-      docs(s, d).select(col("doc_id"), expr(synthCleanup).as("md"))
+      // O3/O4 — 3-tier skip/cleanup/heavy classification as a column.
+      // docsSpread (round 6): synthCleanup repeats text ~60× (≈18 KB/row)
+      // and classify regex-sweeps it — ~2.5 s serialized on the one-task
+      // scan; plan-only spread, orderBy pins the output.
+      docsSpread(s, d).select(col("doc_id"), expr(synthCleanup).as("md"))
         .select(col("doc_id"), graft.operators.Cleanup.classify(col("md")).as("level"))
         .orderBy("doc_id")
     }),
     "q31_structured_blocks" -> ((s, d) => {
       // D5/S11 — typed content blocks from synthetic HTML (shared CASE math
       // with the oracle, which reconstructs the expected blocks directly)
-      val pages = docs(s, d).select(col("doc_id"), expr(synthHtml).as("html"))
+      // docsSpread (round 6): the block parser's regex walk ran on the
+      // one-task scan (~1.4 s serialized); plan-only spread.
+      val pages = docsSpread(s, d).select(col("doc_id"), expr(synthHtml).as("html"))
       val st = graft.operators.Structured.toStructured(pages, col("doc_id"), col("html"))
       st.select(col("url").as("doc_id"), col("title"),
           posexplode(col("blocks")).as(Seq("pos0", "b")))
@@ -391,9 +409,12 @@ object SparkEntry {
     }),
     "q26_simhash_neardup" -> ((s, d) => {
       val base = docs(s, d).select("doc_id", "text")
+      // repartition (round 6): the per-token md5 simhash UDF ran on the
+      // 2-task union (~1.8 s serialized); plan-only spread.
       val aug = base.unionByName(base.where(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 1000000).as("doc_id"),
           concat(col("text"), lit(" tailword")).as("text")))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       Dedup.simhashPairs(aug, col("doc_id"), col("text"), maxHamming = 7)
         .orderBy("id_a", "id_b")
     }),

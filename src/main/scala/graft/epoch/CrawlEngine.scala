@@ -201,7 +201,14 @@ final class CrawlEngine(
     var continue = true
     while (continue) {
       if (stopFlagged) { dropAdmissionBroadcasts(); return false }
-      val seen = io.read("seen").getOrElse(emptyDf(seenSchema))
+      // table absence answers "is seen empty" without the per-epoch
+      // isEmpty job the old `seen.isEmpty` ran (round 6 — those limit-1
+      // probes were most of q29's unlabeled driver jobs). A committed
+      // EMPTY seen table takes the else branch, where the one-time count
+      // reads 0 and the plain anti-join against an empty right side is
+      // the identity — same rows either way.
+      val seenOpt = io.read("seen")
+      val seen = seenOpt.getOrElse(emptyDf(seenSchema))
       // J1 admission, shape gated by |seen| (driver-tracked, no per-epoch
       // job): below the gate the plain exact anti-join broadcasts the seen
       // side under AQE — a Bloom cannot improve a broadcast hash probe, so
@@ -217,7 +224,7 @@ final class CrawlEngine(
       // committed row, making the one-time rebuild complete by
       // construction.
       val fresh0 =
-        if (seen.isEmpty) level
+        if (seenOpt.isEmpty) level
         else {
           if (seenTotal < 0)
             seenTotal = described("seen count: admission gate, once per run")(
@@ -326,9 +333,15 @@ final class CrawlEngine(
       if (stopAfterDepth.contains(depth)) { // paused (ST2)
         dropAdmissionBroadcasts(); return false
       }
-      val nxt = io.read("level_next").get
-      if (nxt.isEmpty) continue = false
-      else { level = nxt; depth += 1 }
+      // next-level emptiness comes from the row count that rode the
+      // level_next commit write — the isEmpty job only runs when that
+      // observation was lost (round 6: one fewer driver job per epoch)
+      if (levelRows == 0L) continue = false
+      else {
+        val nxt = io.read("level_next").get
+        if (levelRows > 0L || !nxt.isEmpty) { level = nxt; depth += 1 }
+        else continue = false
+      }
     }
     // discovery done — the admission Blooms have no further consumer;
     // don't carry |seen|/|level|-sized broadcasts through the fetch phase
@@ -409,8 +422,16 @@ final class CrawlEngine(
       .getOrElse(base)
   }
 
-  private def fetchEpoch(epoch: Int): Long = {
-    val pending = pendingView
+  /** Returns (dequeued rows, frontier rows REMAINING after this epoch;
+    * -1 when unknown). The remaining count lets [[fetchFrom]] skip the
+    * final all-empty epoch (a full dequeue+classify action that commits
+    * nothing) — round 6. Conservative by construction: the pending count
+    * rides an Observation, and any loss/recompute inflation only makes
+    * remaining look LARGER, which runs an extra (correct, empty) epoch —
+    * never skips one that had work. */
+  private def fetchEpoch(epoch: Int): (Long, Long) = {
+    val obsPending = Observation(s"fetch_epoch_${epoch}_pending")
+    val pending = pendingView.observe(obsPending, count(lit(1)).as("rows"))
     // cached but NOT counted here: the dequeue size rides the classified
     // observation below (round-3 ask — one driver action per epoch); the
     // cache populates inside that same action and the commit appends read it
@@ -589,11 +610,17 @@ final class CrawlEngine(
     val dispCounts = observed(obs, "disposition")
     val deqCount = dispCounts.getOrElse("dequeued",
       described(s"fetch/$epoch dequeue count (obs lost)")(classified.count()))
+    // frontier rows left for the NEXT epoch (pending view size at epoch
+    // start minus this epoch's dequeue); -1 = observation lost → run the
+    // next epoch normally
+    val remaining = observedWithin(obsPending, s"fetch/$epoch pending-rows")
+      .flatMap(_.get("rows")).collect { case n: Long => n - deqCount }
+      .getOrElse(-1L)
     if (deqCount == 0L) {
       // empty dequeue = crawl done — nothing to commit for this epoch
       deq.unpersist(); pages.unpersist(); classified.unpersist()
       if (warmHits != null) warmHits.unpersist()
-      return 0L
+      return (0L, remaining)
     }
 
     val orderLogNew = classified.select(
@@ -697,15 +724,20 @@ final class CrawlEngine(
     }
     deq.unpersist(); pages.unpersist(); classified.unpersist(); fetchedNew.unpersist()
     if (warmHits != null) warmHits.unpersist()
-    deqCount
+    (deqCount, remaining)
   }
 
   private def fetchFrom(startEpoch: Int, stopAfterEpoch: Option[Int]): Unit = {
     var epoch = startEpoch
     var continue = true
     while (continue && !cancelRequested && !stopRequested) {
-      val n = fetchEpoch(epoch)
+      val (n, remaining) = fetchEpoch(epoch)
       if (n == 0) continue = false
+      // frontier provably drained: the next epoch would dequeue zero and
+      // commit nothing — skip its full dequeue+fetch+classify action
+      // (round 6; identical committed state, one fewer epoch of driver
+      // fixed cost). remaining == -1 (lost observation) runs it normally.
+      else if (remaining == 0L) continue = false
       else if (stopAfterEpoch.contains(epoch)) continue = false
       else epoch += 1
     }

@@ -1,7 +1,6 @@
 package graft.functions
 
 import java.io.ByteArrayInputStream
-import javax.xml.parsers.DocumentBuilderFactory
 
 /** SVG image METADATA — pixel dimensions, element census, and the two
   * scrub signals a crawl pipeline checks before republishing vector
@@ -97,16 +96,10 @@ object Svg {
           DoctypeRe.matcher(text).replaceFirst("")
             .getBytes(java.nio.charset.StandardCharsets.UTF_8)
         else bytes
-      val dbf = DocumentBuilderFactory.newInstance()
-      dbf.setNamespaceAware(true)
-      dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
-      dbf.setXIncludeAware(false)
-      dbf.setExpandEntityReferences(false)
-      val builder = dbf.newDocumentBuilder()
-      // the JDK default handler PRINTS fatal errors to stderr — per-row
-      // noise a 100 TB run cannot afford; malformed rows just classify
-      builder.setErrorHandler(SilentXml)
-      val doc = builder.parse(new ByteArrayInputStream(raw))
+      // shared thread-local hardened builder (silent handler included) —
+      // per-row JAXP factory construction dominated this walk (round 6)
+      val doc = graft.util.HardenedXml.builder()
+        .parse(new ByteArrayInputStream(raw))
       val root = doc.getDocumentElement
       if (root == null || root.getLocalName != "svg") return None
 
@@ -152,11 +145,4 @@ object Svg {
       Some(Meta(w, h, nElements, hasScript, hasExternal))
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** Throw-through handler: fatal errors still raise (and classify),
-    * but nothing is printed — the JDK default writes to stderr. */
-  private object SilentXml extends org.xml.sax.ErrorHandler {
-    def warning(e: org.xml.sax.SAXParseException): Unit = ()
-    def error(e: org.xml.sax.SAXParseException): Unit = ()
-    def fatalError(e: org.xml.sax.SAXParseException): Unit = throw e
-  }
 }

@@ -4,7 +4,6 @@ import java.io.ByteArrayInputStream
 import java.nio.charset.StandardCharsets.UTF_8
 import java.util.zip.{CRC32, Deflater, Inflater}
 
-import javax.xml.parsers.DocumentBuilderFactory
 
 /** ZIP (PKWARE APPNOTE) central-directory walk + OOXML/DOCX metadata.
   *
@@ -214,26 +213,15 @@ object Zip {
       zip64: Boolean)
 
   /** Hardened parse: same entity/doctype refusal as the SVG/sitemap
-    * walkers, silent error handler (no per-row stderr at 100 TB). */
+    * walkers, silent error handler (no per-row stderr at 100 TB). The
+    * builder comes from the shared thread-local ([[graft.util.HardenedXml]])
+    * — per-row JAXP factory construction dominated the docx walk. */
   private def parseXml(raw: Array[Byte]): Option[org.w3c.dom.Document] =
     try {
       val text = new String(raw, UTF_8)
       if (text.contains("<!ENTITY") || text.contains("<!DOCTYPE")) return None
-      val dbf = DocumentBuilderFactory.newInstance()
-      dbf.setNamespaceAware(true)
-      dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
-      dbf.setXIncludeAware(false)
-      dbf.setExpandEntityReferences(false)
-      val builder = dbf.newDocumentBuilder()
-      builder.setErrorHandler(SilentXml)
-      Some(builder.parse(new ByteArrayInputStream(raw)))
+      Some(graft.util.HardenedXml.builder().parse(new ByteArrayInputStream(raw)))
     } catch { case scala.util.control.NonFatal(_) => None }
-
-  private object SilentXml extends org.xml.sax.ErrorHandler {
-    def warning(e: org.xml.sax.SAXParseException): Unit = ()
-    def error(e: org.xml.sax.SAXParseException): Unit = ()
-    def fatalError(e: org.xml.sax.SAXParseException): Unit = throw e
-  }
 
   def docxMeta(bytes: Array[Byte]): Option[DocxMeta] =
     try {

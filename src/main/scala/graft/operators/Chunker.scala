@@ -45,22 +45,71 @@ object Chunker {
   private val HeadingRe = "(?m)^(#{1,3})\\s+".r
   private val CodeFenceRe = "(?s)```.*?```".r
 
-  private val PyStripRe = java.util.regex.Pattern.compile(
-    s"^[${graft.functions.Hashing.PyWs}]+|[${graft.functions.Hashing.PyWs}]+$$")
+  /** Python-whitespace membership table (chars ≤ U+3000 — the whole PyWs
+    * set) for the hand-rolled strip below. */
+  private val PyWsSet: Array[Boolean] = {
+    val a = new Array[Boolean](0x3001)
+    graft.functions.Hashing.PyWs.foreach(c => a(c) = true)
+    a
+  }
+  @inline private def isPyWs(c: Char): Boolean = c <= 0x3000 && PyWsSet(c)
 
-  private def pyStrip(s: String): String = PyStripRe.matcher(s).replaceAll("")
+  /** str.strip() with Python's whitespace set — a two-pointer scan, not a
+    * regex replaceAll: pyStrip runs per LINE in preClean and per chunk in
+    * chunkBySize, and the matcher allocation + anchored scan was a
+    * measured chunk of the ~1.5 ms/doc preClean cost (round 6, guide
+    * §1.2). Identical result to the old `^[ws]+|[ws]+$` replaceAll. */
+  private def pyStrip(s: String): String = {
+    var i = 0
+    var j = s.length
+    while (i < j && isPyWs(s.charAt(i))) i += 1
+    while (j > i && isPyWs(s.charAt(j - 1))) j -= 1
+    if (i == 0 && j == s.length) s else s.substring(i, j)
+  }
 
-  /** `_pre_clean_markdown` (markdown.py:39-74). */
+  /** Case-insensitive contains for the noise-pattern prefilter. */
+  private def containsIc(line: String, needle: String): Boolean = {
+    val n = needle.length
+    var i = 0
+    val max = line.length - n
+    while (i <= max) {
+      if (line.regionMatches(true, i, needle, 0, n)) return true
+      i += 1
+    }
+    false
+  }
+
+  /** `_pre_clean_markdown` (markdown.py:39-74). Round 6: the per-line
+    * regex sweeps are gated by cheap literal prefilters — every
+    * NoisePattern requires one of five literal substrings, and every
+    * NoiseLinePattern matches only short fixed phrases (the sole
+    * unbounded one starts "Last updated") — so a typical content line
+    * runs zero regexes. The regexes stay the source of truth: a
+    * prefilter hit still confirms against the original pattern, so
+    * classification is bit-identical. */
   def preClean(text: String): String = {
     val cleaned = scala.collection.mutable.ArrayBuffer.empty[String]
     var inNoiseBlock = false
     text.split("\n", -1).foreach { line =>
       val stripped = pyStrip(line) // Python str.strip(): Unicode whitespace
+      // NoisePatterns each demand a literal: self.__next_ (ci) /
+      // document. / window. / data-page-mode / suppressHydrationWarning
+      def mayNoise: Boolean =
+        line.contains("document.") || line.contains("window.") ||
+          line.contains("data-page-mode") ||
+          line.contains("suppressHydrationWarning") ||
+          containsIc(line, "self.__next_")
+      // NoiseLinePatterns are whole-line fixed phrases ≤ a few dozen
+      // chars once stripped; only the "Last updated <date>" form can
+      // exceed that, and it must start with its literal
+      def mayNoiseLine: Boolean =
+        stripped.nonEmpty && (stripped.length <= 64 ||
+          stripped.regionMatches(true, 0, "Last updated", 0, 12))
       if (stripped == "{" && !inNoiseBlock) inNoiseBlock = true
       else if (inNoiseBlock) {
         if (stripped == "}" || stripped == "};") inNoiseBlock = false
-      } else if (NoisePatterns.exists(_.findFirstIn(line).isDefined)) ()
-      else if (NoiseLinePatterns.exists(_.findFirstIn(line).isDefined)) ()
+      } else if (mayNoise && NoisePatterns.exists(_.findFirstIn(line).isDefined)) ()
+      else if (mayNoiseLine && NoiseLinePatterns.exists(_.findFirstIn(line).isDefined)) ()
       else cleaned += line
     }
     pyStrip(cleaned.mkString("\n").replaceAll("\\n{3,}", "\n\n"))
@@ -199,8 +248,14 @@ object Cleanup {
     * Null-safe: null classifies as skip (nothing to clean). */
   def classifyChunk(markdown: String): String = {
     if (markdown == null) return "skip"
-    val lower = markdown.toLowerCase(java.util.Locale.ROOT)
-    val hasNoise = NoiseIndicators.exists(lower.contains)
+    // lazy: the toLowerCase copy + 13 contains sweeps only run for the
+    // branches that read them (long chunks skip them entirely when they
+    // classify heavy first) — decision ORDER is unchanged from
+    // classify_chunk, only evaluation is deferred (round 6, guide §1.2)
+    lazy val hasNoise = {
+      val lower = markdown.toLowerCase(java.util.Locale.ROOT)
+      NoiseIndicators.exists(lower.contains)
+    }
     val len = cpLen(markdown) // Python len(): code points
     if (codeDensity(markdown) > 0.6) "skip"
     else if (len < 2000 && !hasNoise) "skip"

@@ -33,12 +33,26 @@ object Dedup {
       .groupBy("contentHash").agg(min("id").as("keep_id"), count("*").as("dup_count"))
 
   /** Distinct character k-shingles of a string, as a column expression
-    * (no UDF): substring sweep via transform(sequence(...)). */
+    * (no UDF): substring sweep via transform(sequence(...)). Kept as the
+    * SQL-surface illustration; [[minhashPairs]] uses [[shinglesArray]] —
+    * the higher-order chain is CodegenFallback and its per-row interpreted
+    * sweep dominated q22's verify stage (round 6). */
   def shingles(text: Column, k: Int): Column =
     when(length(text) < k, array().cast("array<string>"))
       .otherwise(array_distinct(
         transform(sequence(lit(1), length(text) - (k - 1)),
           i => text.substr(i, lit(k)))))
+
+  /** [[shingles]] as a plain sweep — IDENTICAL contents and order to the
+    * column form (ascending start offsets, first occurrence kept, same
+    * UTF-16 substring windows), returned from one LinkedHashSet pass. */
+  def shinglesArray(text: String, k: Int): Array[String] = {
+    if (text == null || text.length < k) return Array.empty[String]
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i + k <= text.length) { seen.add(text.substring(i, i + k)); i += 1 }
+    seen.toArray(new Array[String](seen.size()))
+  }
 
   /** MinHash signature: for seed s, min over shingles of xxhash64(s, shingle).
     * numHashes independent permutation approximations, pure column expr.
@@ -133,7 +147,11 @@ object Dedup {
         col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
-    val sh = base.select(col("id"), shingles(col("text"), shingleK).as("sh"))
+    // shinglesArray UDF, not the higher-order column chain: identical
+    // arrays (see its doc), ~an order of magnitude less per-row work in
+    // the exact-verify stage (round 6)
+    val shinglesUdf = udf((t: String) => shinglesArray(t, shingleK))
+    val sh = base.select(col("id"), shinglesUdf(col("text")).as("sh"))
     candidates
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -183,24 +201,33 @@ object Dedup {
       .localCheckpoint(true)
     var iter = 0
     var converged = false
+    // Round-6 iteration shape — one join + one aggregation per round
+    // (guide §2.4): a node's next label is min(own label, neighbor
+    // labels), expressed as neighbor messages UNIONED with the node's own
+    // label row and min-aggregated by id. The old shape (neighbor-min
+    // aggregation, then a SECOND join back onto labels) paid an extra
+    // shuffle join per iteration for the same fixpoint. Convergence rides
+    // a monotonicity invariant instead of a changed-row count: labels
+    // only ever DECREASE, so Σ label (exact decimal) is strictly smaller
+    // iff any label changed — the per-iteration materializing action is
+    // the tiny sum aggregate, which also populates the LAZY checkpoint
+    // (eager would spend a separate job on the same partitions).
+    var prevSum: java.math.BigDecimal = null
     while (iter < maxIters && !converged) {
-      val msgs = edges
+      val next = edges
         .join(labels.select($"id".as("dst"), $"label".as("dlabel")), Seq("dst"))
-        .groupBy($"src").agg(min($"dlabel").as("nlabel"))
-        .select($"src".as("id"), $"nlabel")
-      // carry the previous label THROUGH the checkpoint: the convergence
-      // test then reads the already-materialized partitions with a narrow
-      // filter+count instead of re-joining next against labels (was one
-      // extra shuffle join + job per iteration — guide §2.4, remove
-      // shuffles outright; the join keyed by id duplicated work the
-      // checkpointed frame already holds)
-      val next = labels.join(msgs, Seq("id"), "left")
-        .select($"id", least($"label", coalesce($"nlabel", $"label")).as("label"),
-          $"label".as("__old"))
-        .localCheckpoint(true)
-      val changed = next.where($"label" =!= $"__old").count()
-      labels = next.select($"id", $"label")
-      converged = changed == 0
+        .select($"src".as("id"), $"dlabel".as("cand"))
+        .unionByName(labels.select($"id", $"label".as("cand")))
+        .groupBy($"id").agg(min($"cand").as("label"))
+        .localCheckpoint(false)
+      val sumNow = next.agg(sum($"label".cast("decimal(38,0)")).as("s"))
+        .head.getDecimal(0)
+      // sum over ZERO rows is null: empty pair sets are converged at once
+      converged =
+        if (sumNow == null) true
+        else prevSum != null && sumNow.compareTo(prevSum) == 0
+      prevSum = sumNow
+      labels = next
       iter += 1
     }
     edges.unpersist()

@@ -2,7 +2,6 @@ package graft.sources
 
 import java.io.ByteArrayInputStream
 import java.util.zip.GZIPInputStream
-import javax.xml.parsers.DocumentBuilderFactory
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -48,20 +47,10 @@ object Sitemaps {
           DoctypeRe.matcher(text).replaceFirst("")
             .getBytes(java.nio.charset.StandardCharsets.UTF_8)
         else raw0
-      val dbf = DocumentBuilderFactory.newInstance()
-      dbf.setNamespaceAware(true)
-      dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
-      dbf.setXIncludeAware(false)
-      dbf.setExpandEntityReferences(false)
-      val builder = dbf.newDocumentBuilder()
-      // the JDK default handler PRINTS fatal errors to stderr — per-URL
-      // noise a crawl cannot afford; malformed sitemaps just classify
-      builder.setErrorHandler(new org.xml.sax.ErrorHandler {
-        def warning(e: org.xml.sax.SAXParseException): Unit = ()
-        def error(e: org.xml.sax.SAXParseException): Unit = ()
-        def fatalError(e: org.xml.sax.SAXParseException): Unit = throw e
-      })
-      val doc = builder.parse(new ByteArrayInputStream(raw))
+      // shared thread-local hardened builder (silent handler included) —
+      // per-URL JAXP factory construction was pure fixed cost (round 6)
+      val doc = graft.util.HardenedXml.builder()
+        .parse(new ByteArrayInputStream(raw))
       def locs(parent: String): Seq[String] = {
         val nodes = doc.getElementsByTagNameNS(SitemapNs, parent)
         (0 until nodes.getLength).flatMap { i =>

@@ -271,6 +271,22 @@ class PipelineOpsSpec extends SparkSpec {
       s"empty docs must pair with nothing, got $pairs")
   }
 
+  test("shinglesArray UDF ≡ shingles column form (q22 verify-stage witness)") {
+    // minhashPairs now verifies with the plain-sweep UDF; this pins the
+    // claimed contents-and-order identity against the column form on the
+    // real corpus plus the edge shapes (short / exactly-k / repeated)
+    val texts = docs.select($"text").as[String].collect().take(300).toSeq ++
+      Seq("", "abcd", "abcde", "aaaaaaaaaa", "ababababab", null)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val fromCol = df.select($"id", Dedup.shingles($"t", 5).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val arr = Dedup.shinglesArray(t, 5).toSeq
+      if (t == null) assert(arr.isEmpty) // column form yields null row value
+      else assert(arr == fromCol(i.toLong), s"text #$i")
+    }
+  }
+
   test("signKey UDF ≡ signBitsRange column form (q25 bucket-key equality witness)") {
     // lshTopK now derives bucket keys via the signKey fold (round-6: the
     // unrolled 768-term column tree dominated q25's plan/codegen cost);
