@@ -27,8 +27,19 @@ object SparkEntry {
     * lesson: AQE would coalesce a few-MB by-column repartition back to
     * one partition, re-serializing the UDF stage. Row-wise maps + the
     * final orderBy make this a pure plan change, never a result change. */
+  /** Scale-adaptive spread count (round 6, guide §2): at least the
+    * cluster's parallelism, but NEVER fewer partitions than the input
+    * already has — on a real cluster where the corpus scan is already
+    * split-parallel this never funnels it down to the core count, while
+    * in the sandbox (one-file scan = 1-2 partitions) it fans the per-row
+    * work out. Explicit count → REPARTITION_BY_NUM, which AQE never
+    * coalesces (the q32 lesson). */
+  private def spreadByDoc(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(
+      math.max(s.sparkContext.defaultParallelism, df.rdd.getNumPartitions),
+      col("doc_id"))
   private def docsSpread(s: SparkSession, dir: String) =
-    docs(s, dir).repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    spreadByDoc(s, docs(s, dir))
   private def embs(s: SparkSession, dir: String) = s.read.parquet(s"$dir/embeddings.parquet")
   private def li(s: SparkSession, dir: String) = s.read.parquet(s"$dir/lineitem.parquet")
   private def ords(s: SparkSession, dir: String) = s.read.parquet(s"$dir/orders.parquet")
@@ -296,9 +307,8 @@ object SparkEntry {
       // repartition (round 6): the contentHash normalize+md5 work ran on
       // the 2-task union of one-task scans (~1.8 s serialized); plan-only
       // spread before the hash, same idiom as docsSpread.
-      val aug = base.unionByName(base.where(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val aug = spreadByDoc(s, base.unionByName(base.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))))
       Dedup.exact(aug, col("doc_id"), col("text"))
         .where(col("dup_count") >= 2)
         .select("keep_id", "dup_count").orderBy("keep_id")
@@ -308,10 +318,9 @@ object SparkEntry {
       // repartition (round 6): the single-pass minhash UDF + shingle
       // sweep ran on the 2-task union (~3.3 s serialized); plan-only
       // spread before the banding, same idiom as docsSpread.
-      val aug = base.unionByName(base.where(col("doc_id") % 10 === 0)
+      val aug = spreadByDoc(s, base.unionByName(base.where(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 1000000).as("doc_id"),
-          concat(lit("mutate "), expr("substring(text, 8)")).as("text")))
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          concat(lit("mutate "), expr("substring(text, 8)")).as("text"))))
       // 24 bands (not the default 16): the oracle is EXACT jaccard ≥ 0.5,
       // so banding recall must be a near-certainty down to j = 0.5 even
       // for the shortest fixture docs (~44 chars → j ≈ 0.57 for the head
@@ -357,8 +366,7 @@ object SparkEntry {
       // ~2 ms/doc UDF chain across the cluster before it runs. Explicit
       // partition count: AQE would coalesce a by-column repartition of a
       // few MB back to one partition, re-serializing the UDF stage.
-      val df = docs(s, d).where(length(col("text")) >= 1)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val df = spreadByDoc(s, docs(s, d).where(length(col("text")) >= 1))
         .select(col("doc_id"), mdUdf(col("doc_id"), col("text")).as("md"))
       graft.operators.Chunker.chunks(df, col("doc_id"), col("md"))
         .select(col("id").as("doc_id"), col("chunk_idx"), col("chunk"))
@@ -411,10 +419,9 @@ object SparkEntry {
       val base = docs(s, d).select("doc_id", "text")
       // repartition (round 6): the per-token md5 simhash UDF ran on the
       // 2-task union (~1.8 s serialized); plan-only spread.
-      val aug = base.unionByName(base.where(col("doc_id") % 10 === 0)
+      val aug = spreadByDoc(s, base.unionByName(base.where(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 1000000).as("doc_id"),
-          concat(col("text"), lit(" tailword")).as("text")))
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          concat(col("text"), lit(" tailword")).as("text"))))
       Dedup.simhashPairs(aug, col("doc_id"), col("text"), maxHamming = 7)
         .orderBy("id_a", "id_b")
     }),
