@@ -291,7 +291,9 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "q19_quality_score" -> ((s, d) => {
-      docs(s, d).select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("score"))
+      // docsSpread (round 6): same single-task-scan spread as q18 (the
+      // split/regexp gates ran serialized); plan-only, orderBy pins output.
+      docsSpread(s, d).select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("score"))
         .orderBy("doc_id")
     }),
     "q20_token_counts" -> ((s, d) => {
