@@ -196,6 +196,8 @@ object Preflight {
   def validate(spark: org.apache.spark.sql.SparkSession,
       fetcher: graft.sources.Fetcher, scorer: RelevanceScorer): Unit = {
     import spark.implicits._
+    speculationWarning(spark.sparkContext.getConf)
+      .foreach(w => System.err.println(s"[graft] WARN $w"))
     val probe = Seq(("https://preflight.invalid/x", "preflight.invalid"))
       .toDF("urlNorm", "host").limit(0)
     val scored = scorer.score(probe)
@@ -207,6 +209,25 @@ object Preflight {
       s"fetcher must emit the page-observation schema; missing " +
         s"${(expected -- pages.columns.toSet).mkString(",")}")
   }
+
+  /** Speculative-execution audit (round 6, VERDICT r5 ask #7): every
+    * engine write is attempt-safe — TableIO parquet goes through Spark's
+    * commit protocol, and the WARC/WebDataset sinks write task-attempt
+    * temp paths renamed on commit — and duplicate FETCH attempts cannot
+    * corrupt committed state (Spark keeps one attempt's output; rows are
+    * deterministic). What speculation DOES break is politeness: a
+    * speculated fetch task re-issues its partition's HTTP requests,
+    * exceeding the per-host budget the dequeue enforced.
+    * `spark.speculation` is a STATIC app conf neither the engine nor a
+    * live session can change, so the contract is warn-and-proceed;
+    * exposed on the bare SparkConf so the spec can drive both branches. */
+  private[graft] def speculationWarning(
+      conf: org.apache.spark.SparkConf): Option[String] =
+    if (conf.getBoolean("spark.speculation", defaultValue = false))
+      Some("spark.speculation=true: engine writes are attempt-safe, but " +
+        "speculated fetch tasks re-issue HTTP requests beyond the " +
+        "politeness budget — prefer speculation off for crawl applications")
+    else None
 }
 
 object Relevance {

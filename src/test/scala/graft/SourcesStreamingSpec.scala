@@ -183,6 +183,22 @@ class SourcesStreamingSpec extends SparkSpec {
     }
   }
 
+  test("speculation audit: warn-and-proceed contract (VERDICT r5 ask #7)") {
+    // spark.speculation is STATIC — a live session (and the engine)
+    // cannot modify it, which is exactly why the contract is a warning,
+    // not a config change. Both branches of the check:
+    val on = new org.apache.spark.SparkConf().set("spark.speculation", "true")
+    assert(Preflight.speculationWarning(on).exists(_.contains("politeness")))
+    assert(Preflight.speculationWarning(new org.apache.spark.SparkConf()).isEmpty)
+    // and validate still completes (warn, never throw) on the live session
+    Preflight.validate(spark, new graft.sources.FixtureFetcher(
+      Seq(("https://a.test/x", "a.test", 200, "text/html", "b",
+        Seq.empty[String], Seq.empty[String], Seq.empty[String],
+        "http_fast", 1L))
+        .toDF("url", "host", "status", "contentType", "content", "links",
+          "navLinks", "imageRefs", "fetchMethod", "loadMs")), IdentityScorer)
+  }
+
   test("decoder registry: dispatch, round-trip, stub plumbing") {
     val png = DecoderRegistry.get("png"); val jpg = DecoderRegistry.get("jpeg")
     assert(png.lossless && !jpg.lossless)
